@@ -1,0 +1,320 @@
+"""Seeded synthetic Common-Crawl-style corpus with known ground truth.
+
+Generates the input-hint pages table ``(url, warc_ts, html, text,
+lang)`` (repo BASELINE.json) from the gazetteer, using sentence
+templates that the pattern extractor parses — so the exact triple set
+each page implies is known at generation time and P/R vs the pipeline
+output is measurable (the north rule's ≥0.95 gate).
+
+Page content is modeled on the reference's own test corpus
+(``tests/integration/test_end_to_end_pipeline.py:33-81``,
+``tests/fixtures/ground_truth_data.json:7-231``): the five ground-truth
+fixture texts are embedded verbatim as pages 0-4, and one page carries
+the classic alias-variant trio ("Black Sabath" / "BLACK SABBATH").
+
+Determinism: everything is a pure function of (seed, page_id); the
+Spark path generates pages distributively with ``mapInPandas`` over
+``spark.range`` — embarrassingly parallel, no shuffle, and the SAME
+rows at any partitioning (this is what makes two-cluster-size runs
+comparable).
+
+Skew by construction: ~15% of band-profile sections are about Black
+Sabbath — the hot key that the salted aggregation path must survive.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+from ..functions.gazetteer import (
+    ALBUMS,
+    BANDS,
+    GENRE_EVOLUTION,
+    GENRE_ORIGINS,
+    INFLUENCES,
+    MOVEMENTS,
+    PEOPLE,
+    ROLE_BY_INSTRUMENT,
+)
+from ..functions.html_text import render_html
+
+HOT_BAND = "Black Sabbath"
+HOT_PROB = 0.15
+MISSPELL_PROB = 0.12
+
+_BASE_TS = datetime(2024, 3, 1, 0, 0, 0)
+
+#: fixture texts from the reference ground truth
+#: (tests/fixtures/ground_truth_data.json:9-231), embedded verbatim.
+FIXTURE_TEXTS: list[tuple[str, list[tuple]]] = [
+    (
+        "Black Sabbath formed in Birmingham, England in 1968. The band consisted of "
+        "Tony Iommi on guitar, Geezer Butler on bass, Bill Ward on drums, and Ozzy "
+        "Osbourne on vocals.",
+        [
+            ("FORMED_IN", "band", "Black Sabbath", "location", "Birmingham"),
+            ("MEMBER_OF", "person", "Tony Iommi", "band", "Black Sabbath"),
+            ("MEMBER_OF", "person", "Geezer Butler", "band", "Black Sabbath"),
+            ("MEMBER_OF", "person", "Bill Ward", "band", "Black Sabbath"),
+            ("MEMBER_OF", "person", "Ozzy Osbourne", "band", "Black Sabbath"),
+        ],
+    ),
+    (
+        "Iron Maiden was formed in Leyton, East London, on Christmas Day 1975 by "
+        "bassist Steve Harris. Their self-titled debut album 'Iron Maiden' was "
+        "released in 1980.",
+        [
+            ("FORMED_IN", "band", "Iron Maiden", "location", "Leyton"),
+            ("MEMBER_OF", "person", "Steve Harris", "band", "Iron Maiden"),
+            ("RELEASED", "band", "Iron Maiden", "album", "Iron Maiden"),
+        ],
+    ),
+    (
+        "Metallica released 'Master of Puppets' in 1986, their third studio album. "
+        "The album is widely considered one of the greatest thrash metal albums of "
+        "all time.",
+        [("RELEASED", "band", "Metallica", "album", "Master of Puppets")],
+    ),
+    (
+        "The New Wave of British Heavy Metal (NWOBHM) movement began in the late "
+        "1970s and included bands like Iron Maiden, Def Leppard, and Saxon.",
+        [
+            ("PART_OF_MOVEMENT", "band", "Iron Maiden", "movement", "New Wave of British Heavy Metal"),
+            ("PART_OF_MOVEMENT", "band", "Def Leppard", "movement", "New Wave of British Heavy Metal"),
+            ("PART_OF_MOVEMENT", "band", "Saxon", "movement", "New Wave of British Heavy Metal"),
+        ],
+    ),
+    (
+        "In 1981, Ozzy Osbourne left Black Sabbath to pursue a solo career. He was "
+        "replaced by Ronnie James Dio, formerly of Rainbow.",
+        [
+            ("MEMBER_OF", "person", "Ozzy Osbourne", "band", "Black Sabbath"),
+            ("MEMBER_OF", "person", "Ronnie James Dio", "band", "Black Sabbath"),
+            ("MEMBER_OF", "person", "Ronnie James Dio", "band", "Rainbow"),
+        ],
+    ),
+]
+
+_BAND_NAMES = sorted(BANDS)
+_PEOPLE_BY_BAND: dict[str, list[str]] = {}
+for _p, _d in sorted(PEOPLE.items()):
+    for _b in _d["bands"]:
+        _PEOPLE_BY_BAND.setdefault(_b, []).append(_p)
+_ALBUMS_BY_BAND: dict[str, list[str]] = {}
+for _a, _d in sorted(ALBUMS.items()):
+    _ALBUMS_BY_BAND.setdefault(_d["artist"], []).append(_a)
+
+_FILLER_BITS = [
+    "the scene grew steadily through those years",
+    "local venues booked louder and heavier acts each month",
+    "tape trading spread the sound far beyond its home town",
+    "fanzines chronicled every demo and club show in detail",
+    "the records sold modestly at first but endured for decades",
+    "critics were slow to catch on while audiences were not",
+    "the sound grew darker, faster and more technical over time",
+    "radio ignored the movement almost entirely",
+    "independent record shops became meeting points for the faithful",
+    "touring conditions were rough and the vans were always breaking down",
+]
+_HEDGES = ["some say ", "allegedly ", "reportedly ", ""]
+
+
+def _surface(rng: random.Random, canonical: str, entry: dict) -> str:
+    """Render a band/person name, occasionally as a misspelling (never
+    recorded in truth — the canonicalizer must repair it)."""
+    miss = entry.get("misspellings") or []
+    if miss and rng.random() < MISSPELL_PROB:
+        return rng.choice(miss)
+    return canonical
+
+
+def _filler(rng: random.Random, n: int, hedged: bool = False) -> list[str]:
+    out = []
+    for _ in range(n):
+        bit = rng.choice(_FILLER_BITS)
+        hedge = rng.choice(_HEDGES) if hedged else ""
+        out.append((hedge + bit).capitalize() + ".")
+    return out
+
+
+def _band_profile(rng: random.Random, truth: list) -> list[str]:
+    """One '## Band' section: formation + members + genre (+ releases,
+    + influences), every sentence parseable by functions/patterns.py."""
+    band = HOT_BAND if rng.random() < HOT_PROB else rng.choice(_BAND_NAMES)
+    b = BANDS[band]
+    blocks = [f"## {band}"]
+
+    sents = [
+        f"{_surface(rng, band, b)} formed in {b['origin_city']}, "
+        f"{b['origin_country']} in {b['formed_year']}."
+    ]
+    truth.append(("FORMED_IN", "band", band, "location", b["origin_city"]))
+    members = _PEOPLE_BY_BAND.get(band, [])
+    if members:
+        picks = members[: rng.randint(1, min(4, len(members)))]
+        parts = ", ".join(
+            f"{_surface(rng, p, PEOPLE[p])} on {PEOPLE[p]['instruments'][0]}" for p in picks
+        )
+        sents.append(f"The band consisted of {parts}.")
+        for p in picks:
+            truth.append(("MEMBER_OF", "person", p, "band", band))
+    genre = rng.choice(b["genres"])
+    sents.append(f"{band} plays {genre}.")
+    truth.append(("PLAYS_GENRE", "band", band, "subgenre", genre))
+    sents.extend(_filler(rng, rng.randint(0, 2)))
+    blocks.append(" ".join(sents))
+
+    albums = _ALBUMS_BY_BAND.get(band, [])
+    if albums and rng.random() < 0.8:
+        album = rng.choice(albums)
+        a = ALBUMS[album]
+        sents = [f"{band} released '{album}' in {a['release_year']}."]
+        truth.append(("RELEASED", "band", band, "album", album))
+        if rng.random() < 0.6:
+            sents.append(f"'{album}' was recorded at {a['studio']}.")
+            truth.append(("RECORDED_AT", "album", album, "studio", a["studio"]))
+        if rng.random() < 0.6:
+            sents.append(f"'{album}' was released by {a['label']}.")
+            truth.append(("RELEASED_BY", "album", album, "label", a["label"]))
+        sents.extend(_filler(rng, rng.randint(0, 2)))
+        blocks.append(" ".join(sents))
+
+    influences = [t for t in INFLUENCES if t[0] == band]
+    if influences and rng.random() < 0.5:
+        influenced, influencer = rng.choice(influences)
+        sents = [f"{influenced} was influenced by {influencer}."]
+        truth.append(("INFLUENCED_BY", "band", influenced, "band", influencer))
+        sents.extend(_filler(rng, rng.randint(1, 2), hedged=True))
+        blocks.append(" ".join(sents))
+    return blocks
+
+
+def _movement_section(rng: random.Random, truth: list) -> list[str]:
+    movement = rng.choice(sorted(MOVEMENTS))
+    m = MOVEMENTS[movement]
+    bands = m["bands"][:3]
+    listed = ", ".join(bands[:-1]) + " and " + bands[-1] if len(bands) > 1 else bands[0]
+    sent = (
+        f"The {movement} movement began in the late {m['start_decade']}s "
+        f"and included bands like {listed}."
+    )
+    for band in bands:
+        truth.append(("PART_OF_MOVEMENT", "band", band, "movement", movement))
+    return [f"## {movement}", " ".join([sent] + _filler(rng, rng.randint(1, 3)))]
+
+
+def _genre_section(rng: random.Random, truth: list) -> list[str]:
+    genre = rng.choice(sorted(GENRE_ORIGINS))
+    city, country = GENRE_ORIGINS[genre]
+    sents = [f"In the beginning {genre} originated in {city}, {country}."]
+    truth.append(("ORIGINATED_IN", "subgenre", genre, "location", city))
+    evolutions = [e for e in GENRE_EVOLUTION if e[0] == genre]
+    if evolutions and rng.random() < 0.7:
+        g1, g2 = rng.choice(evolutions)
+        sents.append(f"Later {g1} evolved into {g2}.")
+        truth.append(("EVOLVED_INTO", "subgenre", g1, "subgenre", g2))
+    sents.extend(_filler(rng, rng.randint(1, 3)))
+    return [f"## The story of {genre}", " ".join(sents)]
+
+
+def _deep_section(rng: random.Random, truth: list) -> list[str]:
+    """A >1.5×chunk_size section with ### subsections — forces the
+    chunker's subsection and paragraph-packing code paths."""
+    blocks = [f"## Scene report {rng.randint(1, 999)}"]
+    for _ in range(3):
+        inner = _band_profile(rng, truth)
+        blocks.append("### " + inner[0][3:])
+        # Pad each paragraph to ≥520 chars: crosses the chunker's
+        # 1.5×chunk_size subsection boundary AND guarantees no paragraph
+        # can be dropped by the packer's min_chunk_size=500 tail rule
+        # (text_splitter.py:254) — zero truth-recall loss by chunking.
+        for para in inner[1:]:
+            while len(para) < 520:
+                para = para + " " + " ".join(_filler(rng, 2))
+            blocks.append(para)
+    return blocks
+
+
+def build_page(page_id: int, seed: int = 42) -> dict:
+    """Pure generator for one page: returns ``{url, warc_ts, html,
+    text, lang, truth}``. ``truth`` is the page's implied triple list
+    ``(pred, subj_type, subj_name, obj_type, obj_name)`` in canonical
+    names (misspelled surfaces are never in truth)."""
+    url = f"https://metal.example/docs/{page_id:08d}"
+    warc_ts = _BASE_TS + timedelta(seconds=(page_id * 37) % 2_592_000)
+
+    truth: list[tuple] = []
+    if page_id < len(FIXTURE_TEXTS):
+        fixture, fixture_truth = FIXTURE_TEXTS[page_id]
+        text = "## History\n\n" + fixture
+        truth = list(fixture_truth)
+    else:
+        rng = random.Random((seed << 32) + page_id)
+        blocks: list[str] = []
+        if rng.random() < 0.04:
+            # No-structure page → fixed-window fallback path.
+            blocks.append(" ".join(_filler(rng, 30)))
+        else:
+            for _ in range(rng.randint(1, 3)):
+                roll = rng.random()
+                if roll < 0.62:
+                    blocks.extend(_band_profile(rng, truth))
+                elif roll < 0.74:
+                    blocks.extend(_movement_section(rng, truth))
+                elif roll < 0.86:
+                    blocks.extend(_genre_section(rng, truth))
+                else:
+                    blocks.extend(_deep_section(rng, truth))
+        text = "\n\n".join(blocks)
+
+    return {
+        "url": url,
+        "warc_ts": warc_ts,
+        "html": render_html(text),
+        "text": text,
+        "lang": "en",
+        "truth": truth,
+    }
+
+
+# --- Spark-side generation (distributed, shuffle-free) --------------------
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+TRUTH_SCHEMA = ("url string, pred string, subj_type string, subj_name string, "
+                "obj_type string, obj_name string")
+
+
+def generate_pages(spark, n_pages: int, seed: int = 42, partitions: int | None = None):
+    """Distributed pages DataFrame: ``spark.range`` → ``mapInPandas``
+    (narrow; each task generates its id range independently)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [build_page(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(
+                [{k: r[k] for k in ("url", "warc_ts", "html", "text", "lang")} for r in rows]
+            )
+
+    rng_df = spark.range(0, n_pages, 1, partitions or spark.sparkContext.defaultParallelism)
+    return rng_df.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def generate_truth(spark, n_pages: int, seed: int = 42, partitions: int | None = None):
+    """The oracle triple set for the same (seed, n_pages) corpus."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                page = build_page(int(i), seed)
+                for pred, st, sn, ot, on in page["truth"]:
+                    out.append(dict(url=page["url"], pred=pred, subj_type=st,
+                                    subj_name=sn, obj_type=ot, obj_name=on))
+            yield pd.DataFrame(out, columns=["url", "pred", "subj_type",
+                                             "subj_name", "obj_type", "obj_name"])
+
+    rng_df = spark.range(0, n_pages, 1, partitions or spark.sparkContext.defaultParallelism)
+    return rng_df.mapInPandas(gen, schema=TRUTH_SCHEMA)

@@ -344,5 +344,23 @@ def extract_from_text(text: str) -> tuple[list[dict], list[dict]]:
         entity["entity_type"] = etype
         entity["mention_index"] = idx
         entity["confidence"] = score_mention(entity, text, etype)
+        entity["linked_name"] = link_mention(etype, entity["name"], chunk_tokens)
         mentions.append(entity)
     return mentions, acc.relationships
+
+
+def link_mention(etype: str, name: str, chunk_tokens: set[str]) -> Optional[str]:
+    """Entity linking against the broadcast alias dictionary: exact
+    normalized-alias hit of the same entity type, context-scored when
+    ambiguous (north-star 'candidate generation via a broadcast alias
+    dictionary with TF-IDF/context-similarity entity-link scoring').
+    Returns the canonical name, or None for novel surface forms — those
+    fall through to fuzzy (MinHash-LSH + ratio) canonicalization."""
+    candidates = [c for c in _ALIAS_INDEX.get(name.lower().strip(), [])
+                  if c["entity_type"] == etype]
+    if not candidates:
+        return None
+    best = max(candidates,
+               key=lambda c: (_context_link_score(c["context_tokens"], chunk_tokens),
+                              c["canonical_name"]))
+    return best["canonical_name"]

@@ -1,0 +1,111 @@
+"""Table IO abstraction: Iceberg when a catalog is configured, plain
+parquet directories otherwise (the sandbox has no Iceberg jar).
+
+The engine's write surface is intentionally tiny:
+
+* ``write(df, name, partition_by)``     — overwrite a stage output
+* ``append(df, name)``                   — lineage / metrics commits
+* ``merge_upsert(df, name, keys)``       — set-oriented upsert; replaces
+  the reference's row-at-a-time Kuzu merge loops
+  (``scripts/automation/load_to_kuzu_merge.py:161-700``) with ONE
+  anti-join + union (or a real ``MERGE INTO`` on Iceberg)
+* ``read(name)``
+
+Parquet-mode overwrite is atomic-enough for the sandbox (write to a
+temp dir, swap); on Iceberg every one of these is a snapshot commit,
+which is what the lineage/resume contract assumes at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _iceberg_enabled(spark: SparkSession) -> bool:
+    return spark.conf.get("spark.sql.catalog.kg", None) is not None
+
+
+class TableStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.iceberg = _iceberg_enabled(spark)
+        if not self.iceberg:
+            os.makedirs(root, exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        if self.iceberg:
+            return self.spark.catalog.tableExists(f"kg.{name}")
+        p = self._path(name)
+        return os.path.isdir(p) and bool(os.listdir(p))
+
+    # -- primitives ---------------------------------------------------------
+    def read(self, name: str) -> DataFrame:
+        if self.iceberg:
+            return self.spark.read.table(f"kg.{name}")
+        return self.spark.read.parquet(self._path(name))
+
+    def write(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
+        if self.iceberg:
+            w = df.writeTo(f"kg.{name}")
+            if partition_by:
+                from pyspark.sql import functions as F
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+            return
+        # Parquet: write to temp sibling, then swap for atomicity.
+        final = self._path(name)
+        tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    def append(self, df: DataFrame, name: str) -> None:
+        if self.iceberg:
+            df.writeTo(f"kg.{name}").append()
+            return
+        df.write.mode("append").parquet(self._path(name))
+
+    def merge_upsert(self, df: DataFrame, name: str, keys: list[str]) -> None:
+        """Set-oriented upsert: incoming rows win on key collision."""
+        if self.iceberg:
+            view = f"_updates_{uuid.uuid4().hex[:8]}"
+            df.createOrReplaceTempView(view)
+            on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+            self.spark.sql(
+                f"MERGE INTO kg.{name} t USING {view} s ON {on} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+            return
+        if not self.exists(name):
+            self.write(df, name)
+            return
+        existing = self.read(name)
+        kept = existing.join(df.select(*keys).distinct(), on=keys, how="left_anti")
+        merged = kept.unionByName(df, allowMissingColumns=True)
+        # Materialize before overwriting the directory we read from.
+        merged = self.spark.createDataFrame(merged.collect(), merged.schema) \
+            if merged.isStreaming else merged
+        out = merged.localCheckpoint(eager=True)
+        self.write(out, name)
+
+    def drop(self, name: str) -> None:
+        if self.iceberg:
+            self.spark.sql(f"DROP TABLE IF EXISTS kg.{name}")
+            return
+        p = self._path(name)
+        if os.path.isdir(p):
+            shutil.rmtree(p)

@@ -1,0 +1,279 @@
+"""Triple emission: relationship candidates → resolved, deduplicated,
+provenance-tagged (subj, pred, obj) edges.
+
+Pipeline (all set-oriented; the reference does this with per-row Kuzu
+calls in ``scripts/automation/load_to_kuzu.py:638-861``):
+
+1. union explicit relationship candidates with *inferred* ones
+   (person.associated_bands ⇒ MEMBER_OF, album.artist ⇒ RELEASED —
+   ``scripts/pipeline/03_deduplicate_entities.sh:223-259``);
+2. normalize predicates (lowercase alias map → UPPER,
+   ``load_to_kuzu.py:800-810``) and filter through the predicate
+   whitelist — the reference's 27 base predicates
+   (``load_to_kuzu.py:813-821``) plus the enhanced-schema predicates we
+   emit (``src/schema/metal_history_schema_enhanced.cypher:104-198``);
+3. dedup on ``rel_hash = md5(type|from_type|lower(from)|to_type|
+   lower(to))`` keeping the first occurrence in the pinned total order
+   (``extraction_pipeline.py:336-353``);
+4. resolve names → canonical ids via a **broadcast** join against the
+   resolution map (vocabulary-sized dim table — no shuffle of the big
+   side, no skew: this is the famous-band hot-key join done right);
+5. provenance = normalized (rel_hash, url) table + bounded sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: base whitelist, load_to_kuzu.py:813-821.
+BASE_PREDICATES = [
+    "FORMED_IN", "PLAYS_GENRE", "RELEASED", "ACTIVE_DURING", "MEMBER_OF",
+    "PRODUCED", "PERFORMED_ON", "CONTAINS_TRACK", "RECORDED_AT", "RELEASED_BY",
+    "REPRESENTS_GENRE", "INFLUENCED_BY", "EVOLVED_INTO", "ORIGINATED_IN",
+    "EMERGED_DURING", "SCENE_SPAWNED", "SCENE_DEVELOPED", "DOCUMENTED_IN",
+    "FEATURED_IN", "PARTICIPATED_IN", "INFLUENCED_EVENT", "HAS_CHARACTERISTIC",
+    "USES_TECHNIQUE", "ALBUM_FEATURES", "MENTIONED_WITH", "CONTEMPORARY_OF",
+    "CITATION",
+]
+#: enhanced-schema predicates this engine emits
+#: (metal_history_schema_enhanced.cypher:104-198).
+ENHANCED_PREDICATES = ["PART_OF_MOVEMENT"]
+PREDICATE_WHITELIST = frozenset(BASE_PREDICATES + ENHANCED_PREDICATES)
+
+#: lowercase alias → schema predicate (load_to_kuzu.py:800-810).
+PREDICATE_ALIASES = {
+    "member_of": "MEMBER_OF", "formed_in": "FORMED_IN", "released": "RELEASED",
+    "plays_genre": "PLAYS_GENRE", "influenced_by": "INFLUENCED_BY",
+    "produced": "PRODUCED", "recorded_at": "RECORDED_AT",
+}
+
+#: relationship endpoint types are singular (extraction contract);
+#: entity tables use the plural extraction types.
+SINGULAR_TO_PLURAL = {
+    "band": "bands", "person": "people", "album": "albums", "song": "songs",
+    "subgenre": "subgenres", "genre": "subgenres", "location": "locations",
+    "event": "events", "equipment": "equipment", "studio": "studios",
+    "label": "labels", "movement": "movements", "venue": "venues",
+}
+
+PROVENANCE_SAMPLE = 100
+
+
+def infer_relationships(entities: DataFrame) -> DataFrame:
+    """Inferred rels from canonical entity attrs
+    (03_deduplicate_entities.sh:223-259): person.associated_bands ⇒
+    MEMBER_OF (role = first instrument, default 'member'); album.artist
+    ⇒ RELEASED (year = release_year). Emitted in the canonical
+    entity's first_seen order slot so dedup stays deterministic."""
+    attrs = F.from_json(
+        "attrs_json",
+        "struct<associated_bands:array<string>, instruments:array<string>, "
+        "title:string, artist:string, release_year:int>",
+    )
+    e = entities.withColumn("a", attrs)
+
+    member_of = (
+        e.filter(F.col("entity_type") == "people")
+        .select(
+            F.col("canonical_name").alias("from_entity_name"),
+            F.explode("a.associated_bands").alias("to_entity_name"),
+            F.coalesce(F.element_at("a.instruments", 1), F.lit("member")).alias("rel_role"),
+            F.col("first_seen").alias("order_key"),
+        )
+        .select(
+            F.lit("MEMBER_OF").alias("rel_type"),
+            F.lit("person").alias("from_entity_type"), "from_entity_name",
+            F.lit("band").alias("to_entity_type"), "to_entity_name",
+            F.lit(None).cast("int").alias("rel_year"), "rel_role",
+            F.lit("Inferred from associated_bands").alias("rel_context"),
+            "order_key",
+            F.lit(None).cast("string").alias("url"),
+        )
+    )
+    released = (
+        e.filter((F.col("entity_type") == "albums") & F.col("a.artist").isNotNull())
+        .select(
+            F.lit("RELEASED").alias("rel_type"),
+            F.lit("band").alias("from_entity_type"),
+            F.col("a.artist").alias("from_entity_name"),
+            F.lit("album").alias("to_entity_type"),
+            F.col("canonical_name").alias("to_entity_name"),
+            F.col("a.release_year").alias("rel_year"),
+            F.lit(None).cast("string").alias("rel_role"),
+            F.lit("Inferred from album data").alias("rel_context"),
+            F.col("first_seen").alias("order_key"),
+            F.lit(None).cast("string").alias("url"),
+        )
+    )
+    return member_of.unionByName(released)
+
+
+def normalize_predicates(rels: DataFrame) -> DataFrame:
+    """Alias-map + uppercase + whitelist (broadcastable literal set)."""
+    alias_map = F.create_map(
+        *[F.lit(x) for kv in PREDICATE_ALIASES.items() for x in kv]
+    )
+    pred = F.coalesce(
+        alias_map[F.lower(F.col("rel_type"))], F.upper(F.col("rel_type"))
+    )
+    return (
+        rels.withColumn("pred", pred)
+        .filter(F.col("pred").isin(list(PREDICATE_WHITELIST)))
+    )
+
+
+def dedup_relationships(rels: DataFrame) -> DataFrame:
+    """md5 canonical-key dedup, first occurrence wins (pinned order)."""
+    rel_hash = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("pred"),
+            F.col("from_entity_type"),
+            F.lower(F.col("from_entity_name")),
+            F.col("to_entity_type"),
+            F.lower(F.col("to_entity_name")),
+        )
+    )
+    w = Window.partitionBy("rel_hash").orderBy("order_key")
+    return (
+        rels.withColumn("rel_hash", rel_hash)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def resolve_triples(rels: DataFrame, resolution: DataFrame) -> DataFrame:
+    """Name → canonical id resolution via two broadcast joins
+    (subject, object). Unresolved endpoints are dropped (the reference
+    skips relationships whose entities are unknown) — count them via
+    ``resolution_stats`` for the metrics checkpoint."""
+    singular_map = F.create_map(
+        *[F.lit(x) for kv in SINGULAR_TO_PLURAL.items() for x in kv]
+    )
+    r = (
+        rels.withColumn("subj_etype", singular_map[F.col("from_entity_type")])
+        .withColumn("obj_etype", singular_map[F.col("to_entity_type")])
+        .withColumn("subj_norm", F.lower(F.trim("from_entity_name")))
+        .withColumn("obj_norm", F.lower(F.trim("to_entity_name")))
+    )
+    res_subj = resolution.select(
+        F.col("entity_type").alias("subj_etype"),
+        F.col("form_norm").alias("subj_norm"),
+        F.col("canonical_id").alias("subj_id"),
+        F.col("canonical_name").alias("subj_name"),
+    )
+    res_obj = resolution.select(
+        F.col("entity_type").alias("obj_etype"),
+        F.col("form_norm").alias("obj_norm"),
+        F.col("canonical_id").alias("obj_id"),
+        F.col("canonical_name").alias("obj_name"),
+    )
+    return (
+        r.join(F.broadcast(res_subj), ["subj_etype", "subj_norm"], "left")
+        .join(F.broadcast(res_obj), ["obj_etype", "obj_norm"], "left")
+    )
+
+
+def build_triples(
+    rels: DataFrame,
+    entities: DataFrame,
+    resolution: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Full triple pipeline. Returns (edges, edge_provenance).
+
+    edges: (rel_hash, subj_id, subj_type, pred, obj_id, obj_type,
+    subj_name, obj_name, props map<string,string>, n_sources,
+    provenance array<string> sample).
+    """
+    explicit = rels.select(
+        "rel_type", "from_entity_type", "from_entity_name",
+        "to_entity_type", "to_entity_name",
+        "rel_year", "rel_role", "rel_context", "order_key", "url",
+    )
+    candidates = explicit.unionByName(infer_relationships(entities))
+    normalized = normalize_predicates(candidates)
+
+    # Provenance first (pre-dedup, every observing url counts), keyed
+    # by the same canonical hash.
+    hashed = normalized.withColumn(
+        "rel_hash",
+        F.md5(F.concat_ws(
+            "|", F.col("pred"), F.col("from_entity_type"),
+            F.lower(F.col("from_entity_name")), F.col("to_entity_type"),
+            F.lower(F.col("to_entity_name")),
+        )),
+    )
+    edge_prov = (
+        hashed.filter(F.col("url").isNotNull())
+        .select("rel_hash", "url").distinct()
+    )
+
+    deduped = dedup_relationships(normalized)
+    resolved = resolve_triples(deduped, resolution)
+    complete = resolved.filter(
+        F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()
+    ).withColumn(
+        # Canonical edge key: two misspelled surfaces of the same fact
+        # hash differently at the surface level but resolve to the same
+        # (subj_id, pred, obj_id) — dedup again post-resolution.
+        "edge_key",
+        F.md5(F.concat_ws("|", F.col("pred"), F.col("subj_id"), F.col("obj_id"))),
+    )
+    w_edge = Window.partitionBy("edge_key").orderBy("order_key")
+    final = (
+        complete.withColumn("_rn", F.row_number().over(w_edge))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    # Re-key provenance from surface hashes to canonical edge keys so a
+    # fact observed under several spellings pools its source urls.
+    hash_to_edge = complete.select("rel_hash", "edge_key").distinct()
+    prov_canon = (
+        edge_prov.join(F.broadcast(hash_to_edge), "rel_hash")
+        .select("edge_key", "url")
+        .distinct()
+    )
+    w = Window.partitionBy("edge_key").orderBy("url")
+    prov_sample = (
+        prov_canon.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PROVENANCE_SAMPLE)
+        .groupBy("edge_key")
+        .agg(F.sort_array(F.collect_list("url")).alias("provenance"))
+    )
+    prov_counts = prov_canon.groupBy("edge_key").agg(
+        F.count(F.lit(1)).alias("n_sources")
+    )
+
+    edges = (
+        final.select(
+            "edge_key", "rel_hash",
+            "subj_id", F.col("subj_etype").alias("subj_type"), "subj_name",
+            "pred",
+            "obj_id", F.col("obj_etype").alias("obj_type"), "obj_name",
+            F.map_filter(
+                F.create_map(
+                    F.lit("year"), F.col("rel_year").cast("string"),
+                    F.lit("role"), F.col("rel_role"),
+                    F.lit("context"), F.col("rel_context"),
+                ),
+                lambda _, v: v.isNotNull(),
+            ).alias("props"),
+            "order_key",
+        )
+        .join(prov_counts, "edge_key", "left")
+        .join(prov_sample, "edge_key", "left")
+        .withColumn("n_sources", F.coalesce("n_sources", F.lit(0)))
+    )
+    return edges, prov_canon
+
+
+def resolution_stats(resolved: DataFrame) -> DataFrame:
+    """Unresolved-endpoint counts per predicate (metrics checkpoint)."""
+    return resolved.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("subj_id").isNull(), 1).otherwise(0)).alias("unresolved_subj"),
+        F.sum(F.when(F.col("obj_id").isNull(), 1).otherwise(0)).alias("unresolved_obj"),
+    )

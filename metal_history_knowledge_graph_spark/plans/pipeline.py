@@ -1,0 +1,157 @@
+"""End-to-end KG-construction pipeline: pages → chunks → extracted →
+canonical entities → triples → graph tables, with per-stage lineage
+commits and resume.
+
+Stage boundaries are table commits (Iceberg snapshot / parquet swap):
+this is the reference's run_full_pipeline.sh
+(``scripts/pipeline/run_full_pipeline.sh:96-186``) re-expressed as one
+Spark driver program whose stages are DataFrame transformations; the
+process/subprocess boundaries of the reference become (only) the
+shuffles that canonicalization and triple-dedup genuinely need.
+
+Resume semantics: ``run(...)`` with the same ``run_id`` skips stages
+whose lineage row is committed — so a killed run re-executes only
+remaining stages, producing byte-identical tables (everything is
+deterministic in the pinned order). ``run_incremental`` appends new
+pages and re-canonicalizes: mention-level state is re-derivable because
+the mentions table is append-only and dedup/merge are idempotent folds.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import TableStore
+from ..operators.canonicalize import canonicalize
+from ..operators.chunk import chunk_pages
+from ..operators.extract import extract_chunks, mentions_of, relationships_of
+from ..operators.materialize import (
+    commit_stage,
+    stage_complete,
+    write_edges,
+    write_entities,
+)
+from ..operators.triples import build_triples
+
+STAGES = ["chunks", "extracted", "entities", "edges"]
+
+
+def run(
+    spark: SparkSession,
+    pages: DataFrame,
+    store: TableStore,
+    run_id: str = "run-1",
+    resume: bool = True,
+    pair_strategy: str = "lsh",
+) -> dict[str, float]:
+    """Execute the full pipeline; returns stage metrics (incl. wall
+    seconds and the byte-identity invariant violation count)."""
+    metrics: dict[str, float] = {}
+
+    def timed(stage, fn):
+        if resume and stage_complete(store, run_id, stage):
+            metrics[f"{stage}_skipped"] = 1.0
+            return
+        t0 = time.time()
+        row_count, extra = fn()
+        dt = time.time() - t0
+        metrics[f"{stage}_rows"] = row_count
+        metrics[f"{stage}_secs"] = dt
+        commit_stage(store, run_id, stage, row_count, {**extra, "secs": dt})
+
+    def do_chunks():
+        chunks = chunk_pages(pages)
+        store.write(chunks, "chunks")
+        persisted = store.read("chunks")
+        n = persisted.count()
+        mismatches = persisted.filter(~F.col("text_matches_crawl")).count()
+        return n, {"text_mismatch_urls": mismatches}
+
+    def do_extract():
+        extracted = extract_chunks(store.read("chunks"))
+        store.write(extracted, "extracted")
+        n = store.read("extracted").count()
+        return n, {}
+
+    def do_entities():
+        extracted = store.read("extracted")
+        mentions = mentions_of(extracted)
+        entities, resolution, provenance = canonicalize(
+            mentions, spark, pair_strategy=pair_strategy
+        )
+        write_entities(store, entities)
+        store.write(resolution, "resolution")
+        store.write(provenance, "entity_provenance")
+        n = store.read("entities").count()
+        return n, {"forms": store.read("resolution").count()}
+
+    def do_edges():
+        extracted = store.read("extracted")
+        rels = relationships_of(extracted)
+        edges, edge_prov = build_triples(
+            rels, store.read("entities"), store.read("resolution")
+        )
+        write_edges(store, edges)
+        store.write(edge_prov, "edge_provenance")
+        n = store.read("edges").count()
+        return n, {}
+
+    timed("chunks", do_chunks)
+    timed("extracted", do_extract)
+    timed("entities", do_entities)
+    timed("edges", do_edges)
+    return metrics
+
+
+def processed_urls(store: TableStore) -> DataFrame:
+    """Urls already chunked (the page-level resume record)."""
+    return store.read("chunks").select("url").distinct()
+
+
+def run_incremental(
+    spark: SparkSession,
+    new_pages: DataFrame,
+    store: TableStore,
+    run_id: str,
+    pair_strategy: str = "lsh",
+) -> dict[str, float]:
+    """Incremental append: anti-join new pages against processed urls
+    (the reference's checkpoint-resume,
+    ``batch_extraction.py:91-99``), chunk+extract only the novel pages,
+    append, then re-run the (vocabulary-sized) canonicalize/triple
+    stages over the full mention set."""
+    todo = new_pages.join(processed_urls(store), "url", "left_anti")
+    chunks = chunk_pages(todo).localCheckpoint(eager=True)
+    store.append(chunks, "chunks")
+    store.append(extract_chunks(chunks), "extracted")
+    # Downstream (vocabulary-sized) stages recompute from the appended
+    # mention set — idempotent deterministic folds.
+    return _rebuild_downstream(spark, store, run_id, pair_strategy)
+
+
+def _rebuild_downstream(
+    spark: SparkSession, store: TableStore, run_id: str, pair_strategy: str
+) -> dict[str, float]:
+    from ..operators.canonicalize import canonicalize as _canon
+
+    metrics: dict[str, float] = {}
+    t0 = time.time()
+    extracted = store.read("extracted")
+    mentions = mentions_of(extracted)
+    entities, resolution, provenance = _canon(mentions, spark, pair_strategy=pair_strategy)
+    write_entities(store, entities)
+    store.write(resolution, "resolution")
+    store.write(provenance, "entity_provenance")
+    rels = relationships_of(extracted)
+    edges, edge_prov = build_triples(rels, store.read("entities"), store.read("resolution"))
+    write_edges(store, edges)
+    store.write(edge_prov, "edge_provenance")
+    metrics["incremental_secs"] = time.time() - t0
+    metrics["entities_rows"] = store.read("entities").count()
+    metrics["edges_rows"] = store.read("edges").count()
+    commit_stage(store, run_id, "incremental", int(metrics["edges_rows"]),
+                 {"secs": metrics["incremental_secs"]})
+    return metrics

@@ -1,0 +1,102 @@
+"""Extraction contract on the reference ground-truth fixture texts
+(tests/fixtures/ground_truth_data.json:9-231, embedded in
+sources/corpus.py as pages 0-4)."""
+
+from metal_history_knowledge_graph_spark.functions.patterns import extract_from_text
+from metal_history_knowledge_graph_spark.sources.corpus import FIXTURE_TEXTS
+
+
+def _rels(text):
+    _, rels = extract_from_text(text)
+    return {(r["type"], r["from_entity_name"], r["to_entity_name"]) for r in rels}
+
+
+def _mentions(text):
+    mentions, _ = extract_from_text(text)
+    return mentions
+
+
+def test_fixture_001_black_sabbath():
+    text = FIXTURE_TEXTS[0][0]
+    mentions = _mentions(text)
+    bands = [m for m in mentions if m["entity_type"] == "bands"]
+    people = [m for m in mentions if m["entity_type"] == "people"]
+    assert [b["name"] for b in bands] == ["Black Sabbath"]
+    assert bands[0]["formed_year"] == 1968
+    assert bands[0]["origin_city"] == "Birmingham"
+    assert bands[0]["origin_country"] == "England"
+    assert {p["name"] for p in people} == {
+        "Tony Iommi", "Geezer Butler", "Bill Ward", "Ozzy Osbourne"
+    }
+    rels = _rels(text)
+    for person, _role in [("Tony Iommi", "guitarist"), ("Geezer Butler", "bassist"),
+                          ("Bill Ward", "drummer"), ("Ozzy Osbourne", "vocalist")]:
+        assert ("MEMBER_OF", person, "Black Sabbath") in rels
+
+
+def test_fixture_002_iron_maiden():
+    text = FIXTURE_TEXTS[1][0]
+    rels = _rels(text)
+    assert ("MEMBER_OF", "Steve Harris", "Iron Maiden") in rels
+    assert ("RELEASED", "Iron Maiden", "Iron Maiden") in rels
+    mentions = _mentions(text)
+    albums = [m for m in mentions if m["entity_type"] == "albums"]
+    assert any(a["title"] == "Iron Maiden" and a["release_year"] == 1980 for a in albums)
+
+
+def test_fixture_003_metallica():
+    rels = _rels(FIXTURE_TEXTS[2][0])
+    assert ("RELEASED", "Metallica", "Master of Puppets") in rels
+    mentions = _mentions(FIXTURE_TEXTS[2][0])
+    assert any(m["entity_type"] == "subgenres" and m["name"] == "thrash metal"
+               for m in mentions)
+
+
+def test_fixture_004_nwobhm():
+    rels = _rels(FIXTURE_TEXTS[3][0])
+    for band in ("Iron Maiden", "Def Leppard", "Saxon"):
+        assert ("PART_OF_MOVEMENT", band, "New Wave of British Heavy Metal") in rels
+
+
+def test_fixture_005_lineup_change():
+    rels = _rels(FIXTURE_TEXTS[4][0])
+    assert ("MEMBER_OF", "Ozzy Osbourne", "Black Sabbath") in rels
+    assert ("MEMBER_OF", "Ronnie James Dio", "Black Sabbath") in rels
+    assert ("MEMBER_OF", "Ronnie James Dio", "Rainbow") in rels
+    mentions = _mentions(FIXTURE_TEXTS[4][0])
+    assert sum(1 for m in mentions if m["entity_type"] == "events") == 1
+
+
+def test_misspelled_surface_is_kept_not_corrected():
+    mentions, rels = extract_from_text(
+        "Black Sabath formed in Birmingham, England in 1968."
+    )
+    bands = [m for m in mentions if m["entity_type"] == "bands"]
+    assert bands[0]["name"] == "Black Sabath"
+    assert bands[0]["linked_name"] is None  # novel form → fuzzy canon path
+
+
+def test_alias_linking():
+    mentions, _ = extract_from_text("Sabbath released 'Paranoid' in 1970.")
+    bands = [m for m in mentions if m["entity_type"] == "bands"]
+    assert bands[0]["name"] == "Sabbath"
+    assert bands[0]["linked_name"] == "Black Sabbath"
+
+
+def test_uppercase_variant_links():
+    mentions, _ = extract_from_text("Fans of BLACK SABBATH gathered in Birmingham.")
+    bands = [m for m in mentions if m["entity_type"] == "bands"]
+    assert bands and bands[0]["linked_name"] == "Black Sabbath"
+
+
+def test_confidence_bounds_and_signal():
+    m_high, _ = extract_from_text(
+        "Black Sabbath formed in Birmingham, England in 1968."
+    )
+    m_low, _ = extract_from_text(
+        "Some say Black Sabbath allegedly may have invented something, "
+        "though it is disputed and unclear."
+    )
+    high = [m for m in m_high if m["entity_type"] == "bands"][0]["confidence"]
+    low = [m for m in m_low if m["entity_type"] == "bands"][0]["confidence"]
+    assert 0.0 <= low < high <= 1.0

@@ -1,0 +1,238 @@
+"""Document deduplication operators (training-data-pipeline family):
+
+* exact        — hash-groupBy on the normalized-text fingerprint
+* n-gram Jaccard — word-shingle inverted-index self-join (exact
+                  similarity, set-oriented, no O(n²) scan)
+* MinHash-LSH  — shingle → minhash → banded bucket-join (scale path)
+* SimHash      — 64-bit simhash, banded by 16-bit chunks, verified by
+                  hamming distance
+* embedding cosine — see operators/simsearch.py near_duplicates
+
+Each returns DataFrames; nothing collects to the driver. The
+inverted-index join shuffles on shingle hash — frequent shingles are
+capped (``max_doc_freq``) exactly like a stop-word filter, which is
+also the skew guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from .textstats import with_fingerprint
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (whitespace/case-normalized) docs:
+    (fingerprint, keep_id, dup_ids, group_size); only groups ≥ 2."""
+    fp = with_fingerprint(df, text_col)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .filter(F.col("group_size") >= 2)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative per fingerprint (one shuffle)."""
+    fp = with_fingerprint(df, text_col)
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fingerprint")
+    )
+
+
+def _word_shingles(text_col: str, n: int = 3):
+    """Distinct word n-gram shingle hashes (native, codegen-friendly)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    k = F.size(toks) - n
+    return F.array_distinct(
+        F.when(
+            k >= 0,
+            F.transform(
+                F.sequence(F.lit(0), k),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+            ),
+        ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via inverted index:
+    shingle→docs postings, co-occurrence counts, |A∩B| / (|A|+|B|−|A∩B|).
+    ``max_doc_freq`` drops ubiquitous shingles (stop-shingles) — both a
+    precision aid and the shuffle-skew guard."""
+    docs = df.select(
+        F.col(id_col).alias("doc"), _word_shingles(text_col, n).alias("shingles")
+    ).withColumn("set_size", F.size("shingles"))
+    postings = docs.select(
+        "doc", "set_size", F.explode("shingles").alias("shingle")
+    )
+    rare = (
+        postings.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+        .select("shingle")
+    )
+    postings = postings.join(rare, "shingle")
+    co = (
+        postings.alias("a")
+        .join(postings.alias("b"), "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+            F.col("a.set_size").alias("size_a"), F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        co.withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup candidate pairs at scale: shingle → minhash signature
+    (native xxhash64 with per-row permutation seeds) → band buckets →
+    bucket self-join → exact-Jaccard verify. The banded join only
+    shuffles (band, bucket-hash) keys, never the full cross product."""
+    rows_per_band = num_hashes // bands
+    docs = df.select(
+        F.col(id_col).alias("doc"), _word_shingles(text_col, n).alias("shingles")
+    ).withColumn("set_size", F.size("shingles"))
+
+    # signature[i] = min over shingles of xxhash64(shingle, i)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, i))
+        ),
+    )
+    signed = docs.withColumn("sig", sig)
+    banded = signed.select(
+        "doc", "set_size", "shingles",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band))
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"), F.col("b.shingles").alias("sh_b"),
+            F.col("a.set_size").alias("size_a"), F.col("b.set_size").alias("size_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.withColumn(
+            "jaccard",
+            F.round(inter / (F.col("size_a") + F.col("size_b") - inter), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dups: 64-bit signature from token hashes
+    (Arrow-batched numpy bit-voting), banded into 4×16-bit chunks —
+    docs within hamming distance ``max_hamming`` ≤ 3 share at least one
+    exact chunk (pigeonhole), so the bucket-join is lossless."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf(LongType())
+    def simhash64(texts):
+        # blake2b-based token hash: deterministic across workers
+        # (Python's builtin hash() is salted per process — never use it
+        # in a distributed signature).
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            tokens = (t or "").lower().split()
+            if not tokens:
+                continue
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in tokens:
+                h = np.uint64(int.from_bytes(
+                    hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
+                    "little",
+                ))
+                bits = (h >> shifts) & np.uint64(1)
+                votes += np.where(bits.astype(bool), 1, -1)
+            sig = int((votes > 0).astype(np.uint64) @ (np.uint64(1) << shifts))
+            out[i] = np.int64(np.uint64(sig))
+        return pd.Series(out)
+
+    signed = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t")) \
+        .withColumn("simhash", simhash64("_t")).drop("_t")
+    chunks = signed.select(
+        "doc", "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned("simhash", k * 16).bitwiseAND(F.lit(0xFFFF))
+                for k in range(4)
+            ])
+        ).alias("chunk_pos", "chunk"),
+    )
+    cand = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk_pos", "chunk"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

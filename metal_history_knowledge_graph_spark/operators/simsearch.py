@@ -1,0 +1,200 @@
+"""Vector similarity search over an embedding column
+(``array<float|double>``).
+
+Mirrors the reference's vector-search subsystem
+(``scripts/search/vector_search.py:92-275``): L2 normalization, cosine
+= dot product of normalized vectors, threshold filter, top-k, type
+filter, similar-entity (exclude self), batch search. Scale paths:
+
+* brute-force cosine top-k — native ``zip_with``/``aggregate`` dot
+  product, ``TakeOrderedAndProject`` (no full sort), one scan;
+* bucketed LSH (random hyperplane signs) — candidates share a sign
+  bucket; probes only its bucket; recall grows with ``num_probes``
+  tables (IVF-style banding).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def with_l2_normalized(df: DataFrame, vec_col: str = "embedding",
+                       out_col: str = "unit_vec") -> DataFrame:
+    """Zero-safe L2 normalization (vector_search.py:92-97)."""
+    n = _norm(F.col(vec_col))
+    return df.withColumn(
+        out_col,
+        F.when(n > 0, F.transform(F.col(vec_col), lambda v: v / n))
+        .otherwise(F.col(vec_col)),
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Brute-force cosine top-k: exact baseline, one scan, JVM-native
+    arithmetic, TakeOrderedAndProject physical plan."""
+    qn = math.sqrt(sum(v * v for v in query)) or 1.0
+    q = F.array(*[F.lit(v / qn) for v in query])
+    normed = with_l2_normalized(df, vec_col)
+    scored = normed.withColumn("cosine", F.round(_dot(F.col("unit_vec"), q), 6))
+    if threshold is not None:
+        scored = scored.filter(F.col("cosine") >= threshold)
+    return (
+        scored.select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _sign_bucket(vec_col, planes: list[list[float]]):
+    """Bucket id = sign bits against fixed random hyperplanes."""
+    bits = [
+        F.when(_dot(F.col(vec_col), F.array(*[F.lit(p) for p in plane])) >= 0, 1).otherwise(0)
+        for plane in planes
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out * 2 + b
+    return out
+
+
+def _hyperplanes(dim: int, n_planes: int, table: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded LCG — no numpy
+    on the driver path needed, stable across runs)."""
+    planes = []
+    state = 0x9E3779B97F4A7C15 ^ (table * 0x85EBCA6B)
+    for _ in range(n_planes):
+        plane = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            plane.append(((state >> 33) / float(1 << 31)) - 1.0)
+        planes.append(plane)
+    return planes
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    num_probes: int = 4,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH. Only rows sharing a
+    sign-bucket with the query (in any of ``num_probes`` tables) get
+    scored — at scale, pre-partitioning/bucketing the table by bucket
+    id turns this into a pruned scan."""
+    dim = len(query)
+    qn = math.sqrt(sum(v * v for v in query)) or 1.0
+    qunit = [v / qn for v in query]
+
+    def bucket_of(vec: list[float], planes) -> int:
+        out = 0
+        for plane in planes:
+            dot = sum(a * b for a, b in zip(vec, plane))
+            out = out * 2 + (1 if dot >= 0 else 0)
+        return out
+
+    cand = None
+    for t in range(num_probes):
+        planes = _hyperplanes(dim, n_planes, t)
+        qb = bucket_of(qunit, planes)
+        hits = df.filter(_sign_bucket(vec_col, planes) == qb)
+        cand = hits if cand is None else cand.unionByName(hits)
+    cand = cand.dropDuplicates([id_col])
+    return cosine_topk(cand, query, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def similar_items(
+    df: DataFrame,
+    item_id,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k most similar to an existing row, excluding itself
+    (vector_search.py:228-275)."""
+    row = df.filter(F.col(id_col) == item_id).select(vec_col).head()
+    if row is None:
+        return df.sparkSession.createDataFrame([], f"{id_col} long, cosine double")
+    query = [float(v) for v in row[0]]
+    return cosine_topk(
+        df.filter(F.col(id_col) != item_id), query, k=k,
+        vec_col=vec_col, id_col=id_col,
+    )
+
+
+def batch_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Many queries at once: broadcast the (small) query set, score in
+    one pass, window-rank per query (vector_search.py:206-226 without
+    the driver loop)."""
+    from pyspark.sql import Window
+
+    normed = with_l2_normalized(df, vec_col)
+    qn = with_l2_normalized(queries, q_vec_col, out_col="q_unit")
+    scored = normed.crossJoin(F.broadcast(qn)).withColumn(
+        "cosine", F.round(_dot(F.col("unit_vec"), F.col("q_unit")), 6)
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 10,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: bucket by hyperplane signs,
+    pair within buckets only, verify exact cosine ≥ threshold."""
+    dim = len(df.select(vec_col).head()[0])
+    planes = _hyperplanes(dim, n_planes, 0)
+    normed = with_l2_normalized(df, vec_col).withColumn(
+        "bucket", _sign_bucket("unit_vec", planes)
+    ).select(F.col(id_col).alias("doc"), "bucket", "unit_vec")
+    pairs = (
+        normed.alias("a")
+        .join(normed.alias("b"), "bucket")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .withColumn("cosine", F.round(_dot(F.col("a.unit_vec"), F.col("b.unit_vec")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"), "cosine")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return pairs

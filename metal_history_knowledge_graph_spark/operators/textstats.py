@@ -1,0 +1,125 @@
+"""Text analysis operators for a large-scale training-data pipeline:
+token counting, quality scoring, language identification, document
+fingerprinting. All hot-path logic is native Spark SQL expressions
+(whole-stage codegen; no Python), designed so each has an exact ANSI-SQL
+oracle (driver correctness gate runs them against DuckDB).
+
+Quality/score formulas are deterministic and documented inline; floats
+are rounded to 4 decimals so Spark and the SQL oracle hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: language marker words (tiny deterministic profiles). Order matters:
+#: ties resolve to the first language in this list.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "was", "that", "with", "for"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "mit", "von", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con", "para", "del"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _tokens(col):
+    """Lowercased whitespace tokens (empty string → empty array)."""
+    return F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate
+    (word-pieces of ≤4 chars: ceil(len/4) summed ≈ #subword tokens)."""
+    toks = _tokens(F.col(text_col))
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn(
+            "n_subword_tokens",
+            F.aggregate(
+                toks, F.lit(0),
+                lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int"),
+            ),
+        )
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality score ∈ [0,1]:
+
+    0.4·min(1, n_chars/2000)            — enough substance
+    + 0.3·(1 − min(1, 6·punct_ratio))   — not punctuation soup
+    + 0.3·min(1, 5·stopword_ratio)      — looks like natural language
+    """
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(STOPWORDS))
+    )
+    stop_ratio = F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+    score = (
+        0.4 * F.least(F.lit(1.0), n_chars / F.lit(2000.0))
+        + 0.3 * (1.0 - F.least(F.lit(1.0), 6.0 * punct_ratio))
+        + 0.3 * F.least(F.lit(1.0), 5.0 * stop_ratio)
+    )
+    return df.withColumn("quality_score", F.round(score, 4))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: count distinct marker hits per language
+    over the token set; argmax with deterministic tie order
+    (en > de > fr > es); 'und' (undetermined) when no markers hit."""
+    toks = F.array_distinct(_tokens(F.col(text_col)))
+    out = df.withColumn("_toks", toks)
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        c = f"_hits_{lang}"
+        out = out.withColumn(
+            c, F.size(F.array_intersect("_toks", F.array(*[F.lit(m) for m in markers])))
+        )
+        score_cols.append((lang, c))
+    best = F.greatest(*[F.col(c) for _, c in score_cols])
+    lang_expr = F.when(best <= 0, F.lit("und"))
+    for lang, c in score_cols:
+        lang_expr = lang_expr.when(F.col(c) == best, F.lit(lang))
+    return out.withColumn("lang_id", lang_expr).drop(
+        "_toks", *[c for _, c in score_cols]
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized,
+    lowercased text — the exact-dup key (SQL-oracle-parity variant of a
+    rolling hash; see ``rolling_fingerprints`` for the winnowing one)."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(normalized))
+
+
+def rolling_fingerprints(
+    df: DataFrame, text_col: str = "text", window: int = 16, keep_every: int = 8
+) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprints (Spark-native, no
+    Python): xxhash64 over each ``window``-gram at stride
+    ``keep_every``; returns doc rows with an array of fingerprints —
+    near-dup docs share many fingerprints."""
+    text = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    t = df.withColumn("_norm", text)
+    n_windows = F.greatest(
+        F.lit(0), ((F.length("_norm") - window) / keep_every).cast("int")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), n_windows),
+        lambda i: F.xxhash64(F.col("_norm").substr(i * keep_every + 1, F.lit(window))),
+    )
+    return (
+        t.withColumn("fingerprints", F.when(F.length("_norm") >= window, grams)
+                     .otherwise(F.array(F.xxhash64(F.col("_norm")))))
+        .drop("_norm")
+    )

@@ -1,0 +1,202 @@
+"""Training-data-pipeline operators over the driver testdata tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metal_history_knowledge_graph_spark.operators import dedup as D
+from metal_history_knowledge_graph_spark.operators import simsearch as S
+from metal_history_knowledge_graph_spark.operators import textstats as T
+from metal_history_knowledge_graph_spark.operators import multimodal as M
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+# --- textstats --------------------------------------------------------------
+
+def test_token_counts(docs):
+    out = T.with_token_counts(docs).select("doc_id", "text", "n_tokens", "n_subword_tokens")
+    row = out.filter(F.col("doc_id") == 0).head()
+    assert row.n_tokens == len(row.text.split())
+    assert row.n_subword_tokens >= row.n_tokens
+
+
+def test_quality_score_bounds(docs):
+    out = T.with_quality_score(docs)
+    bad = out.filter((F.col("quality_score") < 0) | (F.col("quality_score") > 1)).count()
+    assert bad == 0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the band was formed in england and that is a fact"),
+            (2, "der sänger und die band ist nicht auf tour von hier"),
+            (3, "le groupe est dans les salles pour une tournée"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r.lang_id for r in T.with_lang_id(df).collect()}
+    assert rows[1] == "en" and rows[2] == "de" and rows[3] == "fr" and rows[4] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        "doc_id int, text string",
+    )
+    fp = {r.doc_id: r.fingerprint for r in T.with_fingerprint(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_rolling_fingerprints(docs):
+    out = T.rolling_fingerprints(docs.limit(10))
+    assert out.filter(F.size("fingerprints") < 1).count() == 0
+
+
+# --- dedup ------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """testdata documents are all distinct; append known duplicates."""
+    base = docs.select("doc_id", "text").limit(20)
+    dups = base.limit(5).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    near = base.limit(3).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+    )
+    return base.unionByName(dups).unionByName(near).cache()
+
+
+def test_exact_duplicates(docs_with_dups):
+    groups = D.exact_duplicates(docs_with_dups).collect()
+    assert len(groups) == 5
+    for g in groups:
+        assert g.keep_id < 10_000 and g.group_size == 2
+
+
+def test_dedup_exact_keeps_min_id(docs_with_dups):
+    kept = D.dedup_exact(docs_with_dups)
+    assert kept.count() == 23  # 20 base + 3 near (near-dups differ exactly)
+    assert kept.filter((F.col("doc_id") >= 10_000) & (F.col("doc_id") < 20_000)).count() == 0
+
+
+def test_ngram_jaccard_pairs(docs_with_dups):
+    pairs = D.ngram_jaccard_pairs(docs_with_dups, threshold=0.8).collect()
+    found = {(p.doc_a, p.doc_b) for p in pairs}
+    # exact dups have jaccard 1.0; near dups (one word appended) high
+    for base_id in range(3):
+        assert any(a == base_id or b == base_id for a, b in found)
+    assert all(p.jaccard >= 0.8 for p in pairs)
+
+
+def test_minhash_lsh_vs_exact_jaccard(docs_with_dups):
+    exact = {
+        (p.doc_a, p.doc_b)
+        for p in D.ngram_jaccard_pairs(docs_with_dups, threshold=0.8).collect()
+    }
+    lsh = {
+        (p.doc_a, p.doc_b)
+        for p in D.minhash_lsh_pairs(docs_with_dups, threshold=0.8).collect()
+    }
+    # LSH verified by exact jaccard → subset; recall on high-sim pairs
+    assert lsh <= exact
+    high = {
+        (p.doc_a, p.doc_b)
+        for p in D.ngram_jaccard_pairs(docs_with_dups, threshold=0.95).collect()
+    }
+    assert high <= lsh
+
+
+def test_simhash_pairs(docs_with_dups):
+    pairs = D.simhash_pairs(docs_with_dups, max_hamming=3).collect()
+    found = {(p.doc_a, p.doc_b) for p in pairs}
+    # exact dups → hamming 0
+    assert {(i, i + 10_000) for i in range(5)} <= found
+
+
+# --- simsearch ----------------------------------------------------------------
+
+def test_cosine_topk_self_is_top(spark, embs):
+    row = embs.filter(F.col("vec_id") == 7).head()
+    query = [float(v) for v in row.embedding]
+    top = S.cosine_topk(embs, query, k=5).collect()
+    assert top[0].vec_id == 7
+    assert abs(top[0].cosine - 1.0) < 1e-4
+    assert all(top[i].cosine >= top[i + 1].cosine for i in range(len(top) - 1))
+
+
+def test_lsh_topk_overlaps_brute_force(embs):
+    row = embs.filter(F.col("vec_id") == 3).head()
+    query = [float(v) for v in row.embedding]
+    brute = [r.vec_id for r in S.cosine_topk(embs, query, k=10).collect()]
+    approx = [r.vec_id for r in S.lsh_topk(embs, query, k=10, num_probes=6).collect()]
+    assert brute[0] in approx  # the self-hit must survive bucketing
+    assert len(set(brute) & set(approx)) >= 3
+
+
+def test_similar_items_excludes_self(embs):
+    rows = S.similar_items(embs, 11, k=5).collect()
+    assert rows and all(r.vec_id != 11 for r in rows)
+
+
+def test_batch_topk(spark, embs):
+    queries = embs.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = S.batch_topk(embs, queries, k=4)
+    counts = {r.query_id: r["count"] for r in out.groupBy("query_id").count().collect()}
+    assert all(c == 4 for c in counts.values())
+
+
+def test_embedding_near_duplicates(spark, embs):
+    dup = embs.limit(2).select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding", "label"
+    )
+    aug = embs.unionByName(dup)
+    pairs = S.embedding_near_duplicates(aug, threshold=0.999).collect()
+    found = {(p.doc_a, p.doc_b) for p in pairs}
+    assert {(0, 5000), (1, 5001)} <= found
+
+
+# --- multimodal -----------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes" * 10, "image/png", 64, 64, None),
+        (2, "image", b"GIF89a other" * 5, "image/gif", 32, 32, None),
+        (3, "video", b"\x00\x00ftyp fake video" * 100, "video/mp4", 640, 480, 5000),
+        (4, "image", b"", "image/png", 0, 0, None),
+    ]
+    return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+
+def test_media_features(media):
+    out = M.extract_media_features(media).collect()
+    by_id = {r.media_id: r for r in out}
+    assert len(by_id[1].features) == 16
+    assert all(-1.0 <= v < 1.0 for v in by_id[1].features)
+    assert by_id[4].decoder == "failed" and by_id[4].features is None
+    # determinism
+    again = {r.media_id: r.features for r in M.extract_media_features(media).collect()}
+    assert again[1] == by_id[1].features
+
+
+def test_frame_sampling(media):
+    frames = M.sample_frames(media, every_ms=1000, max_frames=8).collect()
+    assert {f.media_id for f in frames} == {3}
+    assert len(frames) == 5
+    assert [f.frame_index for f in sorted(frames, key=lambda x: x.frame_index)] == list(range(5))

@@ -69,7 +69,10 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + 0.3 * (1.0 - F.least(F.lit(1.0), 6.0 * punct_ratio))
         + 0.3 * F.least(F.lit(1.0), 5.0 * stop_ratio)
     )
-    return df.withColumn("quality_score", F.round(score, 4))
+    # truncate (not round) to 4 decimals: floor(x·10⁴)/10⁴ is
+    # bit-identical across engines given identical x, while decimal
+    # rounding of float ties is not (Spark HALF_UP vs DuckDB).
+    return df.withColumn("quality_score", F.floor(score * 10000) / 10000.0)
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -186,18 +186,73 @@ def verify_pairs(pairs: DataFrame, threshold: float = MERGE_THRESHOLD) -> DataFr
 
 
 def connected_components(
-    forms: DataFrame, edges: DataFrame, max_iter: int = 15
+    forms: DataFrame, edges: DataFrame, max_iter: int = 15,
+    driver_pair_limit: int = 2_000_000,
 ) -> DataFrame:
-    """Stage 5: min-label propagation; returns (entity_type, form_norm,
-    label). Each iteration is one shuffle on the vocabulary-sized label
-    table; lineage cut via localCheckpoint."""
-    labels = forms.select(
-        "entity_type", "form_norm", F.col("form_norm").alias("label")
-    ).localCheckpoint(eager=True)
+    """Stage 5: connected components over the verified-pair graph;
+    returns (entity_type, form_norm, label).
+
+    Only forms that occur in a verified pair participate — everything
+    else labels itself in one narrow expression. The pair graph is tiny
+    at every scale (|pairs| ≪ |vocabulary| ≪ |mentions|: pairs exist
+    only between near-identical name forms), so the default path
+    collects the pair list and runs union-find on the driver — one
+    job, zero shuffle iterations. If the pair set ever exceeds
+    ``driver_pair_limit`` the distributed min-label-propagation loop
+    takes over (one shuffle per iteration, localCheckpoint lineage
+    cuts)."""
+    n_pairs = edges.limit(driver_pair_limit + 1).count()
+    if n_pairs == 0:
+        return forms.select(
+            "entity_type", "form_norm", F.col("form_norm").alias("label")
+        )
+
+    if n_pairs <= driver_pair_limit:
+        pair_rows = edges.select("entity_type", "left", "right").collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for r in pair_rows:
+            union((r.entity_type, r.left), (r.entity_type, r.right))
+        label_rows = [
+            (k[0], k[1], find(k)[1])
+            for k in {(r.entity_type, r.left) for r in pair_rows}
+            | {(r.entity_type, r.right) for r in pair_rows}
+        ]
+        spark = forms.sparkSession
+        labels = spark.createDataFrame(
+            label_rows, "entity_type string, form_norm string, label string"
+        )
+        return (
+            forms.select("entity_type", "form_norm")
+            .join(F.broadcast(labels), ["entity_type", "form_norm"], "left")
+            .select(
+                "entity_type", "form_norm",
+                F.coalesce("label", "form_norm").alias("label"),
+            )
+        )
+
     sym = edges.unionByName(
         edges.select("entity_type", F.col("right").alias("left"), F.col("left").alias("right"))
     ).localCheckpoint(eager=True)
-
+    paired = (
+        sym.select("entity_type", F.col("left").alias("form_norm"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = paired.withColumn("label", F.col("form_norm"))
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(
@@ -224,7 +279,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    return (
+        forms.select("entity_type", "form_norm")
+        .join(labels, ["entity_type", "form_norm"], "left")
+        .select(
+            "entity_type", "form_norm",
+            F.coalesce("label", "form_norm").alias("label"),
+        )
+    )
 
 
 def canonical_entities(forms: DataFrame, labels: DataFrame) -> DataFrame:
@@ -321,8 +383,10 @@ def canonicalize(
     )
     edges = verify_pairs(raw_pairs, threshold)
     labels = connected_components(forms, edges)
-    entities = canonical_entities(forms, labels)
-    resolution = resolution_map(entities)
-    provenance = entity_provenance(mentions, resolution)
-    entities = attach_provenance_sample(entities, provenance)
+    # Everything below is vocabulary-sized: checkpoint eagerly so the
+    # applyInPandas fold DAG runs exactly once, not once per consumer.
+    entities = canonical_entities(forms, labels).localCheckpoint(eager=True)
+    resolution = resolution_map(entities).localCheckpoint(eager=True)
+    provenance = entity_provenance(mentions, resolution).localCheckpoint(eager=True)
+    entities = attach_provenance_sample(entities, provenance).localCheckpoint(eager=True)
     return entities, resolution, provenance

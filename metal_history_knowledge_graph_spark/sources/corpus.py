@@ -236,11 +236,15 @@ def _deep_section(rng: random.Random, truth: list) -> list[str]:
     return blocks
 
 
-def build_page(page_id: int, seed: int = 42) -> dict:
+def build_page(page_id: int, seed: int = 42, profile: str = "default") -> dict:
     """Pure generator for one page: returns ``{url, warc_ts, html,
     text, lang, truth}``. ``truth`` is the page's implied triple list
     ``(pred, subj_type, subj_name, obj_type, obj_name)`` in canonical
-    names (misspelled surfaces are never in truth)."""
+    names (misspelled surfaces are never in truth).
+
+    ``profile='heavy'`` emits Common-Crawl-weight pages (many sections,
+    ~20-60 KB) so per-page extraction CPU dominates scheduler overhead
+    — the regime used for scaling-efficiency measurement."""
     url = f"https://metal.example/docs/{page_id:08d}"
     warc_ts = _BASE_TS + timedelta(seconds=(page_id * 37) % 2_592_000)
 
@@ -252,17 +256,21 @@ def build_page(page_id: int, seed: int = 42) -> dict:
     else:
         rng = random.Random((seed << 32) + page_id)
         blocks: list[str] = []
-        if rng.random() < 0.04:
+        heavy = profile == "heavy"
+        n_sections = rng.randint(6, 12) if heavy else rng.randint(1, 3)
+        # cut points: band | movement | genre | deep
+        cuts = (0.42, 0.50, 0.55) if heavy else (0.62, 0.74, 0.86)
+        if not heavy and rng.random() < 0.04:
             # No-structure page → fixed-window fallback path.
             blocks.append(" ".join(_filler(rng, 30)))
         else:
-            for _ in range(rng.randint(1, 3)):
+            for _ in range(n_sections):
                 roll = rng.random()
-                if roll < 0.62:
+                if roll < cuts[0]:
                     blocks.extend(_band_profile(rng, truth))
-                elif roll < 0.74:
+                elif roll < cuts[1]:
                     blocks.extend(_movement_section(rng, truth))
-                elif roll < 0.86:
+                elif roll < cuts[2]:
                     blocks.extend(_genre_section(rng, truth))
                 else:
                     blocks.extend(_deep_section(rng, truth))
@@ -285,14 +293,15 @@ TRUTH_SCHEMA = ("url string, pred string, subj_type string, subj_name string, "
                 "obj_type string, obj_name string")
 
 
-def generate_pages(spark, n_pages: int, seed: int = 42, partitions: int | None = None):
+def generate_pages(spark, n_pages: int, seed: int = 42,
+                   partitions: int | None = None, profile: str = "default"):
     """Distributed pages DataFrame: ``spark.range`` → ``mapInPandas``
     (narrow; each task generates its id range independently)."""
     import pandas as pd
 
     def gen(batches):
         for pdf in batches:
-            rows = [build_page(int(i), seed) for i in pdf["id"]]
+            rows = [build_page(int(i), seed, profile) for i in pdf["id"]]
             yield pd.DataFrame(
                 [{k: r[k] for k in ("url", "warc_ts", "html", "text", "lang")} for r in rows]
             )
@@ -301,7 +310,8 @@ def generate_pages(spark, n_pages: int, seed: int = 42, partitions: int | None =
     return rng_df.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
-def generate_truth(spark, n_pages: int, seed: int = 42, partitions: int | None = None):
+def generate_truth(spark, n_pages: int, seed: int = 42,
+                   partitions: int | None = None, profile: str = "default"):
     """The oracle triple set for the same (seed, n_pages) corpus."""
     import pandas as pd
 
@@ -309,7 +319,7 @@ def generate_truth(spark, n_pages: int, seed: int = 42, partitions: int | None =
         for pdf in batches:
             out = []
             for i in pdf["id"]:
-                page = build_page(int(i), seed)
+                page = build_page(int(i), seed, profile)
                 for pred, st, sn, ot, on in page["truth"]:
                     out.append(dict(url=page["url"], pred=pred, subj_type=st,
                                     subj_name=sn, obj_type=ot, obj_name=on))

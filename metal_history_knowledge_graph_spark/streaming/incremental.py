@@ -1,0 +1,101 @@
+"""Incremental / streaming ingest.
+
+The reference is strictly batch; its only "stream-like" element is the
+chunk checkpoint enabling resume (``batch_extraction.py:39-99``). At
+web scale the natural shape is a continuously-landing pages feed. This
+module ingests it with Structured Streaming:
+
+* ``stream_ingest_pages`` — file-source stream over the pages
+  directory, ``foreachBatch`` into the batch pipeline's append path
+  (chunk → extract → append + lineage). Exactly-once per url comes
+  from BOTH the streaming checkpoint (no batch replay) and the
+  anti-join against already-chunked urls (idempotent even if a batch
+  IS replayed after a crash mid-foreachBatch).
+* ``windowed_event_counts`` — watermarked sliding-window aggregation
+  (the standard late-data pattern) over an event stream, used by tests
+  against the driver's ``events`` table schema.
+
+Downstream canonicalize/triples stages are re-derived in batch after
+ingest (they are vocabulary-sized folds; see plans/pipeline.py
+``run_incremental``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import TableStore
+from ..operators.chunk import chunk_pages
+from ..operators.extract import extract_chunks
+from ..operators.materialize import commit_stage
+from ..sources.corpus import PAGES_SCHEMA
+
+
+def ingest_batch(store: TableStore, batch_df: DataFrame, run_id: str, batch_id: int) -> int:
+    """Append-path for one micro-batch of pages; idempotent per url."""
+    if store.exists("chunks"):
+        seen = store.read("chunks").select("url").distinct()
+        todo = batch_df.join(seen, "url", "left_anti")
+    else:
+        todo = batch_df
+    chunks = chunk_pages(todo).localCheckpoint(eager=True)
+    n = chunks.count()
+    if n == 0:
+        return 0
+    store.append(chunks, "chunks")
+    store.append(extract_chunks(chunks), "extracted")
+    commit_stage(store, run_id, f"stream-batch-{batch_id}", n)
+    return n
+
+
+def stream_ingest_pages(
+    spark: SparkSession,
+    source_dir: str,
+    store: TableStore,
+    checkpoint_dir: str,
+    run_id: str = "stream",
+    available_now: bool = True,
+):
+    """Start the pages-ingest stream; with ``available_now`` it drains
+    everything currently in the source and stops (the batch-incremental
+    mode used in tests and backfills)."""
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(source_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch(store, batch_df, run_id, batch_id)
+
+    writer = (
+        pages.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked (sliding-)window counts per event_type — works on a
+    stream (late rows beyond the watermark dropped, state bounded) and
+    identically on a batch DataFrame."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return src.groupBy(win.alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type", "n", "total_value",
+    )

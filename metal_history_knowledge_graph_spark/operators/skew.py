@@ -1,0 +1,86 @@
+"""Skew-aware aggregation utilities.
+
+Hot keys are intrinsic to this workload: 'Black Sabbath' appears in a
+large fraction of all pages (the corpus generator plants ≥10% skew on
+purpose). Three lines of defense, in order:
+
+1. **Partial (map-side) aggregation** — free from Spark's hash
+   aggregate for algebraic aggs (count/sum/min/max): a hot key is
+   combined within each input partition before the shuffle. This is
+   why the mention pre-agg (canonicalize.surface_forms) survives a
+   10⁶-mention entity.
+2. **AQE skew handling** — enabled in session.py for join-side skew.
+3. **Explicit two-phase salting** (this module) — for aggregations
+   whose buffers grow with group size (collect_list/collect_set,
+   percentile sketches), where partial agg doesn't bound the reduce
+   side: add a salt ∈ [0, n) to the key, aggregate (key, salt) partials
+   in parallel, then merge the n partials per key.
+
+``salted_agg`` is semantics-preserving for any commutative,
+mergeable aggregation — the equality with the naive plan is pinned by
+tests/test_skew.py on a synthetic 10⁵-row hot key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int = 32, col_name: str = "_salt") -> DataFrame:
+    """Deterministic salt derived from the row's own content is NOT
+    wanted here — a uniform pseudo-random spread is. ``spark_partition_id``
+    is free, already uniform over input, and deterministic for a fixed
+    partitioning; mod it into the salt domain."""
+    return df.withColumn(col_name, F.pmod(F.spark_partition_id(), F.lit(n_salts)))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: list[Column],
+    final_aggs: list[Column],
+    n_salts: int = 32,
+) -> DataFrame:
+    """Two-phase aggregation: groupBy(keys + salt) with
+    ``partial_aggs``, then groupBy(keys) with ``final_aggs`` merging
+    the partials. Caller supplies matched partial/final pairs, e.g.::
+
+        salted_agg(df, ["k"],
+                   [F.count(F.lit(1)).alias("c"),
+                    F.collect_set("v").alias("vs")],
+                   [F.sum("c").alias("c"),
+                    F.array_distinct(F.flatten(F.collect_list("vs"))).alias("vs")])
+    """
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_collect_set(
+    df: DataFrame, keys: list[str], value_col: str, n_salts: int = 32,
+    out_col: str | None = None,
+) -> DataFrame:
+    """The common case: per-key distinct-value collection that would
+    otherwise funnel a hot key's every row through one reducer."""
+    out_col = out_col or f"{value_col}_set"
+    return salted_agg(
+        df, keys,
+        [F.collect_set(value_col).alias("_partial")],
+        [F.array_sort(F.array_distinct(F.flatten(F.collect_list("_partial")))).alias(out_col)],
+        n_salts,
+    )
+
+
+def salted_count_distinct(
+    df: DataFrame, keys: list[str], value_col: str, n_salts: int = 32,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Exact distinct count per key without a single-reducer hot spot:
+    dedupe on (key, value) first (partial-agg friendly), then count."""
+    return (
+        df.select(*keys, value_col)
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias(out_col))
+    )

@@ -68,6 +68,18 @@ def run(
         persisted = store.read("chunks")
         n = persisted.count()
         mismatches = persisted.filter(~F.col("text_matches_crawl")).count()
+        # per-partition lineage record (north rule): url range + row
+        # count per physical partition of the committed table — the
+        # unit of exact resume/audit at scale.
+        part_lineage = persisted.groupBy(
+            F.spark_partition_id().alias("partition_id")
+        ).agg(
+            F.min("url").alias("url_min"),
+            F.max("url").alias("url_max"),
+            F.count(F.lit(1)).alias("row_count"),
+            F.countDistinct("url").alias("n_urls"),
+        ).withColumn("run_id", F.lit(run_id)).withColumn("stage", F.lit("chunks"))
+        store.write(part_lineage, "partition_lineage")
         return n, {"text_mismatch_urls": mismatches}
 
     def do_extract():

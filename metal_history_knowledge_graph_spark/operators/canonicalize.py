@@ -347,20 +347,19 @@ def entity_provenance(mentions: DataFrame, resolution: DataFrame) -> DataFrame:
 def attach_provenance_sample(
     entities: DataFrame, provenance: DataFrame, cap: int = PROVENANCE_SAMPLE
 ) -> DataFrame:
-    """Exact n_sources + bounded source_urls sample. The sample uses a
-    row_number window per canonical_id; at extreme scale you would
-    hash-sample urls before the window — documented trade-off."""
-    w = Window.partitionBy("canonical_id").orderBy("url")
-    sample = (
-        provenance.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= cap)
-        .groupBy("canonical_id")
-        .agg(F.sort_array(F.collect_list("url")).alias("source_urls"))
+    """Exact n_sources + bounded source_urls sample in ONE
+    partial-agg-friendly aggregation (no window: a hot entity's rows
+    combine map-side; buffer = distinct urls per entity — hash-sample
+    the urls first if that ever outgrows executor memory)."""
+    agg = provenance.groupBy("canonical_id").agg(
+        F.sort_array(F.collect_set("url")).alias("_urls")
+    ).select(
+        "canonical_id",
+        F.size("_urls").alias("n_sources"),
+        F.slice("_urls", 1, cap).alias("source_urls"),
     )
-    counts = provenance.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("n_sources"))
     return (
-        entities.join(counts, "canonical_id", "left")
-        .join(sample, "canonical_id", "left")
+        entities.join(agg, "canonical_id", "left")
         .withColumn("n_sources", F.coalesce("n_sources", F.lit(0)))
     )
 

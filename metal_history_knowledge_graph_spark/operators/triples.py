@@ -23,7 +23,7 @@ calls in ``scripts/automation/load_to_kuzu.py:638-861``):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: base whitelist, load_to_kuzu.py:813-821.
@@ -123,6 +123,20 @@ def normalize_predicates(rels: DataFrame) -> DataFrame:
     )
 
 
+def _keep_first(df: DataFrame, key: str) -> DataFrame:
+    """First-occurrence-wins dedup on ``key`` in the pinned total order
+    — as a min(struct(order_key, ...)) aggregation, NOT a row_number
+    window: struct-min partial-aggregates map-side, so a hot fact
+    observed in millions of pages collapses inside each input partition
+    instead of funnelling through one window sorter."""
+    others = [c for c in df.columns if c != key]
+    agg = df.groupBy(key).agg(
+        F.min(F.struct("order_key", *[c for c in others if c != "order_key"])).alias("_r")
+    )
+    return agg.select(key, "_r.order_key",
+                      *[F.col(f"_r.{c}") for c in others if c != "order_key"])
+
+
 def dedup_relationships(rels: DataFrame) -> DataFrame:
     """md5 canonical-key dedup, first occurrence wins (pinned order)."""
     rel_hash = F.md5(
@@ -135,13 +149,7 @@ def dedup_relationships(rels: DataFrame) -> DataFrame:
             F.lower(F.col("to_entity_name")),
         )
     )
-    w = Window.partitionBy("rel_hash").orderBy("order_key")
-    return (
-        rels.withColumn("rel_hash", rel_hash)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    return _keep_first(rels.withColumn("rel_hash", rel_hash), "rel_hash")
 
 
 def resolve_triples(rels: DataFrame, resolution: DataFrame) -> DataFrame:
@@ -221,30 +229,26 @@ def build_triples(
         "edge_key",
         F.md5(F.concat_ws("|", F.col("pred"), F.col("subj_id"), F.col("obj_id"))),
     )
-    w_edge = Window.partitionBy("edge_key").orderBy("order_key")
-    final = (
-        complete.withColumn("_rn", F.row_number().over(w_edge))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    final = _keep_first(complete, "edge_key")
 
     # Re-key provenance from surface hashes to canonical edge keys so a
     # fact observed under several spellings pools its source urls.
+    # One partial-agg-friendly aggregation yields the exact source
+    # count and a bounded sorted sample together (buffer = distinct
+    # urls per fact; exact at sandbox scales, hash-subsample the urls
+    # first if a fact's source set ever outgrows executor memory).
     hash_to_edge = complete.select("rel_hash", "edge_key").distinct()
     prov_canon = (
         edge_prov.join(F.broadcast(hash_to_edge), "rel_hash")
         .select("edge_key", "url")
         .distinct()
     )
-    w = Window.partitionBy("edge_key").orderBy("url")
-    prov_sample = (
-        prov_canon.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= PROVENANCE_SAMPLE)
-        .groupBy("edge_key")
-        .agg(F.sort_array(F.collect_list("url")).alias("provenance"))
-    )
-    prov_counts = prov_canon.groupBy("edge_key").agg(
-        F.count(F.lit(1)).alias("n_sources")
+    prov_agg = prov_canon.groupBy("edge_key").agg(
+        F.sort_array(F.collect_set("url")).alias("_urls")
+    ).select(
+        "edge_key",
+        F.size("_urls").alias("n_sources"),
+        F.slice("_urls", 1, PROVENANCE_SAMPLE).alias("provenance"),
     )
 
     edges = (
@@ -263,8 +267,7 @@ def build_triples(
             ).alias("props"),
             "order_key",
         )
-        .join(prov_counts, "edge_key", "left")
-        .join(prov_sample, "edge_key", "left")
+        .join(prov_agg, "edge_key", "left")
         .withColumn("n_sources", F.coalesce("n_sources", F.lit(0)))
     )
     return edges, prov_canon

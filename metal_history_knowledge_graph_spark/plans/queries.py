@@ -38,7 +38,7 @@ def entity_view(entities: DataFrame, entity_type: str) -> DataFrame:
         return df
     return df.withColumn("a", F.from_json("attrs_json", schema)).select(
         "canonical_id", "canonical_name", "name_norm", "variations",
-        "n_mentions", "n_sources", "confidence", "a.*",
+        "first_seen", "n_mentions", "n_sources", "confidence", "a.*",
     )
 
 

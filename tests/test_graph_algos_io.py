@@ -1,0 +1,104 @@
+"""Graph algorithms, location synthesis, and TableStore upsert."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metal_history_knowledge_graph_spark.operators.graph_algos import (
+    betweenness_sampled,
+    component_sizes,
+    graph_components,
+)
+from metal_history_knowledge_graph_spark.operators.locations import (
+    merge_synthesized_locations,
+    synthesize_locations,
+)
+
+EDGE_SCHEMA = (
+    "edge_key string, subj_id long, subj_name string, pred string, "
+    "obj_id long, obj_name string"
+)
+
+
+@pytest.fixture()
+def toy_edges(spark):
+    # two components: {1,2,3} (triangle) and {10,11}
+    rows = [
+        ("e1", 1, "a", "INFLUENCED_BY", 2, "b"),
+        ("e2", 2, "b", "INFLUENCED_BY", 3, "c"),
+        ("e3", 3, "c", "INFLUENCED_BY", 1, "a"),
+        ("e4", 10, "x", "MEMBER_OF", 11, "y"),
+    ]
+    return spark.createDataFrame(rows, EDGE_SCHEMA)
+
+
+def test_graph_components_driver_path(toy_edges):
+    comp = {r.node_id: r.component_id for r in graph_components(toy_edges).collect()}
+    assert comp[1] == comp[2] == comp[3]
+    assert comp[10] == comp[11]
+    assert comp[1] != comp[10]
+
+
+def test_graph_components_distributed_path(toy_edges):
+    comp = {
+        r.node_id: r.component_id
+        for r in graph_components(toy_edges, driver_edge_limit=0).collect()
+    }
+    assert comp[1] == comp[2] == comp[3]
+    assert comp[10] == comp[11]
+    assert comp[1] != comp[10]
+
+
+def test_component_sizes(toy_edges):
+    sizes = [r.n_nodes for r in component_sizes(toy_edges).collect()]
+    assert sizes == [3, 2]
+
+
+def test_betweenness_path_graph(spark):
+    # path 1-2-3-4-5: node 3 is on the most shortest paths
+    rows = [(f"e{i}", i, str(i), "INFLUENCED_BY", i + 1, str(i + 1)) for i in range(1, 5)]
+    edges = spark.createDataFrame(rows, EDGE_SCHEMA)
+    bt = {r.node_id: r.betweenness for r in betweenness_sampled(edges).collect()}
+    assert bt[3] == max(bt.values())
+    assert 1 not in bt or bt[1] <= bt[2]
+
+
+def test_synthesize_locations(spark):
+    ents = spark.createDataFrame(
+        [
+            ("bands", 1, "Black Sabbath", "black sabbath", "a",
+             '{"formed_year":1968,"origin_city":"Birmingham","origin_country":"England"}',
+             ["Black Sabbath"], ["black sabbath"], 5, 1, 0.5, 2, []),
+            ("bands", 2, "Judas Priest", "judas priest", "b",
+             '{"formed_year":1969,"origin_city":"Birmingham","origin_country":"England"}',
+             ["Judas Priest"], ["judas priest"], 3, 1, 0.5, 1, []),
+        ],
+        "entity_type string, canonical_id long, canonical_name string, "
+        "name_norm string, first_seen string, attrs_json string, "
+        "variations array<string>, member_forms array<string>, "
+        "n_mentions long, n_forms int, confidence double, n_sources long, "
+        "source_urls array<string>",
+    )
+    synth = synthesize_locations(ents).collect()
+    assert len(synth) == 1
+    row = synth[0]
+    assert row.canonical_name == "Birmingham"
+    import json
+    attrs = json.loads(row.attrs_json)
+    assert attrs["cultural_context"] == "Home to bands: Black Sabbath, Judas Priest"
+    merged = merge_synthesized_locations(ents)
+    assert merged.filter(F.col("entity_type") == "locations").count() == 1
+
+
+def test_merge_upsert(spark, store):
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    store.write(df1, "t")
+    updates = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    store.merge_upsert(updates, "t", keys=["k"])
+    rows = {r.k: r.v for r in store.read("t").collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}
+
+
+def test_merge_upsert_creates_table(spark, store):
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    store.merge_upsert(df, "fresh", keys=["k"])
+    assert store.read("fresh").count() == 1

@@ -1,0 +1,112 @@
+"""Physical-plan quality gates: the properties that make these plans
+survive a 100× scale-up, pinned as assertions so a regression that
+silently de-optimizes a plan fails CI.
+
+* filters/column pruning reach the parquet scan (PushedFilters /
+  ReadSchema)
+* entity/edge per-type queries prune partitions (entity_type / pred
+  partition columns)
+* id-resolution joins are broadcast, never shuffled
+* the chunk/extract stages are narrow (no Exchange before the UDF)
+* aggregations have a map-side partial step (two HashAggregates)
+"""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def graph(spark, tmp_path_factory):
+    from metal_history_knowledge_graph_spark.io import TableStore
+    from metal_history_knowledge_graph_spark.plans.pipeline import run
+    from metal_history_knowledge_graph_spark.sources.corpus import generate_pages
+
+    store = TableStore(spark, str(tmp_path_factory.mktemp("pstore")))
+    run(spark, generate_pages(spark, 30, seed=5), store, run_id="p")
+    return store
+
+
+def test_scan_pushdown_tpch(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .filter(F.col("l_shipdate") <= "1995-01-01")
+        .select("l_returnflag", "l_quantity")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: ReadSchema carries only the 3 referenced columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_partition_pruning_entities(spark, graph):
+    from metal_history_knowledge_graph_spark.plans.queries import entity_view
+
+    ents = graph.read("entities")
+    plan = plan_of(entity_view(ents, "bands"))
+    assert "PartitionFilters" in plan
+    assert "entity_type" in plan.split("PartitionFilters")[1].splitlines()[0]
+
+
+def test_partition_pruning_edges(spark, graph):
+    edges = graph.read("edges").filter(F.col("pred") == "MEMBER_OF")
+    plan = plan_of(edges)
+    pf = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "pred" in pf and "MEMBER_OF" in pf
+
+
+def test_id_resolution_is_broadcast(spark, graph):
+    """The (big rels) ⋈ (small resolution map) joins — the famous-band
+    hot-key joins — must be broadcast, never a shuffled merge join.
+    (The later provenance-attach joins of two vocab-sized aggregates
+    are left to AQE, which converts them at runtime.)"""
+    from metal_history_knowledge_graph_spark.operators.extract import relationships_of
+    from metal_history_knowledge_graph_spark.operators.triples import (
+        normalize_predicates,
+        resolve_triples,
+    )
+
+    rels = normalize_predicates(relationships_of(graph.read("extracted")))
+    resolved = resolve_triples(rels, graph.read("resolution"))
+    plan = plan_of(resolved)
+    assert plan.count("BroadcastHashJoin") >= 2  # subj + obj resolution
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_chunk_stage_is_narrow(spark):
+    from metal_history_knowledge_graph_spark.operators.chunk import chunk_pages
+    from metal_history_knowledge_graph_spark.sources.corpus import generate_pages
+
+    chunks = chunk_pages(generate_pages(spark, 10, seed=1))
+    plan = plan_of(chunks)
+    assert "Exchange" not in plan  # generation → chunking: zero shuffles
+
+
+def test_aggregation_has_partial_step(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_topk_uses_take_ordered(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .orderBy(F.desc("o_totalprice"))
+        .limit(5)
+    )
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k

@@ -251,6 +251,39 @@ def q_hourly_events(spark, sf_dir):
     )
 
 
+def q_multihop_join(spark, sf_dir):
+    """2-hop join chain customer → orders → lineitem (graph 1-hop/2-hop
+    pattern over relational data)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(25)
+    )
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact median/percentile aggregation (degree-distribution stats
+    family, graph_metrics.py:77-80)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.median("o_totalprice"), 2).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 # --- training-data catalog (oracle-checked) -----------------------------------
 
 def q_token_counts(spark, sf_dir):
@@ -399,6 +432,87 @@ def kg_chunk_stats(spark, sf_dir):
     )
 
 
+def td_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs over documents with injected dups
+    (banded minhash signatures → bucket join → exact-Jaccard verify;
+    non-SQL-expressible → rows-only)."""
+    from metal_history_knowledge_graph_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.unionByName(
+        docs.filter(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return minhash_lsh_pairs(injected, threshold=0.9).orderBy("doc_a", "doc_b")
+
+
+def td_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (64-bit signature, 16-bit chunk banding,
+    hamming verify; rows-only)."""
+    from metal_history_knowledge_graph_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.unionByName(
+        docs.filter(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return simhash_pairs(injected, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+def td_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH approximate nearest neighbours (rows-only; the
+    exact baseline q_cosine_topk is oracle-checked)."""
+    from metal_history_knowledge_graph_spark.operators.simsearch import lsh_topk
+
+    embs = _t(spark, sf_dir, "embeddings")
+    row = embs.filter(F.col("vec_id") == 0).head()
+    return lsh_topk(embs, [float(v) for v in row.embedding], k=10, num_probes=6)
+
+
+def kg_components(spark, sf_dir):
+    """Connected components of the entity graph (rows-only)."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import component_sizes
+
+    store = _kg_store(spark, sf_dir)
+    return component_sizes(store.read("edges"))
+
+
+def kg_betweenness(spark, sf_dir):
+    """Sampled-BFS betweenness over the entity graph (rows-only)."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import betweenness_sampled
+
+    store = _kg_store(spark, sf_dir)
+    return betweenness_sampled(store.read("edges")).limit(20)
+
+
+def kg_validation(spark, sf_dir):
+    """Entity validation issue counts per rule (rows-only)."""
+    from metal_history_knowledge_graph_spark.operators.validate import validate_entities
+
+    store = _kg_store(spark, sf_dir)
+    return (
+        validate_entities(store.read("entities"))
+        .groupBy("severity", "rule")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("severity", "rule")
+    )
+
+
+def kg_hybrid_search(spark, sf_dir):
+    """0.7·semantic + 0.3·keyword hybrid entity search (rows-only)."""
+    from metal_history_knowledge_graph_spark.operators.embeddings import (
+        embed_entities,
+        hybrid_search,
+    )
+
+    store = _kg_store(spark, sf_dir)
+    ents = store.read("entities")
+    return hybrid_search(spark, ents, embed_entities(ents), "sabbath", k=5) \
+        .select("entity_type", "canonical_name", "final_score")
+
+
 def kg_quality(spark, sf_dir):
     """Triple P/R vs the corpus oracle — the north-rule gate as a query."""
     from metal_history_knowledge_graph_spark.plans.quality import triple_prf
@@ -430,6 +544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_substring_rank": q_substring_rank,
         "q_degree": q_degree,
         "q_hourly_events": q_hourly_events,
+        "q_multihop_join": q_multihop_join,
+        "q_percentiles": q_percentiles,
         # training-data operators
         "q_token_counts": q_token_counts,
         "q_quality_scores": q_quality_scores,
@@ -437,12 +553,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dup_groups": q_exact_dup_groups,
         "q_wordset_jaccard": q_wordset_jaccard,
         "q_cosine_topk": q_cosine_topk,
+        "td_minhash_pairs": td_minhash_pairs,
+        "td_simhash_pairs": td_simhash_pairs,
+        "td_lsh_topk": td_lsh_topk,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
         "kg_birmingham": kg_birmingham,
         "kg_dedup_variants": kg_dedup_variants,
         "kg_chunk_stats": kg_chunk_stats,
+        "kg_components": kg_components,
+        "kg_betweenness": kg_betweenness,
+        "kg_validation": kg_validation,
+        "kg_hybrid_search": kg_hybrid_search,
         "kg_quality": kg_quality,
     }
 
@@ -522,6 +645,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(DISTINCT event_type) AS type_degree,
                    count(*) AS n_events
             FROM events GROUP BY 1
+        """,
+        "q_multihop_join": """
+            SELECT c_custkey, c_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey LIMIT 25
+        """,
+        "q_percentiles": """
+            SELECT o_orderstatus,
+                   round(median(o_totalprice), 2) AS median_price,
+                   round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+                   count(*) AS n
+            FROM orders GROUP BY 1
         """,
         "q_hourly_events": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -46,21 +46,32 @@ def run(
     run_id: str = "run-1",
     resume: bool = True,
     pair_strategy: str = "lsh",
+    until_stage: str | None = None,
 ) -> dict[str, float]:
     """Execute the full pipeline; returns stage metrics (incl. wall
-    seconds and the byte-identity invariant violation count)."""
+    seconds and the byte-identity invariant violation count).
+
+    ``until_stage`` stops after the named stage commits — used by the
+    kill-and-rerun test to simulate a crash between stages; a
+    subsequent ``run`` with the same run_id resumes from there and must
+    produce byte-identical tables."""
     metrics: dict[str, float] = {}
+    stop = {"flag": False}
 
     def timed(stage, fn):
+        if stop["flag"]:
+            return
         if resume and stage_complete(store, run_id, stage):
             metrics[f"{stage}_skipped"] = 1.0
-            return
-        t0 = time.time()
-        row_count, extra = fn()
-        dt = time.time() - t0
-        metrics[f"{stage}_rows"] = row_count
-        metrics[f"{stage}_secs"] = dt
-        commit_stage(store, run_id, stage, row_count, {**extra, "secs": dt})
+        else:
+            t0 = time.time()
+            row_count, extra = fn()
+            dt = time.time() - t0
+            metrics[f"{stage}_rows"] = row_count
+            metrics[f"{stage}_secs"] = dt
+            commit_stage(store, run_id, stage, row_count, {**extra, "secs": dt})
+        if until_stage == stage:
+            stop["flag"] = True
 
     def do_chunks():
         chunks = chunk_pages(pages)

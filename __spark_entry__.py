@@ -375,6 +375,173 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+# --- graph-algorithm catalog over derived edge tables (oracle-checked) --------
+#
+# The kg_* graph queries run over the pipeline-built entity graph and are
+# rows-only; these run the SAME algorithms (label-propagation connected
+# components, bounded-frontier BFS, mutual-edge detection, triangle
+# counting, collect_list) over edge tables derived deterministically from
+# the TPC-H-ish testdata, where an exact DuckDB oracle (including a
+# recursive CTE for BFS) is expressible.
+
+_GRAPH_N = 500  # node-id space of the derived functional graph
+
+
+def _derived_edges(spark, sf_dir):
+    """Deterministic sparse directed graph from orders: node = o_orderkey
+    mod N, out-edges s→s+1, s→s+2 (ring — guarantees triangles) and
+    s→7s+1 (long-range — branching BFS + occasional mutual pairs)."""
+    n = _GRAPH_N
+    nodes = (
+        _t(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % n).alias("src"))
+        .distinct()
+    )
+    e = (
+        nodes.select("src", ((F.col("src") + 1) % n).alias("dst"))
+        .unionByName(nodes.select("src", ((F.col("src") + 2) % n).alias("dst")))
+        .unionByName(nodes.select("src", ((F.col("src") * 7 + 1) % n).alias("dst")))
+    )
+    return e.filter(F.col("src") != F.col("dst")).distinct()
+
+
+_DERIVED_EDGES_SQL = f"""
+    nodes AS (SELECT DISTINCT o_orderkey % {_GRAPH_N} AS src FROM orders),
+    e AS (
+        SELECT src, (src + 1) % {_GRAPH_N} AS dst FROM nodes
+        UNION
+        SELECT src, (src + 2) % {_GRAPH_N} AS dst FROM nodes
+        UNION
+        SELECT src, (src * 7 + 1) % {_GRAPH_N} AS dst FROM nodes
+    ),
+    edges AS (SELECT src, dst FROM e WHERE src <> dst)
+"""
+
+
+def q_components(spark, sf_dir):
+    """Distributed connected components (iterative min-label
+    propagation, graph_metrics.py:97-175 family) over the
+    region←nation←supplier/customer hierarchy; component_id = min node
+    id in component = the region key, so membership is exactly
+    SQL-checkable."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        graph_components,
+    )
+
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    e1 = nation.select(
+        (F.col("n_nationkey") + 100).cast("long").alias("subj_id"),
+        F.col("n_regionkey").cast("long").alias("obj_id"),
+    )
+    e2 = supplier.select(
+        (F.col("s_suppkey") + 1000).cast("long").alias("subj_id"),
+        (F.col("s_nationkey") + 100).cast("long").alias("obj_id"),
+    )
+    e3 = customer.select(
+        (F.col("c_custkey") + 10000).cast("long").alias("subj_id"),
+        (F.col("c_nationkey") + 100).cast("long").alias("obj_id"),
+    )
+    edges = e1.unionByName(e2).unionByName(e3)
+    return (
+        graph_components(edges, driver_edge_limit=0)  # force distributed path
+        .groupBy("component_id")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("component_id")
+    )
+
+
+def q_bfs_hops(spark, sf_dir):
+    """Bounded BFS (shortest-path hops ≤4 from node 0) via iterative
+    frontier joins (query_pattern_tester.py:365-373 family)."""
+    e = _derived_edges(spark, sf_dir)
+    visited = spark.createDataFrame([(0, 0)], "node long, hops long")
+    frontier = visited
+    for h in range(1, 5):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("long"))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.orderBy("node")
+
+
+def q_mutual_edges(spark, sf_dir):
+    """Mutual-edge detection A→B ∧ B→A (query_pattern_tester.py:74-80)."""
+    e = _derived_edges(spark, sf_dir)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        e.join(rev, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .orderBy("a", "b")
+    )
+
+
+def q_triangles(spark, sf_dir):
+    """Triangle counting via 3-way self-join on the normalized
+    undirected edge set (clustering-coefficient numerator,
+    graph_metrics.py:177-227)."""
+    e = _derived_edges(spark, sf_dir)
+    u = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    ab = u.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = u.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    ac = u.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    return (
+        ab.join(bc, "y")
+        .join(ac, ["x", "z"])
+        .select(F.col("x").alias("a"), F.col("y").alias("b"), F.col("z").alias("c"))
+        .orderBy("a", "b", "c")
+    )
+
+
+def q_collect_list(spark, sf_dir):
+    """Ordered collect_list aggregation (band→genres family,
+    query_pattern_tester.py:104-110), joined string for an exact
+    oracle compare."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias("suppliers"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_word_freq(spark, sf_dir):
+    """Explode/unnest token frequency top-20 (UDTF-style 1→N operator
+    with exact oracle)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
 # --- KG pipeline catalog (rows-only: not SQL-expressible) ---------------------
 
 def kg_entity_counts(spark, sf_dir):
@@ -434,8 +601,14 @@ def kg_chunk_stats(spark, sf_dir):
 
 def td_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs over documents with injected dups
-    (banded minhash signatures → bucket join → exact-Jaccard verify;
-    non-SQL-expressible → rows-only)."""
+    (banded minhash signatures → bucket join → exact-Jaccard verify).
+
+    Oracle-checked: the decision function is exact shingle Jaccard —
+    LSH is only the candidate prefilter, and with 16 OR-amplified band
+    tables its recall vs the exact all-pairs oracle is 1.0 on this
+    corpus (identical shingle sets always share every band bucket;
+    verified empirically at sf0.001 and sf0.01 in
+    tests/test_oracle_parity.py)."""
     from metal_history_knowledge_graph_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -553,6 +726,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dup_groups": q_exact_dup_groups,
         "q_wordset_jaccard": q_wordset_jaccard,
         "q_cosine_topk": q_cosine_topk,
+        # graph algorithms over derived edges (oracle-checked)
+        "q_components": q_components,
+        "q_bfs_hops": q_bfs_hops,
+        "q_mutual_edges": q_mutual_edges,
+        "q_triangles": q_triangles,
+        "q_collect_list": q_collect_list,
+        "q_word_freq": q_word_freq,
         "td_minhash_pairs": td_minhash_pairs,
         "td_simhash_pairs": td_simhash_pairs,
         "td_lsh_topk": td_lsh_topk,
@@ -735,6 +915,95 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(length(list_intersect(a.words, b.words))::DOUBLE
                         / (length(a.words) + length(b.words)
                            - length(list_intersect(a.words, b.words))), 4) >= 0.5
+        """,
+        "q_components": """
+            WITH nat AS (SELECT n_regionkey, count(*) AS c FROM nation GROUP BY 1),
+            sup AS (
+                SELECT n_regionkey, count(*) AS c
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY 1
+            ),
+            cus AS (
+                SELECT n_regionkey, count(*) AS c
+                FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1
+            )
+            SELECT CAST(r_regionkey AS BIGINT) AS component_id,
+                   CAST(1 + coalesce(nat.c, 0) + coalesce(sup.c, 0)
+                          + coalesce(cus.c, 0) AS BIGINT) AS n_nodes
+            FROM region
+            LEFT JOIN nat ON nat.n_regionkey = r_regionkey
+            LEFT JOIN sup ON sup.n_regionkey = r_regionkey
+            LEFT JOIN cus ON cus.n_regionkey = r_regionkey
+            ORDER BY component_id
+        """,
+        "q_bfs_hops": f"""
+            WITH RECURSIVE {_DERIVED_EDGES_SQL},
+            walk(node, hops) AS (
+                SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+                UNION ALL
+                SELECT edges.dst, walk.hops + 1
+                FROM walk JOIN edges ON edges.src = walk.node
+                WHERE walk.hops < 4
+            )
+            SELECT node, min(hops) AS hops FROM walk GROUP BY node ORDER BY node
+        """,
+        "q_mutual_edges": f"""
+            WITH {_DERIVED_EDGES_SQL}
+            SELECT x.src AS a, x.dst AS b
+            FROM edges x JOIN edges y ON x.src = y.dst AND x.dst = y.src
+            WHERE x.src < x.dst
+            ORDER BY a, b
+        """,
+        "q_triangles": f"""
+            WITH {_DERIVED_EDGES_SQL},
+            u AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM edges
+            )
+            SELECT ab.a AS a, ab.b AS b, bc.b AS c
+            FROM u ab
+            JOIN u bc ON bc.a = ab.b
+            JOIN u ac ON ac.a = ab.a AND ac.b = bc.b
+            ORDER BY a, b, c
+        """,
+        "q_collect_list": """
+            SELECT n_name,
+                   string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+                   count(*) AS n_suppliers
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "q_word_freq": f"""
+            SELECT word, count(*) AS n FROM (
+                SELECT unnest({toks}) AS word
+                FROM documents WHERE doc_id < 100
+            ) GROUP BY word ORDER BY n DESC, word LIMIT 20
+        """,
+        "td_minhash_pairs": f"""
+            WITH docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text FROM documents
+                WHERE doc_id < 30
+            ), t AS (
+                SELECT doc_id, {toks} AS toks FROM docs
+            ), sh AS (
+                SELECT doc_id,
+                    CASE WHEN length(toks) >= 3 THEN
+                        list_distinct(list_transform(
+                            generate_series(1, length(toks) - 2),
+                            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                    ELSE [array_to_string(toks, ' ')] END AS shingles
+                FROM t
+            )
+            SELECT doc_a, doc_b, jaccard FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       round(length(list_intersect(a.shingles, b.shingles))::DOUBLE
+                             / (length(a.shingles) + length(b.shingles)
+                                - length(list_intersect(a.shingles, b.shingles))),
+                             4) AS jaccard
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ) WHERE jaccard >= 0.9
+            ORDER BY doc_a, doc_b
         """,
         "q_cosine_topk": """
             WITH q AS (

@@ -375,6 +375,54 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def _embs_query0(spark, sf_dir):
+    embs = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    row = embs.filter(F.col("vec_id") == 0).head()
+    return embs, [float(v) for v in row.embedding]
+
+
+def q_ivf_fullprobe(spark, sf_dir):
+    """IVF index correctness gate: build the inverted file (distributed
+    deterministic k-means), probe ALL lists — the union of inverted
+    lists must be a complete partition of the table, so the result
+    equals the exact brute-force top-k (same oracle as q_cosine_topk)."""
+    import math
+
+    from metal_history_knowledge_graph_spark.operators.simsearch import (
+        _dot,
+        ivf_build,
+        with_l2_normalized,
+    )
+
+    embs, q = _embs_query0(spark, sf_dir)
+    _, assigned = ivf_build(embs, n_centroids=8, n_iters=2)
+    qn = math.sqrt(sum(v * v for v in q)) or 1.0
+    qarr = F.array(*[F.lit(v / qn) for v in q])
+    scored = with_l2_normalized(assigned).withColumn(
+        "cosine", F.round(_dot(F.col("unit_vec"), qarr), 4)
+    )
+    return (
+        scored.select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def td_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k at nprobe=3 of 8 lists (rows-only; the
+    full-probe variant q_ivf_fullprobe is oracle-checked)."""
+    from metal_history_knowledge_graph_spark.operators.simsearch import (
+        ivf_build,
+        ivf_topk,
+    )
+
+    embs, q = _embs_query0(spark, sf_dir)
+    centroids, assigned = ivf_build(embs, n_centroids=8, n_iters=2)
+    return ivf_topk(assigned, centroids, q, k=10, nprobe=3)
+
+
 # --- graph-algorithm catalog over derived edge tables (oracle-checked) --------
 #
 # The kg_* graph queries run over the pipeline-built entity graph and are
@@ -726,6 +774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dup_groups": q_exact_dup_groups,
         "q_wordset_jaccard": q_wordset_jaccard,
         "q_cosine_topk": q_cosine_topk,
+        "q_ivf_fullprobe": q_ivf_fullprobe,
+        "td_ivf_topk": td_ivf_topk,
         # graph algorithms over derived edges (oracle-checked)
         "q_components": q_components,
         "q_bfs_hops": q_bfs_hops,
@@ -977,6 +1027,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest({toks}) AS word
                 FROM documents WHERE doc_id < 100
             ) GROUP BY word ORDER BY n DESC, word LIMIT 20
+        """,
+        "q_ivf_fullprobe": """
+            WITH q AS (
+                SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
         "td_minhash_pairs": f"""
             WITH docs AS (

@@ -10,7 +10,10 @@ filter, similar-entity (exclude self), batch search. Scale paths:
   product, ``TakeOrderedAndProject`` (no full sort), one scan;
 * bucketed LSH (random hyperplane signs) — candidates share a sign
   bucket; probes only its bucket; recall grows with ``num_probes``
-  tables (IVF-style banding).
+  tables;
+* IVF (inverted file) — deterministic distributed k-means coarse
+  quantizer; search scans only the ``nprobe`` nearest inverted lists
+  (partition-pruned at scale), exact re-rank inside them.
 """
 
 from __future__ import annotations
@@ -125,6 +128,95 @@ def lsh_topk(
         hits = df.filter(_sign_bucket(vec_col, planes) == qb)
         cand = hits if cand is None else cand.unionByName(hits)
     cand = cand.dropDuplicates([id_col])
+    return cosine_topk(cand, query, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def ivf_build(
+    df: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], DataFrame]:
+    """IVF coarse quantizer: distributed Lloyd's k-means over unit
+    vectors, fully deterministic (init = the ``n_centroids``
+    smallest-id vectors; ties in assignment broken by centroid index).
+
+    Returns ``(centroids, assigned)`` where ``assigned`` adds a
+    ``cluster`` column. Scale shape: assignment is a narrow map with
+    broadcast centroids (n_centroids × dim floats); the recompute
+    shuffle carries only (cluster, pos) partial sums — n_centroids ×
+    dim rows after map-side combine, independent of table size. At
+    100 TB the assigned table is written partitioned by ``cluster`` so
+    probes become partition-pruned scans."""
+    normed = with_l2_normalized(df, vec_col).select(
+        F.col(id_col).alias("_id"), "unit_vec"
+    )
+    init = normed.orderBy("_id").limit(n_centroids).collect()
+    centroids = [[float(v) for v in r.unit_vec] for r in init]
+
+    for _ in range(n_iters):
+        cent_arr = F.array(*[
+            F.array(*[F.lit(v) for v in c]) for c in centroids
+        ])
+        # argmin over centroid distances == argmax over dot products
+        # (unit vectors); ties → smallest centroid index.
+        dots = F.transform(cent_arr, lambda c: _dot(F.col("unit_vec"), c))
+        best = F.array_position(dots, F.array_max(dots)) - 1
+        assigned = normed.withColumn("cluster", best.cast("int"))
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode("unit_vec").alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = {c: [0.0] * len(centroids[0]) for c in range(len(centroids))}
+        cnt = {c: 1 for c in range(len(centroids))}
+        for r in sums:
+            new[r.cluster][r.pos] = r.s / r.n
+            cnt[r.cluster] = r.n
+        # empty clusters keep their old centroid (deterministic)
+        centroids = [
+            new[c] if cnt.get(c) else centroids[c]
+            for c in range(len(centroids))
+        ]
+
+    cent_arr = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
+    dots = F.transform(cent_arr, lambda c: _dot(F.col("unit_vec"), c))
+    best = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    assigned = (
+        with_l2_normalized(df, vec_col)
+        .withColumn("cluster", best)
+        .drop("unit_vec")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: rank centroids against the query driver-side
+    (centroid table is tiny), scan only the ``nprobe`` nearest
+    inverted lists, exact cosine re-rank within them. With the table
+    partitioned by ``cluster`` the non-probed lists are never read
+    (partition pruning); ``nprobe == n_centroids`` degrades gracefully
+    to the exact brute-force result."""
+    qn = math.sqrt(sum(v * v for v in query)) or 1.0
+    qunit = [v / qn for v in query]
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda c: (-sum(a * b for a, b in zip(qunit, centroids[c])), c),
+    )
+    probe = ranked[:nprobe]
+    cand = assigned.filter(F.col("cluster").isin(probe))
     return cosine_topk(cand, query, k=k, vec_col=vec_col, id_col=id_col)
 
 

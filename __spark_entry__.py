@@ -375,6 +375,33 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing gate: documents → binary media column →
+    Arrow-batched mapInPandas feature extraction. The metadata outputs
+    (byte count, sha256) are exactly SQL-expressible, so the whole
+    binary-column + vectorized-UDF path gets a DuckDB oracle; the
+    stubbed feature vector itself is covered by unit tests."""
+    from metal_history_knowledge_graph_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    media = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("kind"),
+            F.encode("text", "utf-8").alias("content"),
+        )
+    )
+    return extract_media_features(media).select(
+        "media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes"), "sha256"
+    )
+
+
 def _embs_query0(spark, sf_dir):
     embs = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -776,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_ivf_fullprobe": q_ivf_fullprobe,
         "td_ivf_topk": td_ivf_topk,
+        "q_media_features": q_media_features,
         # graph algorithms over derived edges (oracle-checked)
         "q_components": q_components,
         "q_bfs_hops": q_bfs_hops,
@@ -1027,6 +1055,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest({toks}) AS word
                 FROM documents WHERE doc_id < 100
             ) GROUP BY word ORDER BY n DESC, word LIMIT 20
+        """,
+        "q_media_features": """
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents WHERE length(text) > 0
         """,
         "q_ivf_fullprobe": """
             WITH q AS (

@@ -165,24 +165,35 @@ def default_bench() -> dict:
     }
 
 
+def _cpu_jiffies() -> list[int]:
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+
+
 def scaling_worker(cpus: int) -> None:
     """One parallelism level, in its own process (clean JVM so the
-    heap/conf actually apply; no cross-level warm state)."""
+    heap/conf actually apply; no cross-level warm state). Records the
+    host steal%% observed during the run — this sandbox sits on an
+    overcommitted hypervisor and steal spikes distort wall times."""
     n_pages = SCALING_PAGES_BY_SF.get(_sf_name(), 2000)
     spark = make_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     root = f"/tmp/kg_scaling_{_sf_name()}"
     pages_path = build_corpus(spark, n_pages, root, profile="heavy")
+    j0 = _cpu_jiffies()
     r = run_pipeline(spark, pages_path, os.path.join(root, f"store_{cpus}"))
+    j1 = _cpu_jiffies()
     spark.stop()
+    d = [b - a for a, b in zip(j0, j1)]
+    steal_pct = round(100.0 * d[7] / (sum(d) or 1), 2)
     print("SCALING_RESULT " + json.dumps(
         dict(cpus=cpus, wall=r["wall"], triples=r["triples"],
-             observations=r["observations"],
+             observations=r["observations"], steal_pct=steal_pct,
              stages={k: round(v, 2) for k, v in r["metrics"].items()})
     ))
 
 
-def scaling_bench(low: int = 4, high: int = 16) -> dict:
+def scaling_bench(low: int = 4, high: int = 16, repeats: int = 2) -> dict:
     """Same job at local[low] and local[high]=4N on identical input,
     each level in a fresh subprocess.
 
@@ -191,18 +202,29 @@ def scaling_bench(low: int = 4, high: int = 16) -> dict:
     what a real N- vs 4N-executor cluster comparison looks like (an
     executor never time-slices its cores against its own feeder
     threads). local[8] vs local[32] measurably caps extract scaling at
-    ~3× from contention alone."""
+    ~3× from contention alone.
+
+    Each level runs ``repeats`` times and keeps the MINIMUM wall —
+    both levels get identical treatment; the minimum filters the
+    hypervisor's steal spikes (observed 2-30%, varying by the minute),
+    which otherwise dominate the measurement. All raw runs (incl. the
+    steal%% each observed) are reported in ``runs``."""
     import subprocess
 
+    if "--repeats" in sys.argv:
+        repeats = int(sys.argv[sys.argv.index("--repeats") + 1])
     n_pages = SCALING_PAGES_BY_SF.get(_sf_name(), 2000)
-    results = {}
-    for cpus in (low, high):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cpus)],
-            capture_output=True, text=True, env=os.environ.copy(), check=True,
-        )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("SCALING_RESULT ")][-1]
-        results[cpus] = json.loads(line[len("SCALING_RESULT "):])
+    runs: dict[int, list[dict]] = {low: [], high: []}
+    for attempt in range(repeats):
+        for cpus in (low, high):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cpus)],
+                capture_output=True, text=True, env=os.environ.copy(), check=True,
+            )
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("SCALING_RESULT ")][-1]
+            runs[cpus].append(json.loads(line[len("SCALING_RESULT "):]))
+    results = {c: min(rs, key=lambda r: r["wall"]) for c, rs in runs.items()}
     th_low = results[low]["observations"] / results[low]["wall"]
     th_high = results[high]["observations"] / results[high]["wall"]
     efficiency = (th_high / th_low) / (high / low)
@@ -220,6 +242,9 @@ def scaling_bench(low: int = 4, high: int = 16) -> dict:
         "pages": n_pages,
         "triples": results[high]["triples"],
         "stages": {str(c): results[c]["stages"] for c in (low, high)},
+        "runs": {str(c): [
+            {"wall": round(r["wall"], 1), "steal_pct": r.get("steal_pct")}
+            for r in rs] for c, rs in runs.items()},
     }
 
 

@@ -201,7 +201,12 @@ def build_triples(
         "rel_year", "rel_role", "rel_context", "order_key", "url",
     )
     candidates = explicit.unionByName(infer_relationships(entities))
-    normalized = normalize_predicates(candidates)
+    # Materialize once: BOTH the dedup path and the provenance path
+    # consume the full relationship-observation set below — without
+    # this, each downstream write re-scans and re-normalizes the
+    # mention-scale table (~5 redundant scans measured). At cluster
+    # scale this checkpoint is the stage's intermediate table commit.
+    normalized = normalize_predicates(candidates).localCheckpoint(eager=True)
 
     # Provenance first (pre-dedup, every observing url counts), keyed
     # by the same canonical hash.
@@ -242,6 +247,9 @@ def build_triples(
         edge_prov.join(F.broadcast(hash_to_edge), "rel_hash")
         .select("edge_key", "url")
         .distinct()
+        # consumed twice: the n_sources aggregation that lands on the
+        # edges table, and the edge_provenance table write itself
+        .localCheckpoint(eager=True)
     )
     prov_agg = prov_canon.groupBy("edge_key").agg(
         F.sort_array(F.collect_set("url")).alias("_urls")

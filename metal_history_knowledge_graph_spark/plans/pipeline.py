@@ -77,11 +77,12 @@ def run(
         chunks = chunk_pages(pages)
         store.write(chunks, "chunks")
         persisted = store.read("chunks")
-        n = persisted.count()
-        mismatches = persisted.filter(~F.col("text_matches_crawl")).count()
-        # per-partition lineage record (north rule): url range + row
-        # count per physical partition of the committed table — the
-        # unit of exact resume/audit at scale.
+        # ONE scan produces the per-partition lineage record (north
+        # rule: url range + row count per physical partition — the unit
+        # of exact resume/audit at scale), the total row count AND the
+        # byte-identity violation count: the totals are sums over the
+        # (tiny) lineage rows, so no second or third pass over the
+        # committed table.
         part_lineage = persisted.groupBy(
             F.spark_partition_id().alias("partition_id")
         ).agg(
@@ -89,9 +90,14 @@ def run(
             F.max("url").alias("url_max"),
             F.count(F.lit(1)).alias("row_count"),
             F.countDistinct("url").alias("n_urls"),
-        ).withColumn("run_id", F.lit(run_id)).withColumn("stage", F.lit("chunks"))
+            F.sum((~F.col("text_matches_crawl")).cast("long")).alias("n_mismatch"),
+        ).withColumn("run_id", F.lit(run_id)).withColumn("stage", F.lit("chunks")) \
+            .localCheckpoint(eager=True)
+        totals = part_lineage.agg(
+            F.sum("row_count"), F.sum("n_mismatch")
+        ).collect()[0]
         store.write(part_lineage, "partition_lineage")
-        return n, {"text_mismatch_urls": mismatches}
+        return int(totals[0] or 0), {"text_mismatch_urls": int(totals[1] or 0)}
 
     def do_extract():
         extracted = extract_chunks(store.read("chunks"))

@@ -46,16 +46,24 @@ def _sf_name() -> str:
     return os.path.basename(SF_DIR.rstrip("/"))
 
 
+#: input file count for benchmark corpora: 96 = integral task waves at
+#: every tested parallelism (3, 4, 12, 16, 32 cores → 32/24/8/6/3
+#: waves), so no ragged last wave skews the level comparison. A real
+#: 100 TB input gets ample even splits for free from its natural file
+#: count; a fixed tiny file count would be the unrealistic case.
+CORPUS_PARTITIONS = 96
+
+
 def build_corpus(spark, n_pages: int, root: str, profile: str = "default") -> str:
     """Materialize the pages table once (generation excluded from the
     timed pipeline)."""
     from metal_history_knowledge_graph_spark.sources.corpus import generate_pages
 
-    path = os.path.join(root, f"pages_{profile}")
+    path = os.path.join(root, f"pages_{profile}{CORPUS_PARTITIONS}")
     if not os.path.isdir(path):
         generate_pages(
             spark, n_pages, seed=42, profile=profile,
-            partitions=max(64, spark.sparkContext.defaultParallelism),
+            partitions=CORPUS_PARTITIONS,
         ).write.mode("overwrite").parquet(path)
     return path
 
@@ -127,10 +135,11 @@ def make_spark(cpus: int):
         extra_confs={
             # sandbox corpora are tiny by cluster standards: shrink
             # input splits so the narrow chunk/extract stages get
-            # several tasks per core (a 100 TB input gets this for
-            # free from its natural split count)
-            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
-            "spark.sql.files.openCostInBytes": str(256 * 1024),
+            # several tasks per core and the 96 corpus files are not
+            # re-packed into uneven multi-file splits (a 100 TB input
+            # gets even splits for free from its natural file count)
+            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(128 * 1024),
         },
     )
 
@@ -253,7 +262,9 @@ if __name__ == "__main__":
         scaling_worker(int(sys.argv[sys.argv.index("--scaling-worker") + 1]))
         sys.exit(0)
     if "--scaling" in sys.argv or os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        out = scaling_bench()
+        low = int(sys.argv[sys.argv.index("--low") + 1]) if "--low" in sys.argv else 4
+        high = int(sys.argv[sys.argv.index("--high") + 1]) if "--high" in sys.argv else 4 * low
+        out = scaling_bench(low=low, high=high)
     else:
         out = default_bench()
     print(json.dumps(out))

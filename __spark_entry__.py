@@ -510,12 +510,14 @@ def q_components(spark, sf_dir):
         (F.col("n_nationkey") + 100).cast("long").alias("subj_id"),
         F.col("n_regionkey").cast("long").alias("obj_id"),
     )
+    # offsets sized for sf >= 1 key ranges so node-id spaces can never
+    # collide (regions 0..99, nations 100.., suppliers 1M.., customers 100M..)
     e2 = supplier.select(
-        (F.col("s_suppkey") + 1000).cast("long").alias("subj_id"),
+        (F.col("s_suppkey") + 1_000_000).cast("long").alias("subj_id"),
         (F.col("s_nationkey") + 100).cast("long").alias("obj_id"),
     )
     e3 = customer.select(
-        (F.col("c_custkey") + 10000).cast("long").alias("subj_id"),
+        (F.col("c_custkey") + 100_000_000).cast("long").alias("subj_id"),
         (F.col("c_nationkey") + 100).cast("long").alias("obj_id"),
     )
     edges = e1.unionByName(e2).unionByName(e3)

@@ -220,8 +220,8 @@ def scaling_bench(low: int = 4, high: int = 16, repeats: int = 2) -> dict:
     steal%% each observed) are reported in ``runs``."""
     import subprocess
 
-    if "--repeats" in sys.argv:
-        repeats = int(sys.argv[sys.argv.index("--repeats") + 1])
+    if repeats < 1:
+        raise ValueError(f"repeats must be >= 1, got {repeats}")
     n_pages = SCALING_PAGES_BY_SF.get(_sf_name(), 2000)
     runs: dict[int, list[dict]] = {low: [], high: []}
     for attempt in range(repeats):
@@ -264,7 +264,8 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv or os.environ.get("SPARK_GRAFT_SCALING") == "1":
         low = int(sys.argv[sys.argv.index("--low") + 1]) if "--low" in sys.argv else 4
         high = int(sys.argv[sys.argv.index("--high") + 1]) if "--high" in sys.argv else 4 * low
-        out = scaling_bench(low=low, high=high)
+        reps = int(sys.argv[sys.argv.index("--repeats") + 1]) if "--repeats" in sys.argv else 2
+        out = scaling_bench(low=low, high=high, repeats=reps)
     else:
         out = default_bench()
     print(json.dumps(out))

@@ -123,9 +123,14 @@ class TableStore:
         on canonical id at 100 TB), where a per-query Exchange of the
         big side would dominate the plan.
 
-        (Iceberg mode would express the same thing as a bucket
-        partition transform; the catalog DDL differs, the plan shape
-        is identical.)"""
+        (Iceberg mode expresses the same thing as a bucket partition
+        transform with its own catalog DDL — not wired here, so refuse
+        rather than silently committing outside the snapshot contract.)"""
+        if self.iceberg:
+            raise NotImplementedError(
+                "bucketed tables in Iceberg mode: use a bucket(N, col) "
+                "partition transform on the Iceberg table instead"
+            )
         ident = self._table_ident(name)
         self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
         path = self._path(name + "_bucketed")
@@ -150,6 +155,8 @@ class TableStore:
         if self.iceberg:
             self.spark.sql(f"DROP TABLE IF EXISTS kg.{name}")
             return
-        p = self._path(name)
-        if os.path.isdir(p):
-            shutil.rmtree(p)
+        # also clean up any bucketed variant's catalog entry + data dir
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._table_ident(name)}")
+        for p in (self._path(name), self._path(name + "_bucketed")):
+            if os.path.isdir(p):
+                shutil.rmtree(p)

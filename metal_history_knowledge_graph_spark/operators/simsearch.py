@@ -138,9 +138,12 @@ def ivf_build(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> tuple[list[list[float]], DataFrame]:
-    """IVF coarse quantizer: distributed Lloyd's k-means over unit
-    vectors, fully deterministic (init = the ``n_centroids``
-    smallest-id vectors; ties in assignment broken by centroid index).
+    """IVF coarse quantizer: distributed spherical k-means over unit
+    vectors (cluster means re-normalized each iteration, so cosine /
+    dot-product assignment is a true nearest-centroid rule), fully
+    deterministic (init = the ``n_centroids`` smallest-id vectors;
+    ties in assignment broken by centroid index; empty clusters keep
+    their previous centroid).
 
     Returns ``(centroids, assigned)`` where ``assigned`` adds a
     ``cluster`` column. Scale shape: assignment is a narrow map with
@@ -155,12 +158,18 @@ def ivf_build(
     init = normed.orderBy("_id").limit(n_centroids).collect()
     centroids = [[float(v) for v in r.unit_vec] for r in init]
 
+    def _unit(vec: list[float]) -> list[float]:
+        n = math.sqrt(sum(v * v for v in vec)) or 1.0
+        return [v / n for v in vec]
+
+    centroids = [_unit(c) for c in centroids]
     for _ in range(n_iters):
         cent_arr = F.array(*[
             F.array(*[F.lit(v) for v in c]) for c in centroids
         ])
-        # argmin over centroid distances == argmax over dot products
-        # (unit vectors); ties → smallest centroid index.
+        # Centroids are re-normalized after every mean update (below),
+        # so argmin over distances == argmax over dot products holds
+        # throughout; ties → smallest centroid index.
         dots = F.transform(cent_arr, lambda c: _dot(F.col("unit_vec"), c))
         best = F.array_position(dots, F.array_max(dots)) - 1
         assigned = normed.withColumn("cluster", best.cast("int"))
@@ -173,13 +182,16 @@ def ivf_build(
             .collect()
         )
         new = {c: [0.0] * len(centroids[0]) for c in range(len(centroids))}
-        cnt = {c: 1 for c in range(len(centroids))}
+        nonempty: set[int] = set()
         for r in sums:
             new[r.cluster][r.pos] = r.s / r.n
-            cnt[r.cluster] = r.n
-        # empty clusters keep their old centroid (deterministic)
+            nonempty.add(r.cluster)
+        # empty clusters keep their old centroid (deterministic);
+        # non-empty means are projected back to the unit sphere
+        # (spherical k-means) so the dot-product assignment stays a
+        # true nearest-centroid rule.
         centroids = [
-            new[c] if cnt.get(c) else centroids[c]
+            _unit(new[c]) if c in nonempty else centroids[c]
             for c in range(len(centroids))
         ]
 

@@ -84,10 +84,12 @@ def stateful_running_counts(
     url_col: str = "url",
 ) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
-    running per-entity mention totals + distinct-source counts as
-    mention rows stream in. The per-group state is a bounded pair
-    (total, a capped recent-url ring for distinct estimation), so
-    state size is O(groups), not O(stream).
+    running per-entity mention totals plus an additive per-batch
+    distinct-url counter (``n_batches_urls`` = sum over micro-batches
+    of that batch's distinct urls — an upper bound on all-time distinct
+    sources, exact when the upstream ingest dedups urls per batch, as
+    ``ingest_batch``'s anti-join does). The per-group state is two
+    counters, so state size is O(groups), not O(stream).
 
     This is the streaming analogue of the pipeline's per-entity
     aggregation (the reference's checkpointed incremental extraction,
@@ -107,9 +109,8 @@ def stateful_running_counts(
         for pdf in pdf_iter:
             total += len(pdf)
             batch_urls.update(pdf[url_col].unique())
-        # distinct-source counter: exact within a batch, additive
-        # across batches (urls are partitioned to batches by arrival;
-        # replays are deduplicated upstream by the ingest anti-join)
+        # exact distinct within this batch, additive across batches —
+        # see docstring for the upper-bound semantics
         n_urls += len(batch_urls)
         state.update((total, n_urls))
         yield pd.DataFrame(

@@ -931,8 +931,11 @@ def oracle_sql() -> dict[str, str]:
         "q_token_counts": f"""
             SELECT doc_id,
                    length({toks}) AS n_tokens,
-                   coalesce(list_sum(list_transform({toks},
-                        x -> cast(ceil(length(x) / 4.0) AS BIGINT))), 0) AS n_subword_tokens
+                   -- DuckDB list_sum over BIGINT yields HUGEINT (int128);
+                   -- cast back so the driver hashes it as int64 like Spark
+                   CAST(coalesce(list_sum(list_transform({toks},
+                        x -> cast(ceil(length(x) / 4.0) AS BIGINT))), 0) AS BIGINT)
+                       AS n_subword_tokens
             FROM documents
         """,
         "q_quality_scores": f"""

@@ -654,6 +654,25 @@ def kg_birmingham(spark, sf_dir):
     )
 
 
+def kg_album_tracks(spark, sf_dir):
+    """Album → track listing via CONTAINS_TRACK (rows-only)."""
+    from metal_history_knowledge_graph_spark.plans.queries import album_tracks
+
+    store = _kg_store(spark, sf_dir)
+    return album_tracks(store.read("edges"))
+
+
+def kg_cooccurrence(spark, sf_dir):
+    """Band co-mention pairs over MENTIONED_WITH|CONTEMPORARY_OF
+    (rows-only; reference web_graph.py:181-186)."""
+    from metal_history_knowledge_graph_spark.plans.queries import band_cooccurrence
+
+    store = _kg_store(spark, sf_dir)
+    return band_cooccurrence(store.read("edges")).withColumn(
+        "predicates", F.array_join("predicates", ",")
+    )
+
+
 def kg_dedup_variants(spark, sf_dir):
     store = _kg_store(spark, sf_dir)
     return (
@@ -820,6 +839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
         "kg_birmingham": kg_birmingham,
+        "kg_album_tracks": kg_album_tracks,
+        "kg_cooccurrence": kg_cooccurrence,
         "kg_dedup_variants": kg_dedup_variants,
         "kg_chunk_stats": kg_chunk_stats,
         "kg_components": kg_components,

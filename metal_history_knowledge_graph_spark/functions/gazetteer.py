@@ -156,6 +156,44 @@ ALBUMS: dict[str, dict] = {
                                      studio="Vic's Studio"),
 }
 
+#: songs (reference prompt schema ``src/extraction/prompts.py:44-50``:
+#: title/artist/album/bpm; CONTAINS_TRACK carries track_number,
+#: ``src/schema/initialize_kuzu.py:186``). Titles deliberately never
+#: collide with album titles or band names so alias-type disambiguation
+#: stays out of the truth path.
+SONGS: dict[str, dict] = {
+    "Iron Man": dict(artist="Black Sabbath", album="Paranoid", track_number=4),
+    "War Pigs": dict(artist="Black Sabbath", album="Paranoid", track_number=1),
+    "Children of the Grave": dict(artist="Black Sabbath", album="Master of Reality", track_number=4),
+    "Neon Knights": dict(artist="Black Sabbath", album="Heaven and Hell", track_number=1),
+    "Run to the Hills": dict(artist="Iron Maiden", album="The Number of the Beast", track_number=5),
+    "Hallowed Be Thy Name": dict(artist="Iron Maiden", album="The Number of the Beast", track_number=8),
+    "Aces High": dict(artist="Iron Maiden", album="Powerslave", track_number=1),
+    "Breaking the Law": dict(artist="Judas Priest", album="British Steel", track_number=3),
+    "Living After Midnight": dict(artist="Judas Priest", album="British Steel", track_number=9),
+    "Electric Eye": dict(artist="Judas Priest", album="Screaming for Vengeance", track_number=2),
+    "A Touch of Evil": dict(artist="Judas Priest", album="Painkiller", track_number=9),
+    "Battery": dict(artist="Metallica", album="Master of Puppets", track_number=1),
+    "Orion": dict(artist="Metallica", album="Master of Puppets", track_number=7),
+    "Fade to Black": dict(artist="Metallica", album="Ride the Lightning", track_number=3),
+    "Creeping Death": dict(artist="Metallica", album="Ride the Lightning", track_number=6),
+    "Hangar 18": dict(artist="Megadeth", album="Rust in Peace", track_number=2),
+    "Tornado of Souls": dict(artist="Megadeth", album="Rust in Peace", track_number=6),
+    "Angel of Death": dict(artist="Slayer", album="Reign in Blood", track_number=1),
+    "Raining Blood": dict(artist="Slayer", album="Reign in Blood", track_number=10),
+    "Love Me Like a Reptile": dict(artist="Motörhead", album="Ace of Spades", track_number=2),
+    "Smoke on the Water": dict(artist="Deep Purple", album="Machine Head", track_number=5),
+    "Highway Star": dict(artist="Deep Purple", album="Machine Head", track_number=1),
+    "Massacre": dict(artist="Bathory", album="Under the Sign of the Black Mark", track_number=8),
+    "Zombie Ritual": dict(artist="Death", album="Scream Bloody Gore", track_number=2),
+    "Chapel of Ghouls": dict(artist="Morbid Angel", album="Altars of Madness", track_number=3),
+    "Walk": dict(artist="Pantera", album="Vulgar Display of Power", track_number=3),
+    "Roots Bloody Roots": dict(artist="Sepultura", album="Roots", track_number=1),
+    "Eagle Fly Free": dict(artist="Helloween", album="Keeper of the Seven Keys", track_number=2),
+    "Solitude": dict(artist="Candlemass", album="Epicus Doomicus Metallicus", track_number=1),
+    "Am I Evil?": dict(artist="Diamond Head", album="Lightning to the Nations", track_number=4),
+}
+
 SUBGENRES: dict[str, dict] = {
     "heavy metal": dict(era_start=1968, parents=["hard rock", "blues rock"]),
     "thrash metal": dict(era_start=1983, parents=["NWOBHM", "hardcore punk"]),
@@ -266,6 +304,8 @@ def build_alias_rows() -> list[dict]:
     for title, a in ALBUMS.items():
         ctx = ["album", "released", a["artist"], str(a["release_year"])]
         add(title, "albums", title, ctx)
+    for title, s in SONGS.items():
+        add(title, "songs", title, ["track", "song", "features"])
     for name in SUBGENRES:
         add(name, "subgenres", name, ["genre", "metal", "style"])
     for city, country in LOCATIONS.items():

@@ -74,6 +74,10 @@ P_MOVEMENT = re.compile(
 )
 P_LEFT = re.compile(rf"In (\d{{4}}), ({NAME}) left ({NAME})")
 P_REPLACED = re.compile(rf"(?:He|She|They) (?:was|were) replaced by ({NAME})(?:, formerly of ({NAME}))?")
+P_TRACK = re.compile(r"'([^']+)' features the track '([^']+)'")
+P_PERFORMED = re.compile(rf"\b({NAME}) performed on '([^']+)' playing (?:the )?({INSTRUMENTS})")
+P_CONTEMP = re.compile(rf"\b({NAME}) and ({NAME}) were contemporaries")
+P_MENTIONED = re.compile(rf"\b({NAME}) (?:was|were) often mentioned alongside ({NAME})")
 P_ORIGINATED = re.compile(rf"\b({GENRES}) originated in ({NAME})(?:, ({NAME}))?", re.IGNORECASE)
 P_EVOLVED = re.compile(rf"\b({GENRES}) evolved into ({GENRES})", re.IGNORECASE)
 P_LIST_SPLIT = re.compile(r",\s*(?:and\s+)?|\s+and\s+")
@@ -300,6 +304,39 @@ def extract_from_text(text: str) -> tuple[list[dict], list[dict]]:
                 acc.add("bands", former_band, s_off, description=sent)
                 acc.rel("MEMBER_OF", "person", person, "band", former_band, context=sent)
 
+        m = P_TRACK.search(sent)
+        if m:
+            album, song = m.group(1), m.group(2)
+            artist = last_band if album == last_album else None
+            acc.add("albums", album, s_off, title=album)
+            acc.add("songs", song, s_off, title=song, album=album, artist=artist)
+            acc.rel("CONTAINS_TRACK", "album", album, "song", song, context=sent)
+
+        m = P_PERFORMED.search(sent)
+        if m:
+            person, album, instrument = m.group(1), m.group(2), m.group(3)
+            acc.add("people", person, s_off, instruments=[instrument], description=sent)
+            acc.add("albums", album, s_off, title=album)
+            # reference PERFORMED_ON(Person→Album, instruments[]),
+            # initialize_kuzu.py:184; instruments land in props.role
+            acc.rel("PERFORMED_ON", "person", person, "album", album,
+                    role=instrument, context=sent)
+
+        m = P_CONTEMP.search(sent)
+        if m:
+            a, b = m.group(1), m.group(2)
+            acc.add("bands", a, s_off, description=sent)
+            acc.add("bands", b, s_off, description=sent)
+            acc.rel("CONTEMPORARY_OF", "band", a, "band", b, context=sent)
+
+        m = P_MENTIONED.search(sent)
+        if m:
+            a, b = m.group(1), m.group(2)
+            acc.add("bands", a, s_off, description=sent)
+            acc.add("bands", b, s_off, description=sent)
+            # reference MENTIONED_WITH(Band→Band, context), initialize_kuzu.py:212
+            acc.rel("MENTIONED_WITH", "band", a, "band", b, context=sent)
+
         m = P_ORIGINATED.search(sent)
         if m:
             genre, city, country = m.group(1).lower(), m.group(2), m.group(3)
@@ -329,7 +366,7 @@ def extract_from_text(text: str) -> tuple[list[dict], list[dict]]:
                    key=lambda c: (_context_link_score(c["context_tokens"], chunk_tokens),
                                   c["entity_type"]))
         etype, surface = best["entity_type"], m.group(0)
-        if etype == "albums":
+        if etype in ("albums", "songs"):
             acc.add(etype, surface, m.start(), title=surface)
         elif etype == "locations":
             acc.add(etype, surface, m.start(), city=surface, country="")

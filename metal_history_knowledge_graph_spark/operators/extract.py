@@ -26,6 +26,7 @@ ATTR_FIELDS: list[tuple[str, str]] = [
     ("instruments", "array<string>"), ("associated_bands", "array<string>"),
     ("title", "string"), ("artist", "string"), ("release_year", "int"),
     ("release_date", "string"), ("label", "string"), ("studio", "string"),
+    ("album", "string"), ("track_number", "int"), ("bpm", "int"),
     ("city", "string"), ("region", "string"), ("country", "string"),
     ("scene_description", "string"),
     ("date", "string"), ("type", "string"),

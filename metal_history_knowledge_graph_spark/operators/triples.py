@@ -69,7 +69,8 @@ def infer_relationships(entities: DataFrame) -> DataFrame:
     attrs = F.from_json(
         "attrs_json",
         "struct<associated_bands:array<string>, instruments:array<string>, "
-        "title:string, artist:string, release_year:int>",
+        "title:string, artist:string, release_year:int, "
+        "album:string, track_number:int>",
     )
     e = entities.withColumn("a", attrs)
 
@@ -106,7 +107,24 @@ def infer_relationships(entities: DataFrame) -> DataFrame:
             F.lit(None).cast("string").alias("url"),
         )
     )
-    return member_of.unionByName(released)
+    # song.album ⇒ CONTAINS_TRACK (the reference's
+    # _create_contains_track_relationships, load_to_kuzu.py:765-791)
+    contains_track = (
+        e.filter((F.col("entity_type") == "songs") & F.col("a.album").isNotNull())
+        .select(
+            F.lit("CONTAINS_TRACK").alias("rel_type"),
+            F.lit("album").alias("from_entity_type"),
+            F.col("a.album").alias("from_entity_name"),
+            F.lit("song").alias("to_entity_type"),
+            F.col("canonical_name").alias("to_entity_name"),
+            F.lit(None).cast("int").alias("rel_year"),
+            F.lit(None).cast("string").alias("rel_role"),
+            F.lit("Inferred from song data").alias("rel_context"),
+            F.col("first_seen").alias("order_key"),
+            F.lit(None).cast("string").alias("url"),
+        )
+    )
+    return member_of.unionByName(released).unionByName(contains_track)
 
 
 def normalize_predicates(rels: DataFrame) -> DataFrame:

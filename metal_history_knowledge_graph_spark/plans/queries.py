@@ -21,6 +21,7 @@ _TYPE_SCHEMAS = {
     "bands": "struct<formed_year:int, origin_city:string, origin_country:string, description:string>",
     "people": "struct<instruments:array<string>, associated_bands:array<string>, description:string>",
     "albums": "struct<title:string, artist:string, release_year:int, release_date:string, label:string, studio:string, description:string>",
+    "songs": "struct<title:string, artist:string, album:string, track_number:int, bpm:int>",
     "subgenres": "struct<era_start:int, era_end:int, key_characteristics:string, parent_influences:array<string>>",
     "locations": "struct<city:string, region:string, country:string, scene_description:string>",
     "movements": "struct<start_year:int, key_bands:array<string>, description:string>",
@@ -81,6 +82,39 @@ def band_albums(entities: DataFrame, edges: DataFrame, band_name: str) -> DataFr
         .join(F.broadcast(albums), "obj_id")
         .select("subj_name", "album", "release_year")
         .orderBy(F.asc_nulls_last("release_year"), "album")
+    )
+
+
+def album_tracks(edges: DataFrame, album_name: str | None = None) -> DataFrame:
+    """Album → tracks via CONTAINS_TRACK (web_graph.py album detail
+    family; schema initialize_kuzu.py:186)."""
+    tracks = edges.filter(F.col("pred") == "CONTAINS_TRACK").select(
+        F.col("subj_name").alias("album"),
+        F.col("obj_name").alias("track"),
+    )
+    if album_name:
+        tracks = tracks.filter(F.lower("album") == album_name.lower())
+    return tracks.orderBy("album", "track")
+
+
+def band_cooccurrence(edges: DataFrame) -> DataFrame:
+    """Band↔band co-mention pairs over MENTIONED_WITH|CONTEMPORARY_OF
+    (the reference's web-graph 'related bands' query,
+    src/api/routers/web_graph.py:181-186), undirected-normalized with
+    per-predicate counts."""
+    e = edges.filter(F.col("pred").isin("MENTIONED_WITH", "CONTEMPORARY_OF"))
+    und = e.select(
+        F.least("subj_name", "obj_name").alias("band1"),
+        F.greatest("subj_name", "obj_name").alias("band2"),
+        "pred",
+    )
+    return (
+        und.groupBy("band1", "band2")
+        .agg(
+            F.sort_array(F.collect_set("pred")).alias("predicates"),
+            F.count(F.lit(1)).alias("n_links"),
+        )
+        .orderBy("band1", "band2")
     )
 
 

@@ -36,6 +36,7 @@ from ..functions.gazetteer import (
     MOVEMENTS,
     PEOPLE,
     ROLE_BY_INSTRUMENT,
+    SONGS,
 )
 from ..functions.html_text import render_html
 
@@ -104,6 +105,9 @@ for _p, _d in sorted(PEOPLE.items()):
 _ALBUMS_BY_BAND: dict[str, list[str]] = {}
 for _a, _d in sorted(ALBUMS.items()):
     _ALBUMS_BY_BAND.setdefault(_d["artist"], []).append(_a)
+_SONGS_BY_ALBUM: dict[str, list[str]] = {}
+for _s, _d in sorted(SONGS.items()):
+    _SONGS_BY_ALBUM.setdefault(_d["album"], []).append(_s)
 
 _FILLER_BITS = [
     "the scene grew steadily through those years",
@@ -177,6 +181,19 @@ def _band_profile(rng: random.Random, truth: list) -> list[str]:
         if rng.random() < 0.6:
             sents.append(f"'{album}' was released by {a['label']}.")
             truth.append(("RELEASED_BY", "album", album, "label", a["label"]))
+        songs = _SONGS_BY_ALBUM.get(album, [])
+        if songs and rng.random() < 0.6:
+            song = rng.choice(songs)
+            sents.append(f"'{album}' features the track '{song}'.")
+            truth.append(("CONTAINS_TRACK", "album", album, "song", song))
+        if members and rng.random() < 0.5:
+            perf = rng.choice(members)
+            instrument = PEOPLE[perf]["instruments"][0]
+            sents.append(
+                f"{_surface(rng, perf, PEOPLE[perf])} performed on '{album}' "
+                f"playing {instrument}."
+            )
+            truth.append(("PERFORMED_ON", "person", perf, "album", album))
         sents.extend(_filler(rng, rng.randint(0, 2)))
         blocks.append(" ".join(sents))
 
@@ -201,7 +218,16 @@ def _movement_section(rng: random.Random, truth: list) -> list[str]:
     )
     for band in bands:
         truth.append(("PART_OF_MOVEMENT", "band", band, "movement", movement))
-    return [f"## {movement}", " ".join([sent] + _filler(rng, rng.randint(1, 3)))]
+    sents = [sent]
+    if len(bands) >= 2 and rng.random() < 0.7:
+        a, b = bands[0], bands[1]
+        sents.append(f"{a} and {b} were contemporaries.")
+        truth.append(("CONTEMPORARY_OF", "band", a, "band", b))
+    if len(bands) >= 2 and rng.random() < 0.5:
+        a, b = bands[-1], bands[0]
+        sents.append(f"{a} was often mentioned alongside {b} in the press.")
+        truth.append(("MENTIONED_WITH", "band", a, "band", b))
+    return [f"## {movement}", " ".join(sents + _filler(rng, rng.randint(1, 3)))]
 
 
 def _genre_section(rng: random.Random, truth: list) -> list[str]:

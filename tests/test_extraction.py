@@ -100,3 +100,40 @@ def test_confidence_bounds_and_signal():
     high = [m for m in m_high if m["entity_type"] == "bands"][0]["confidence"]
     low = [m for m in m_low if m["entity_type"] == "bands"][0]["confidence"]
     assert 0.0 <= low < high <= 1.0
+
+
+# --- songs + co-occurrence predicates (VERDICT r01 item 2) ----------------
+
+_SONG_TEXT = (
+    "Metallica released 'Master of Puppets' in 1986. "
+    "'Master of Puppets' features the track 'Battery'. "
+    "Lars Ulrich performed on 'Master of Puppets' playing drums. "
+    "Metallica and Slayer were contemporaries. "
+    "Megadeth was often mentioned alongside Metallica in the press."
+)
+
+
+def test_song_track_extraction():
+    mentions = _mentions(_SONG_TEXT)
+    songs = [m for m in mentions if m["entity_type"] == "songs"]
+    assert [s["name"] for s in songs] == ["Battery"]
+    # song schema per reference prompts.py:44-50: title/artist/album
+    assert songs[0]["album"] == "Master of Puppets"
+    assert songs[0]["artist"] == "Metallica"
+    rels = _rels(_SONG_TEXT)
+    assert ("CONTAINS_TRACK", "Master of Puppets", "Battery") in rels
+
+
+def test_performed_on_extraction():
+    _, rels = extract_from_text(_SONG_TEXT)
+    perf = [r for r in rels if r["type"] == "PERFORMED_ON"]
+    assert len(perf) == 1
+    assert perf[0]["from_entity_name"] == "Lars Ulrich"
+    assert perf[0]["to_entity_name"] == "Master of Puppets"
+    assert perf[0]["role"] == "drums"
+
+
+def test_cooccurrence_extraction():
+    rels = _rels(_SONG_TEXT)
+    assert ("CONTEMPORARY_OF", "Metallica", "Slayer") in rels
+    assert ("MENTIONED_WITH", "Megadeth", "Metallica") in rels

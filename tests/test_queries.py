@@ -143,3 +143,32 @@ def test_triangle_counts_runs(graph):
     tri = Q.triangle_counts(edges).collect()
     for r in tri:
         assert r.triangles >= 1
+
+
+def test_album_tracks(graph):
+    from metal_history_knowledge_graph_spark.functions.gazetteer import SONGS
+
+    entities, edges = graph
+    rows = Q.album_tracks(edges).collect()
+    assert rows, "corpus at this seed emits CONTAINS_TRACK edges"
+    for r in rows:
+        assert SONGS[r.track]["album"] == r.album
+
+
+def test_band_cooccurrence(graph):
+    entities, edges = graph
+    rows = Q.band_cooccurrence(edges).collect()
+    assert rows, "corpus at this seed emits co-occurrence edges"
+    for r in rows:
+        assert r.band1 <= r.band2
+        assert set(r.predicates) <= {"MENTIONED_WITH", "CONTEMPORARY_OF"}
+        assert r.n_links >= 1
+
+
+def test_songs_entity_view(graph):
+    entities, edges = graph
+    songs = Q.entity_view(entities, "songs")
+    rows = songs.collect()
+    assert rows
+    for r in rows:
+        assert r.album is not None

@@ -782,6 +782,22 @@ def kg_hybrid_search(spark, sf_dir):
         .select("entity_type", "canonical_name", "final_score")
 
 
+def kg_intent_search(spark, sf_dir):
+    """Natural-language intent dispatch + graph-enriched hybrid search
+    (rows-only; reference semantic_query.py:70-331)."""
+    from metal_history_knowledge_graph_spark.operators.embeddings import (
+        embed_entities,
+    )
+    from metal_history_knowledge_graph_spark.operators.intent import intent_search
+
+    store = _kg_store(spark, sf_dir)
+    ents = store.read("entities")
+    return intent_search(
+        spark, ents, embed_entities(ents), store.read("edges"),
+        "bands similar to sabbath", k=5,
+    ).withColumn("genres", F.array_join(F.coalesce("genres", F.array()), ","))
+
+
 def kg_quality(spark, sf_dir):
     """Triple P/R vs the corpus oracle — the north-rule gate as a query."""
     from metal_history_knowledge_graph_spark.plans.quality import triple_prf
@@ -847,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_betweenness": kg_betweenness,
         "kg_validation": kg_validation,
         "kg_hybrid_search": kg_hybrid_search,
+        "kg_intent_search": kg_intent_search,
         "kg_quality": kg_quality,
     }
 

@@ -582,6 +582,30 @@ def q_triangles(spark, sf_dir):
     )
 
 
+def q_clustering(spark, sf_dir):
+    """Local clustering coefficient over the derived edge graph —
+    triangle numerator (q_triangles oracle) divided by deg·(deg−1)/2
+    (graph_metrics.py:177-227), exercised through the real catalog
+    operator."""
+    from metal_history_knowledge_graph_spark.plans.queries import (
+        clustering_coefficient,
+    )
+
+    e = _derived_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    )
+    return (
+        clustering_coefficient(e)
+        .select(
+            F.col("node_id").alias("node"),
+            F.col("degree").cast("long").alias("degree"),
+            F.col("triangles").cast("long").alias("triangles"),
+            "clustering",
+        )
+        .orderBy("node")
+    )
+
+
 def q_collect_list(spark, sf_dir):
     """Ordered collect_list aggregation (band→genres family,
     query_pattern_tester.py:104-110), joined string for an exact
@@ -846,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bfs_hops": q_bfs_hops,
         "q_mutual_edges": q_mutual_edges,
         "q_triangles": q_triangles,
+        "q_clustering": q_clustering,
         "q_collect_list": q_collect_list,
         "q_word_freq": q_word_freq,
         "td_minhash_pairs": td_minhash_pairs,
@@ -1085,6 +1110,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN u bc ON bc.a = ab.b
             JOIN u ac ON ac.a = ab.a AND ac.b = bc.b
             ORDER BY a, b, c
+        """,
+        "q_clustering": f"""
+            WITH {_DERIVED_EDGES_SQL},
+            und AS (
+                SELECT src AS a, dst AS b FROM edges
+                UNION
+                SELECT dst AS a, src AS b FROM edges
+            ),
+            u AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM edges
+            ),
+            tri AS (
+                SELECT ab.a AS a, ab.b AS b, bc.b AS c
+                FROM u ab
+                JOIN u bc ON bc.a = ab.b
+                JOIN u ac ON ac.a = ab.a AND ac.b = bc.b
+            ),
+            tpn AS (
+                SELECT node, count(*) AS t FROM (
+                    SELECT a AS node FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri
+                ) GROUP BY node
+            ),
+            deg AS (SELECT a AS node, count(*) AS degree FROM und GROUP BY a)
+            SELECT deg.node AS node, degree,
+                   coalesce(t, 0) AS triangles,
+                   round(CASE WHEN degree >= 2
+                        THEN 2.0 * coalesce(t, 0) / (degree * (degree - 1))
+                        ELSE 0.0 END, 4) AS clustering
+            FROM deg LEFT JOIN tpn ON tpn.node = deg.node
+            ORDER BY node
         """,
         "q_collect_list": """
             SELECT n_name,

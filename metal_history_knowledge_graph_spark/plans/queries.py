@@ -300,6 +300,39 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node
+    (graph_metrics.py:177-227): C(v) = 2·T(v) / (deg(v)·(deg(v)−1))
+    over the undirected simple graph; nodes with degree < 2 get 0.
+    Completes the triangle numerator with the coefficient division the
+    reference reports."""
+    und = (
+        edges.select(F.col("subj_id").alias("a"), F.col("obj_id").alias("b"))
+        .unionByName(edges.select(F.col("obj_id").alias("a"), F.col("subj_id").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("a").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    tri = triangle_counts(edges)
+    return (
+        deg.join(tri, "node_id", "left")
+        .withColumn("triangles", F.coalesce("triangles", F.lit(0)))
+        .withColumn(
+            "clustering",
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0 * F.col("triangles")
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ),
+        )
+    )
+
+
 def influence_score(edges: DataFrame) -> DataFrame:
     """direct + 0.5·indirect influence (query_pattern_tester.py:378-389)."""
     inf = edges.filter(F.col("pred") == "INFLUENCED_BY").select(

@@ -172,3 +172,17 @@ def test_songs_entity_view(graph):
     assert rows
     for r in rows:
         assert r.album is not None
+
+
+def test_clustering_coefficient(graph):
+    entities, edges = graph
+    rows = Q.clustering_coefficient(edges).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.clustering <= 1.0
+        if r.degree < 2:
+            assert r.clustering == 0.0
+        else:
+            assert r.clustering == round(
+                2.0 * r.triangles / (r.degree * (r.degree - 1)), 4
+            )

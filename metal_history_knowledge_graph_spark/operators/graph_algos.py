@@ -12,8 +12,6 @@
 
 from __future__ import annotations
 
-from collections import deque
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -95,15 +93,28 @@ def component_sizes(edges: DataFrame) -> DataFrame:
 
 
 def betweenness_sampled(
-    edges: DataFrame, n_sources: int = 16, max_hops: int = 6
+    edges: DataFrame, n_sources: int = 16, max_hops: int = 6,
+    driver_edge_limit: int = 2_000_000,
 ) -> DataFrame:
-    """Approximate betweenness: run BFS from a deterministic sample of
+    """Approximate betweenness: BFS from a deterministic sample of
     source nodes (smallest ids — stable across runs), count how often
     each node sits on a sampled shortest path's interior
-    (graph_metrics.py:256-287). Adjacency is collected once — the
-    entity graph is vocabulary-sized; at larger scales swap the BFS
-    for the frontier-join pattern in plans/queries.shortest_path_length."""
+    (graph_metrics.py:256-287).
+
+    The shortest-path tree is made well-defined in both execution
+    paths by the tie-break ``parent(v) = min{p ∈ adj(v) :
+    dist(p) = dist(v) − 1}``, so the driver and distributed variants
+    produce identical counts.
+
+    Edge lists up to ``driver_edge_limit`` run the in-memory BFS
+    (entity graphs are vocabulary-sized); larger graphs fall back to
+    the distributed frontier-join BFS (the
+    plans/queries.shortest_path_length pattern, batched over all
+    sampled sources at once) — no unguarded ``collect``."""
     und = _undirected_pairs(edges)
+    n = und.limit(driver_edge_limit + 1).count()
+    if n > driver_edge_limit:
+        return _betweenness_distributed(und, n_sources, max_hops)
     rows = und.collect()
     adj: dict[int, list[int]] = {}
     for r in rows:
@@ -113,20 +124,26 @@ def betweenness_sampled(
 
     counts: dict[int, int] = {}
     for src in sources:
-        # BFS tree with parent tracking → one shortest path per node
-        parent = {src: None}
-        q = deque([(src, 0)])
-        while q:
-            node, d = q.popleft()
-            if d >= max_hops:
-                continue
-            for nb in sorted(adj.get(node, [])):
-                if nb not in parent:
-                    parent[nb] = node
-                    q.append((nb, d + 1))
+        # BFS levels, then min-id parent at the previous level
+        dist = {src: 0}
+        frontier = [src]
+        d = 0
+        while frontier and d < max_hops:
+            nxt = []
+            for node in frontier:
+                for nb in adj.get(node, []):
+                    if nb not in dist:
+                        dist[nb] = d + 1
+                        nxt.append(nb)
+            frontier = nxt
+            d += 1
+        parent = {
+            v: min(p for p in adj[v] if dist.get(p) == dv - 1)
+            for v, dv in dist.items() if v != src
+        }
         for dst in parent:
             node = parent[dst]
-            while node is not None and node != src:
+            while node != src:
                 counts[node] = counts.get(node, 0) + 1
                 node = parent[node]
     out = [(k, v) for k, v in sorted(counts.items())]
@@ -135,3 +152,81 @@ def betweenness_sampled(
         return spark.createDataFrame([], "node_id long, betweenness long")
     return spark.createDataFrame(out, "node_id long, betweenness long") \
         .orderBy(F.desc("betweenness"), "node_id")
+
+
+def _betweenness_distributed(und: DataFrame, n_sources: int, max_hops: int) -> DataFrame:
+    """Distributed sampled betweenness: multi-source frontier-join BFS
+    keyed by source, min-parent tree, iterative parent-chain walk.
+    Every step is a bounded join over (src, node) keys; nothing is
+    collected to the driver."""
+    spark = und.sparkSession
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    sources = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .orderBy("node").limit(n_sources)
+        .select(F.col("node").alias("bfs_src"))
+        .localCheckpoint(eager=True)
+    )
+    # visited(bfs_src, node, dist) — all sampled sources advance together
+    visited = sources.select("bfs_src", F.col("bfs_src").alias("node"),
+                             F.lit(0).alias("dist"))
+    frontier = visited
+    for d in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["a"])
+            .select("bfs_src", F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("bfs_src", "node"), ["bfs_src", "node"], "left_anti")
+            .withColumn("dist", F.lit(d))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+        if frontier.limit(1).count() == 0:
+            break
+    # parent(v) = min neighbor at dist-1 (the well-defined tree)
+    nonroot = visited.filter(F.col("dist") > 0)
+    parents = (
+        nonroot.join(sym, nonroot["node"] == sym["b"])
+        .join(
+            visited.select(
+                "bfs_src", F.col("node").alias("a"), F.col("dist").alias("p_dist")
+            ),
+            ["bfs_src", "a"],
+        )
+        .filter(F.col("p_dist") == F.col("dist") - 1)
+        .groupBy("bfs_src", "node")
+        .agg(F.min("a").alias("parent"))
+        .localCheckpoint(eager=True)
+    )
+    # walk each node's parent chain toward the source, counting interiors
+    src_col = F.col("bfs_src")
+    walk = parents.filter(F.col("parent") != src_col).select(
+        "bfs_src", F.col("parent").alias("cur")
+    )
+    contribs = []
+    for _ in range(max_hops):
+        if walk.limit(1).count() == 0:
+            break
+        contribs.append(walk.select(F.col("cur").alias("node_id")))
+        walk = (
+            walk.join(
+                parents.select("bfs_src", F.col("node").alias("cur"),
+                               F.col("parent").alias("nxt")),
+                ["bfs_src", "cur"],
+            )
+            .filter(F.col("nxt") != src_col)
+            .select("bfs_src", F.col("nxt").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+    if not contribs:
+        return spark.createDataFrame([], "node_id long, betweenness long")
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    return (
+        allc.groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("betweenness"))
+        .orderBy(F.desc("betweenness"), "node_id")
+    )

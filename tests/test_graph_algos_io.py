@@ -102,3 +102,24 @@ def test_merge_upsert_creates_table(spark, store):
     df = spark.createDataFrame([(1, "a")], "k long, v string")
     store.merge_upsert(df, "fresh", keys=["k"])
     assert store.read("fresh").count() == 1
+
+
+def test_betweenness_distributed_matches_driver(spark):
+    # richer graph: two rings joined by a bridge + a chord
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (4, 5), (5, 6), (6, 7),
+             (7, 8), (8, 5), (2, 4), (3, 7)]
+    rows = [(f"e{i}", a, str(a), "INFLUENCED_BY", b, str(b))
+            for i, (a, b) in enumerate(pairs)]
+    edges = spark.createDataFrame(rows, EDGE_SCHEMA)
+    driver = {
+        (r.node_id, r.betweenness)
+        for r in betweenness_sampled(edges, n_sources=8, max_hops=6).collect()
+    }
+    distributed = {
+        (r.node_id, r.betweenness)
+        for r in betweenness_sampled(
+            edges, n_sources=8, max_hops=6, driver_edge_limit=0
+        ).collect()
+    }
+    assert driver == distributed
+    assert driver, "graph has interior nodes"

@@ -97,6 +97,9 @@ def run(
             F.sum("row_count"), F.sum("n_mismatch")
         ).collect()[0]
         store.write(part_lineage, "partition_lineage")
+        # compact seen-set for incremental/streaming anti-joins
+        # (url column only — pruned scan of the just-committed table)
+        store.write(persisted.select("url").distinct(), "processed_urls")
         return int(totals[0] or 0), {"text_mismatch_urls": int(totals[1] or 0)}
 
     def do_extract():
@@ -136,7 +139,16 @@ def run(
 
 
 def processed_urls(store: TableStore) -> DataFrame:
-    """Urls already chunked (the page-level resume record)."""
+    """Urls already chunked (the page-level resume record).
+
+    Reads the compact url-only ``processed_urls`` table when present
+    (maintained by the chunk stage and every incremental/streaming
+    append) so the seen-set scan is O(distinct urls), not a
+    distinct-aggregation over full chunk history; falls back to
+    deriving it from chunks for stores written before the table
+    existed."""
+    if store.exists("processed_urls"):
+        return store.read("processed_urls").select("url")
     return store.read("chunks").select("url").distinct()
 
 
@@ -156,6 +168,7 @@ def run_incremental(
     chunks = chunk_pages(todo).localCheckpoint(eager=True)
     store.append(chunks, "chunks")
     store.append(extract_chunks(chunks), "extracted")
+    store.append(chunks.select("url").distinct(), "processed_urls")
     # Downstream (vocabulary-sized) stages recompute from the appended
     # mention set — idempotent deterministic folds.
     return _rebuild_downstream(spark, store, run_id, pair_strategy)

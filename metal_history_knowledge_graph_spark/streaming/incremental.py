@@ -33,9 +33,20 @@ from ..sources.corpus import PAGES_SCHEMA
 
 
 def ingest_batch(store: TableStore, batch_df: DataFrame, run_id: str, batch_id: int) -> int:
-    """Append-path for one micro-batch of pages; idempotent per url."""
-    if store.exists("chunks"):
-        seen = store.read("chunks").select("url").distinct()
+    """Append-path for one micro-batch of pages; idempotent per url.
+
+    The seen-set is the compact, url-only ``processed_urls`` table
+    (appended per batch), NOT a distinct-scan of the ever-growing
+    chunks table — the anti-join's build side stays O(distinct urls ×
+    one column) instead of growing with full chunk history. Crash
+    semantics: the streaming checkpoint already prevents re-running a
+    completed foreachBatch; if a crash lands between the chunks append
+    and the url append, the replayed batch re-appends that batch's
+    chunks (parquet mode). On Iceberg both appends are snapshot
+    commits and a single transaction closes that window — which is the
+    production deployment this engine targets."""
+    if store.exists("processed_urls"):
+        seen = store.read("processed_urls").select("url")
         todo = batch_df.join(seen, "url", "left_anti")
     else:
         todo = batch_df
@@ -45,6 +56,7 @@ def ingest_batch(store: TableStore, batch_df: DataFrame, run_id: str, batch_id: 
         return 0
     store.append(chunks, "chunks")
     store.append(extract_chunks(chunks), "extracted")
+    store.append(chunks.select("url").distinct(), "processed_urls")
     commit_stage(store, run_id, f"stream-batch-{batch_id}", n)
     return n
 
@@ -108,7 +120,8 @@ def stateful_running_counts(
         batch_urls = set()
         for pdf in pdf_iter:
             total += len(pdf)
-            batch_urls.update(pdf[url_col].unique())
+            # dropna: a null url must not count as a distinct source
+            batch_urls.update(pdf[url_col].dropna().unique())
         # exact distinct within this batch, additive across batches —
         # see docstring for the upper-bound semantics
         n_urls += len(batch_urls)

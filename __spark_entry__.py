@@ -755,13 +755,30 @@ def td_simhash_pairs(spark, sf_dir):
 
 
 def td_lsh_topk(spark, sf_dir):
-    """Hyperplane-LSH approximate nearest neighbours (rows-only; the
-    exact baseline q_cosine_topk is oracle-checked)."""
-    from metal_history_knowledge_graph_spark.operators.simsearch import lsh_topk
+    """Hyperplane-LSH approximate nearest neighbours over a PERSISTED
+    (table, bucket)-partitioned index — each probe is a
+    partition-pruned point read, not a full scan (rows-only; the exact
+    baseline q_cosine_topk is oracle-checked; indexed == ad-hoc results
+    pinned by tests/test_trainingdata_ops.py)."""
+    import shutil
+
+    from metal_history_knowledge_graph_spark.operators.simsearch import (
+        lsh_build,
+        lsh_topk_indexed,
+    )
 
     embs = _t(spark, sf_dir, "embeddings")
     row = embs.filter(F.col("vec_id") == 0).head()
-    return lsh_topk(embs, [float(v) for v in row.embedding], k=10, num_probes=6)
+    idx_path = f"/tmp/kg_lsh_index_{os.path.basename(os.path.abspath(sf_dir))}"
+    if not os.path.isdir(idx_path):
+        tmp = idx_path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        lsh_build(embs, num_tables=6).write.partitionBy("table", "bucket").parquet(tmp)
+        os.rename(tmp, idx_path)
+    index = spark.read.parquet(idx_path)
+    return lsh_topk_indexed(
+        index, [float(v) for v in row.embedding], k=10, num_probes=6
+    )
 
 
 def kg_components(spark, sf_dir):

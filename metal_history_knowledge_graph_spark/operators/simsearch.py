@@ -97,6 +97,77 @@ def _hyperplanes(dim: int, n_planes: int, table: int) -> list[list[float]]:
     return planes
 
 
+def _bucket_of(vec: list[float], planes: list[list[float]]) -> int:
+    """Driver-side sign-bucket of a query vector (same bit order as
+    ``_sign_bucket``)."""
+    out = 0
+    for plane in planes:
+        dot = sum(a * b for a, b in zip(vec, plane))
+        out = out * 2 + (1 if dot >= 0 else 0)
+    return out
+
+
+def lsh_build(
+    df: DataFrame,
+    n_planes: int = 8,
+    num_tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Materialized LSH index: one row per (input row, hash table) with
+    columns ``(table, bucket, id, vec)``. Persist it **partitioned by
+    (table, bucket)** — then a probe is a point-partition read (exactly
+    one partition per probed table; non-probed buckets are never
+    scanned). This is the classic multi-table LSH layout: storage is
+    num_tables× the base table, reads are pruned.
+
+    Bucket ids are computed once at build time from the same
+    deterministic hyperplanes as the ad-hoc path, so
+    ``lsh_topk_indexed`` over this index returns exactly what
+    ``lsh_topk`` computes with full scans."""
+    dim = len(df.select(vec_col).head()[0])
+    parts = []
+    for t in range(num_tables):
+        planes = _hyperplanes(dim, n_planes, t)
+        parts.append(
+            df.select(
+                F.lit(t).alias("table"),
+                _sign_bucket(vec_col, planes).alias("bucket"),
+                F.col(id_col),
+                F.col(vec_col),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_topk_indexed(
+    index: DataFrame,
+    query: list[float],
+    k: int = 10,
+    num_probes: int = 4,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k over a persisted ``lsh_build`` index: the
+    query's bucket per probed table is computed driver-side, and the
+    candidate read filters on the STORED (table, bucket) columns —
+    partition-pruned when the index is written partitioned by them."""
+    qn = math.sqrt(sum(v * v for v in query)) or 1.0
+    qunit = [v / qn for v in query]
+    dim = len(query)
+    cond = None
+    for t in range(num_probes):
+        qb = _bucket_of(qunit, _hyperplanes(dim, n_planes, t))
+        this = (F.col("table") == t) & (F.col("bucket") == qb)
+        cond = this if cond is None else (cond | this)
+    cand = index.filter(cond).dropDuplicates([id_col])
+    return cosine_topk(cand, query, k=k, vec_col=vec_col, id_col=id_col)
+
+
 def lsh_topk(
     df: DataFrame,
     query: list[float],
@@ -106,25 +177,19 @@ def lsh_topk(
     n_planes: int = 8,
     num_probes: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane LSH. Only rows sharing a
-    sign-bucket with the query (in any of ``num_probes`` tables) get
-    scored — at scale, pre-partitioning/bucketing the table by bucket
-    id turns this into a pruned scan."""
+    """Approximate top-k: random-hyperplane LSH, ad-hoc (index-free)
+    variant — each probe filters the base table by a recomputed sign
+    expression, so every probe is a scan. Use ``lsh_build`` +
+    ``lsh_topk_indexed`` for repeated queries: the persisted
+    (table, bucket)-partitioned index turns probes into pruned reads."""
     dim = len(query)
     qn = math.sqrt(sum(v * v for v in query)) or 1.0
     qunit = [v / qn for v in query]
 
-    def bucket_of(vec: list[float], planes) -> int:
-        out = 0
-        for plane in planes:
-            dot = sum(a * b for a, b in zip(vec, plane))
-            out = out * 2 + (1 if dot >= 0 else 0)
-        return out
-
     cand = None
     for t in range(num_probes):
         planes = _hyperplanes(dim, n_planes, t)
-        qb = bucket_of(qunit, planes)
+        qb = _bucket_of(qunit, planes)
         hits = df.filter(_sign_bucket(vec_col, planes) == qb)
         cand = hits if cand is None else cand.unionByName(hits)
     cand = cand.dropDuplicates([id_col])

@@ -65,6 +65,45 @@ def bands_by_country(
     )
 
 
+def bands_by_country_topk(
+    entities: DataFrame, country: str | None = None,
+    formed_after: int | None = None, page: int = 1, page_size: int = 20,
+) -> DataFrame:
+    """Scale path for shallow pagination: ``ORDER BY … OFFSET/LIMIT``
+    compiles to ``TakeOrderedAndProject`` — each task keeps only the
+    top page·page_size rows and the merge touches k rows per partition,
+    with NO unpartitioned window funnelling every surviving row through
+    a single task (the scale-killer in ``bands_by_country``, kept there
+    only as the oracle-compatible rn-emitting variant). Same rows as
+    ``bands_by_country`` for any (page, page_size)."""
+    bands = entity_view(entities, "bands")
+    if country:
+        bands = bands.filter(F.col("origin_country") == country)
+    if formed_after:
+        bands = bands.filter(F.col("formed_year") >= formed_after)
+    return (
+        bands.orderBy("canonical_name")
+        .offset((page - 1) * page_size)
+        .limit(page_size)
+    )
+
+
+def bands_keyset_page(
+    entities: DataFrame, after_name: str | None = None,
+    country: str | None = None, page_size: int = 20,
+) -> DataFrame:
+    """Keyset (cursor) pagination: ``WHERE canonical_name > :cursor
+    ORDER BY canonical_name LIMIT ps`` — constant work per page at any
+    depth (deep offsets never re-sort skipped rows); the cursor
+    predicate pushes into the scan."""
+    bands = entity_view(entities, "bands")
+    if country:
+        bands = bands.filter(F.col("origin_country") == country)
+    if after_name is not None:
+        bands = bands.filter(F.col("canonical_name") > after_name)
+    return bands.orderBy("canonical_name").limit(page_size)
+
+
 def entity_by_id(entities: DataFrame, canonical_id: int) -> DataFrame:
     """Point lookup (bands.py:58-72); id predicate prunes via stats."""
     return entities.filter(F.col("canonical_id") == canonical_id)

@@ -147,3 +147,44 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
         assert "Exchange" in plan_of(plain)
     finally:
         with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_pagination_topk_no_global_window(graph):
+    """Scale-path pagination must compile to TakeOrderedAndProject —
+    no Window over an unpartitioned ordering, no Exchange to a single
+    partition carrying the full row set (VERDICT r01 weak #4)."""
+    from metal_history_knowledge_graph_spark.plans import queries as Q
+
+    entities = graph.read("entities")
+    df = Q.bands_by_country_topk(entities, page=1, page_size=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+    # same rows as the oracle-compatible window variant
+    win = [r.canonical_name
+           for r in Q.bands_by_country(entities, page=1, page_size=10).collect()]
+    topk = [r.canonical_name for r in df.collect()]
+    assert topk == win
+
+    # page 2 agreement as well (offset path)
+    win2 = [r.canonical_name
+            for r in Q.bands_by_country(entities, page=2, page_size=5).collect()]
+    topk2 = [r.canonical_name
+             for r in Q.bands_by_country_topk(entities, page=2, page_size=5).collect()]
+    assert topk2 == win2
+
+
+def test_pagination_keyset(graph):
+    from metal_history_knowledge_graph_spark.plans import queries as Q
+
+    entities = graph.read("entities")
+    p1 = [r.canonical_name for r in Q.bands_keyset_page(entities, page_size=5).collect()]
+    assert p1 == sorted(p1)
+    p2 = [r.canonical_name
+          for r in Q.bands_keyset_page(entities, after_name=p1[-1], page_size=5).collect()]
+    assert p2 and p2[0] > p1[-1]
+    # keyset pages tile the window-paginated order exactly
+    win = [r.canonical_name
+           for r in Q.bands_by_country(entities, page=1, page_size=10).collect()]
+    assert (p1 + p2) == win

@@ -740,10 +740,23 @@ def td_minhash_pairs(spark, sf_dir):
     return minhash_lsh_pairs(injected, threshold=0.9).orderBy("doc_a", "doc_b")
 
 
+#: signature export consumed by the td_simhash_pairs DuckDB oracle —
+#: written fresh by the Spark side on every call, read by the oracle SQL.
+_SIMHASH_SIG_PATH = "/tmp/kg_simhash_sig.parquet"
+
+
 def td_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (64-bit signature, 16-bit chunk banding,
-    hamming verify; rows-only)."""
-    from metal_history_knowledge_graph_spark.operators.dedup import simhash_pairs
+    """SimHash near-dup pairs, decision-function-oracled: Spark
+    computes the 64-bit signatures (Arrow-batched numpy UDF — the only
+    non-SQL step) and EXPORTS them; the banding (4×16-bit chunks),
+    bucket join and hamming ≤ 3 verify are then replayed exactly in
+    DuckDB over the same signatures (shift/mask/xor/bit_count are
+    SQL-expressible) — the same oracle pattern as td_minhash_pairs'
+    exact-Jaccard decision check."""
+    from metal_history_knowledge_graph_spark.operators.dedup import (
+        simhash_pairs_from_signatures,
+        simhash_signatures,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     injected = docs.unionByName(
@@ -751,7 +764,14 @@ def td_simhash_pairs(spark, sf_dir):
             (F.col("doc_id") + 100000).alias("doc_id"), "text"
         )
     )
-    return simhash_pairs(injected, max_hamming=3).orderBy("doc_a", "doc_b")
+    signed = simhash_signatures(injected)
+    signed.write.mode("overwrite").parquet(_SIMHASH_SIG_PATH)
+    back = spark.read.parquet(_SIMHASH_SIG_PATH)
+    return (
+        simhash_pairs_from_signatures(back, max_hamming=3)
+        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 def td_lsh_topk(spark, sf_dir):
@@ -1226,5 +1246,32 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cosine
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        # Replays the banding/hamming DECISION over the Spark-exported
+        # signature table (the UDF signature itself is the only
+        # non-SQL step). BIGINT >> is arithmetic in DuckDB, but the
+        # & 65535 mask keeps exactly bits [16k, 16k+15] for every
+        # k ≤ 3, so chunks match Spark's shiftrightunsigned+mask.
+        "td_simhash_pairs": f"""
+            WITH sig AS (
+                SELECT doc, simhash FROM '{_SIMHASH_SIG_PATH}/*.parquet'
+            ),
+            chunks AS (
+                SELECT doc, simhash, k AS chunk_pos,
+                       (simhash >> (k * 16)) & 65535 AS chunk
+                FROM sig, (SELECT unnest([0, 1, 2, 3]) AS k)
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+                       a.simhash AS h_a, b.simhash AS h_b
+                FROM chunks a
+                JOIN chunks b ON a.chunk_pos = b.chunk_pos
+                             AND a.chunk = b.chunk AND a.doc < b.doc
+            )
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(h_a, h_b)) <= 3
+            ORDER BY doc_a, doc_b
         """,
     }

@@ -171,16 +171,15 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_pairs(
+def simhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dups: 64-bit signature from token hashes
-    (Arrow-batched numpy bit-voting), banded into 4×16-bit chunks —
-    docs within hamming distance ``max_hamming`` ≤ 3 share at least one
-    exact chunk (pigeonhole), so the bucket-join is lossless."""
+    """64-bit SimHash signatures (doc, simhash) via Arrow-batched numpy
+    bit-voting. Split out from the pair decision so the signature table
+    can be exported and the banding/hamming decision replayed exactly
+    in SQL (the DuckDB oracle for td_simhash_pairs)."""
     import hashlib
 
     import numpy as np
@@ -209,8 +208,17 @@ def simhash_pairs(
             out[i] = np.int64(np.uint64(sig))
         return pd.Series(out)
 
-    signed = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t")) \
+    return df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t")) \
         .withColumn("simhash", simhash64("_t")).drop("_t")
+
+
+def simhash_pairs_from_signatures(
+    signed: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Banding + verify over a (doc, simhash) table: 4×16-bit chunks —
+    docs within hamming ≤ 3 share at least one exact chunk
+    (pigeonhole), so the bucket-join is lossless. Fully native SQL
+    (shift/mask/xor/bit_count), hence exactly oracle-replayable."""
     chunks = signed.select(
         "doc", "simhash",
         F.posexplode(
@@ -235,4 +243,17 @@ def simhash_pairs(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dups end-to-end: signatures + banded pair decision
+    (see the two stages above)."""
+    return simhash_pairs_from_signatures(
+        simhash_signatures(df, id_col, text_col), max_hamming
     )

@@ -424,10 +424,15 @@ def q_ivf_fullprobe(spark, sf_dir):
     )
 
     embs, q = _embs_query0(spark, sf_dir)
-    _, assigned = ivf_build(embs, n_centroids=8, n_iters=2)
+    centroids, assigned = ivf_build(embs, n_centroids=8, n_iters=2)
     qn = math.sqrt(sum(v * v for v in q)) or 1.0
     qarr = F.array(*[F.lit(v / qn) for v in q])
-    scored = with_l2_normalized(assigned).withColumn(
+    # Probe ALL lists explicitly: the cluster.isin filter means a
+    # null/out-of-range assignment would DROP that row and the oracle
+    # compare would catch it — the gate really does validate that the
+    # inverted lists are a complete partition of the table.
+    probed = assigned.filter(F.col("cluster").isin(list(range(len(centroids)))))
+    scored = with_l2_normalized(probed).withColumn(
         "cosine", F.round(_dot(F.col("unit_vec"), qarr), 4)
     )
     return (

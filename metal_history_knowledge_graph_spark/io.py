@@ -97,15 +97,20 @@ class TableStore:
         kept = existing.join(df.select(*keys).distinct(), on=keys, how="left_anti")
         merged = kept.unionByName(df, allowMissingColumns=True)
         # Materialize before overwriting the directory we read from.
-        merged = self.spark.createDataFrame(merged.collect(), merged.schema) \
-            if merged.isStreaming else merged
         out = merged.localCheckpoint(eager=True)
         self.write(out, name)
 
     # -- bucketed tables (co-located joins) --------------------------------
     def _table_ident(self, name: str) -> str:
+        # The readable prefix is lossy ('/tmp/a/b' and '/tmp/a_b' both
+        # map to 'tmp_a_b'); the sha1 suffix of the RAW root keeps
+        # distinct roots on distinct catalog identifiers so one store's
+        # write_bucketed/drop can never clobber another's table.
+        import hashlib
+
         safe = "".join(c if c.isalnum() else "_" for c in self.root.strip("/"))
-        return f"kgstore_{safe}_{name}"
+        digest = hashlib.sha1(self.root.encode("utf-8")).hexdigest()[:8]
+        return f"kgstore_{safe}_{digest}_{name}"
 
     def write_bucketed(
         self,
@@ -145,11 +150,49 @@ class TableStore:
         if sort_cols:
             w = w.sortBy(*sort_cols)
         w.saveAsTable(ident)
+        # The bucket spec lives only in the (session-scoped, no
+        # metastore) catalog — persist it as a sidecar so a later
+        # session can re-register the table with CLUSTERED BY intact.
+        import json
+
+        meta = dict(schema_ddl=df.schema.toDDL(), bucket_cols=bucket_cols,
+                    n_buckets=n_buckets, sort_cols=sort_cols or [])
+        with open(self._path(name + "_bucketed.meta.json"), "w") as f:
+            json.dump(meta, f)
 
     def read_bucketed(self, name: str) -> DataFrame:
         """Read via the catalog — reading the parquet path directly
-        would discard the bucketing metadata (and re-shuffle on join)."""
-        return self.spark.read.table(self._table_ident(name))
+        would discard the bucketing metadata (and re-shuffle on join).
+
+        The saveAsTable registration lives in the session catalog; with
+        no persistent metastore it does not survive a new SparkSession,
+        so a resumed session re-registers the table from the stored
+        data directory + the bucket-spec sidecar (CREATE TABLE …
+        CLUSTERED BY … INTO N BUCKETS LOCATION …) before reading —
+        plain path reads would silently lose bucketing."""
+        ident = self._table_ident(name)
+        if not self.spark.catalog.tableExists(ident):
+            import json
+
+            path = self._path(name + "_bucketed")
+            meta_path = self._path(name + "_bucketed.meta.json")
+            if not (os.path.isdir(path) and os.path.isfile(meta_path)):
+                raise FileNotFoundError(
+                    f"no bucketed data/meta for '{name}' under {path}"
+                )
+            with open(meta_path) as f:
+                meta = json.load(f)
+            sort = (
+                f" SORTED BY ({', '.join(meta['sort_cols'])})"
+                if meta["sort_cols"] else ""
+            )
+            self.spark.sql(
+                f"CREATE TABLE {ident} ({meta['schema_ddl']}) USING parquet "
+                f"CLUSTERED BY ({', '.join(meta['bucket_cols'])}){sort} "
+                f"INTO {meta['n_buckets']} BUCKETS "
+                f"LOCATION '{path}'"
+            )
+        return self.spark.read.table(ident)
 
     def drop(self, name: str) -> None:
         if self.iceberg:
@@ -160,3 +203,6 @@ class TableStore:
         for p in (self._path(name), self._path(name + "_bucketed")):
             if os.path.isdir(p):
                 shutil.rmtree(p)
+        meta = self._path(name + "_bucketed.meta.json")
+        if os.path.isfile(meta):
+            os.remove(meta)

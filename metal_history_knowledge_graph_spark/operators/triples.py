@@ -222,8 +222,11 @@ def build_triples(
     # Materialize once: BOTH the dedup path and the provenance path
     # consume the full relationship-observation set below — without
     # this, each downstream write re-scans and re-normalizes the
-    # mention-scale table (~5 redundant scans measured). At cluster
-    # scale this checkpoint is the stage's intermediate table commit.
+    # mention-scale table (~5 redundant scans measured). Note
+    # localCheckpoint blocks live on executor local storage and are NOT
+    # fault-tolerant; at cluster scale this spot is where a reliable
+    # checkpoint / intermediate table commit (store.write + read, as
+    # the pipeline stages do) belongs.
     normalized = normalize_predicates(candidates).localCheckpoint(eager=True)
 
     # Provenance first (pre-dedup, every observing url counts), keyed

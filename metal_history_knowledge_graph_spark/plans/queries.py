@@ -203,9 +203,13 @@ def neighborhood(edges: DataFrame, node_id: int, depth: int = 2) -> DataFrame:
     )
 
 
-def influence_chains(edges: DataFrame, min_hops: int = 2, max_hops: int = 3) -> DataFrame:
-    """INFLUENCED_BY*2..3 unrolled (query_pattern_tester.py:49-56)."""
-    inf = edges.filter(F.col("pred") == "INFLUENCED_BY").select(
+def influence_chains(
+    edges: DataFrame, min_hops: int = 2, max_hops: int = 3,
+    pred: str = "INFLUENCED_BY",
+) -> DataFrame:
+    """pred*2..3 unrolled (query_pattern_tester.py:49-56); ``pred``
+    also serves the reference's EVOLVED_INTO*1..3 tester pattern."""
+    inf = edges.filter(F.col("pred") == pred).select(
         F.col("subj_id").alias("a"), F.col("subj_name").alias("a_name"),
         F.col("obj_id").alias("b"), F.col("obj_name").alias("b_name"),
     )

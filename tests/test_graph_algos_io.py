@@ -123,3 +123,37 @@ def test_betweenness_distributed_matches_driver(spark):
     }
     assert driver == distributed
     assert driver, "graph has interior nodes"
+
+
+def test_read_bucketed_survives_catalog_loss(spark, store):
+    """Simulate a new SparkSession (no persistent metastore): drop the
+    catalog entry, keep the data + bucket-spec sidecar — read_bucketed
+    must re-register with CLUSTERED BY intact so co-bucketed joins
+    still plan without an Exchange."""
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k long, v string")
+    store.write_bucketed(df, "bk", bucket_cols=["k"], n_buckets=4)
+    ident = store._table_ident("bk")
+    spark.sql(f"DROP TABLE IF EXISTS {ident}")  # catalog gone, data stays
+
+    back = store.read_bucketed("bk")
+    assert back.count() == 100
+    # bucket spec recovered: self-join on the bucket key needs no shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = store.read_bucketed("bk")
+        b = store.read_bucketed("bk").withColumnRenamed("v", "v2")
+        plan = a.join(b, "k")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_table_ident_distinct_roots(spark, tmp_path):
+    from metal_history_knowledge_graph_spark.io import TableStore
+
+    import os
+    r1 = str(tmp_path / "a" / "b")
+    r2 = str(tmp_path / "a_b")
+    os.makedirs(r1, exist_ok=True)
+    s1, s2 = TableStore(spark, r1), TableStore(spark, r2)
+    assert s1._table_ident("t") != s2._table_ident("t")

@@ -194,6 +194,44 @@ SONGS: dict[str, dict] = {
     "Am I Evil?": dict(artist="Diamond Head", album="Lightning to the Nations", track_number=4),
 }
 
+#: enhanced-schema entity families
+#: (``src/extraction/specialized_prompts.py``, node tables
+#: ``metal_history_schema_enhanced.cypher:29-99,187-195``).
+EQUIPMENT: dict[str, dict] = {
+    "Boss HM-2": dict(type="pedal", manufacturer="Boss"),
+    "Tube Screamer": dict(type="pedal", manufacturer="Ibanez"),
+    "Marshall JCM800": dict(type="amp", manufacturer="Marshall"),
+    "Peavey 5150": dict(type="amp", manufacturer="Peavey"),
+    "Mesa Boogie Dual Rectifier": dict(type="amp", manufacturer="Mesa Boogie"),
+    "Gibson SG": dict(type="guitar", manufacturer="Gibson"),
+    "Jackson Rhoads": dict(type="guitar", manufacturer="Jackson"),
+    "Fender Precision Bass": dict(type="bass", manufacturer="Fender"),
+}
+
+VENUES: dict[str, dict] = {
+    "CBGB": dict(type="club", location="New York City"),
+    "L'Amour": dict(type="club", location="Brooklyn"),
+    "Helvete": dict(type="record_shop", location="Oslo"),
+    "Ruthie's Inn": dict(type="club", location="Berkeley"),
+    "Hammersmith Odeon": dict(type="club", location="London"),
+    "The Marquee Club": dict(type="club", location="London"),
+}
+
+PLATFORMS: dict[str, dict] = {
+    "MySpace": dict(type="social_media"),
+    "YouTube": dict(type="video"),
+    "Bandcamp": dict(type="streaming"),
+    "MTV": dict(type="video"),
+    "Headbangers Ball": dict(type="video"),
+}
+
+PRODUCTION_STYLES: dict[str, dict] = {
+    "buzzsaw": dict(key_characteristics="HM-2 chainsaw guitar tone"),
+    "scooped mids": dict(key_characteristics="mid-cut EQ thrash tone"),
+    "reverb-drenched": dict(key_characteristics="cavernous ambience"),
+    "lo-fi necro": dict(key_characteristics="raw 4-track production"),
+}
+
 SUBGENRES: dict[str, dict] = {
     "heavy metal": dict(era_start=1968, parents=["hard rock", "blues rock"]),
     "thrash metal": dict(era_start=1983, parents=["NWOBHM", "hardcore punk"]),
@@ -316,4 +354,10 @@ def build_alias_rows() -> list[dict]:
         add(name, "studios", name, ["recorded", "studio"])
     for name in LABELS:
         add(name, "labels", name, ["label", "released"])
+    for name in EQUIPMENT:
+        add(name, "equipment", name, ["recorded", "gear", "sound"])
+    for name in VENUES:
+        add(name, "venues", name, ["played", "venue", "club"])
+    for name in PLATFORMS:
+        add(name, "platforms", name, ["promoted", "viral", "platform"])
     return rows

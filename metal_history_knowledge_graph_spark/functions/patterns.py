@@ -30,9 +30,13 @@ from typing import Optional
 
 from .confidence import score_mention
 from .gazetteer import (
+    EQUIPMENT,
     INSTRUMENT_BY_ROLE,
+    PLATFORMS,
+    PRODUCTION_STYLES,
     ROLE_BY_INSTRUMENT,
     SUBGENRES,
+    VENUES,
     build_alias_rows,
 )
 
@@ -74,6 +78,16 @@ P_MOVEMENT = re.compile(
 )
 P_LEFT = re.compile(rf"In (\d{{4}}), ({NAME}) left ({NAME})")
 P_REPLACED = re.compile(rf"(?:He|She|They) (?:was|were) replaced by ({NAME})(?:, formerly of ({NAME}))?")
+_EQUIP = "|".join(sorted((re.escape(e) for e in EQUIPMENT), key=len, reverse=True))
+_VENUE = "|".join(sorted((re.escape(v) for v in VENUES), key=len, reverse=True))
+_PLATFORM = "|".join(sorted((re.escape(p) for p in PLATFORMS), key=len, reverse=True))
+_PRODSTYLE = "|".join(sorted((re.escape(s) for s in PRODUCTION_STYLES), key=len, reverse=True))
+# enhanced-schema context patterns (specialized_prompts.py cue lists:
+# 'recorded with', 'played at', 'promoted on')
+P_EQUIPMENT = re.compile(rf"\b({NAME}) recorded with the ({_EQUIP})")
+P_VENUE = re.compile(rf"\b({NAME}) played at ({_VENUE})")
+P_PLATFORM = re.compile(rf"\b({NAME}) was promoted on ({_PLATFORM})")
+P_PRODSTYLE = re.compile(rf"'([^']+)' was produced with the ({_PRODSTYLE}) sound")
 P_TRACK = re.compile(r"'([^']+)' features the track '([^']+)'")
 P_PERFORMED = re.compile(rf"\b({NAME}) performed on '([^']+)' playing (?:the )?({INSTRUMENTS})")
 P_CONTEMP = re.compile(rf"\b({NAME}) and ({NAME}) were contemporaries")
@@ -303,6 +317,42 @@ def extract_from_text(text: str) -> tuple[list[dict], list[dict]]:
             if former_band:
                 acc.add("bands", former_band, s_off, description=sent)
                 acc.rel("MEMBER_OF", "person", person, "band", former_band, context=sent)
+
+        m = P_EQUIPMENT.search(sent)
+        if m:
+            band, equip = m.group(1), m.group(2)
+            acc.add("bands", band, s_off, description=sent)
+            acc.add("equipment", equip, s_off, type=EQUIPMENT[equip]["type"],
+                    manufacturer=EQUIPMENT[equip]["manufacturer"])
+            # USES_EQUIPMENT(Band→Equipment), enhanced cypher :109
+            acc.rel("USES_EQUIPMENT", "band", band, "equipment", equip, context=sent)
+
+        m = P_VENUE.search(sent)
+        if m:
+            band, venue = m.group(1), m.group(2)
+            acc.add("bands", band, s_off, description=sent)
+            acc.add("venues", venue, s_off, type=VENUES[venue]["type"],
+                    location=VENUES[venue]["location"])
+            # VENUE_HOSTED(Venue→Band), enhanced cypher :198
+            acc.rel("VENUE_HOSTED", "venue", venue, "band", band, context=sent)
+
+        m = P_PLATFORM.search(sent)
+        if m:
+            band, platform = m.group(1), m.group(2)
+            acc.add("bands", band, s_off, description=sent)
+            acc.add("platforms", platform, s_off, type=PLATFORMS[platform]["type"])
+            # PROMOTED_ON(Band→Platform), enhanced cypher :114
+            acc.rel("PROMOTED_ON", "band", band, "platform", platform, context=sent)
+
+        m = P_PRODSTYLE.search(sent)
+        if m:
+            album, style = m.group(1), m.group(2)
+            acc.add("albums", album, s_off, title=album)
+            acc.add("production_styles", style, s_off,
+                    key_characteristics=PRODUCTION_STYLES[style]["key_characteristics"])
+            # PRODUCED_WITH_STYLE(Album→ProductionStyle), enhanced cypher :119
+            acc.rel("PRODUCED_WITH_STYLE", "album", album,
+                    "production_style", style, context=sent)
 
         m = P_TRACK.search(sent)
         if m:

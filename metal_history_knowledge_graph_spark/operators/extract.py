@@ -31,7 +31,7 @@ ATTR_FIELDS: list[tuple[str, str]] = [
     ("scene_description", "string"),
     ("date", "string"), ("type", "string"),
     ("famous_for", "string"), ("location", "string"),
-    ("founded_year", "int"),
+    ("founded_year", "int"), ("manufacturer", "string"),
     ("era_start", "int"), ("era_end", "int"), ("bpm_min", "int"), ("bpm_max", "int"),
     ("guitar_tuning", "string"), ("vocal_style", "string"),
     ("key_characteristics", "string"), ("parent_influences", "array<string>"),

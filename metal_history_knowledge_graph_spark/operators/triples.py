@@ -38,7 +38,10 @@ BASE_PREDICATES = [
 ]
 #: enhanced-schema predicates this engine emits
 #: (metal_history_schema_enhanced.cypher:104-198).
-ENHANCED_PREDICATES = ["PART_OF_MOVEMENT"]
+ENHANCED_PREDICATES = [
+    "PART_OF_MOVEMENT", "USES_EQUIPMENT", "VENUE_HOSTED", "PROMOTED_ON",
+    "PRODUCED_WITH_STYLE",
+]
 PREDICATE_WHITELIST = frozenset(BASE_PREDICATES + ENHANCED_PREDICATES)
 
 #: lowercase alias → schema predicate (load_to_kuzu.py:800-810).
@@ -55,6 +58,7 @@ SINGULAR_TO_PLURAL = {
     "subgenre": "subgenres", "genre": "subgenres", "location": "locations",
     "event": "events", "equipment": "equipment", "studio": "studios",
     "label": "labels", "movement": "movements", "venue": "venues",
+    "platform": "platforms", "production_style": "production_styles",
 }
 
 PROVENANCE_SAMPLE = 100

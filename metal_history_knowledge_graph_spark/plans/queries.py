@@ -28,6 +28,10 @@ _TYPE_SCHEMAS = {
     "studios": "struct<location:string, famous_for:string>",
     "labels": "struct<founded_year:int>",
     "events": "struct<date:string, type:string, description:string>",
+    "equipment": "struct<type:string, manufacturer:string>",
+    "venues": "struct<type:string, location:string>",
+    "platforms": "struct<type:string>",
+    "production_styles": "struct<key_characteristics:string>",
 }
 
 

@@ -30,9 +30,13 @@ from datetime import datetime, timedelta
 from ..functions.gazetteer import (
     ALBUMS,
     BANDS,
+    EQUIPMENT,
     GENRE_EVOLUTION,
     GENRE_ORIGINS,
     INFLUENCES,
+    PLATFORMS,
+    PRODUCTION_STYLES,
+    VENUES,
     MOVEMENTS,
     PEOPLE,
     ROLE_BY_INSTRUMENT,
@@ -166,6 +170,19 @@ def _band_profile(rng: random.Random, truth: list) -> list[str]:
     genre = rng.choice(b["genres"])
     sents.append(f"{band} plays {genre}.")
     truth.append(("PLAYS_GENRE", "band", band, "subgenre", genre))
+    # enhanced-schema color: gear, venues, platforms
+    if rng.random() < 0.3:
+        equip = rng.choice(sorted(EQUIPMENT))
+        sents.append(f"{band} recorded with the {equip}.")
+        truth.append(("USES_EQUIPMENT", "band", band, "equipment", equip))
+    if rng.random() < 0.3:
+        venue = rng.choice(sorted(VENUES))
+        sents.append(f"{band} played at {venue}.")
+        truth.append(("VENUE_HOSTED", "venue", venue, "band", band))
+    if rng.random() < 0.25:
+        platform = rng.choice(sorted(PLATFORMS))
+        sents.append(f"{band} was promoted on {platform}.")
+        truth.append(("PROMOTED_ON", "band", band, "platform", platform))
     sents.extend(_filler(rng, rng.randint(0, 2)))
     blocks.append(" ".join(sents))
 
@@ -194,6 +211,11 @@ def _band_profile(rng: random.Random, truth: list) -> list[str]:
                 f"playing {instrument}."
             )
             truth.append(("PERFORMED_ON", "person", perf, "album", album))
+        if rng.random() < 0.3:
+            style = rng.choice(sorted(PRODUCTION_STYLES))
+            sents.append(f"'{album}' was produced with the {style} sound.")
+            truth.append(("PRODUCED_WITH_STYLE", "album", album,
+                          "production_style", style))
         sents.extend(_filler(rng, rng.randint(0, 2)))
         blocks.append(" ".join(sents))
 

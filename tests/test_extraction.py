@@ -137,3 +137,23 @@ def test_cooccurrence_extraction():
     rels = _rels(_SONG_TEXT)
     assert ("CONTEMPORARY_OF", "Metallica", "Slayer") in rels
     assert ("MENTIONED_WITH", "Megadeth", "Metallica") in rels
+
+
+def test_enhanced_family_extraction():
+    text = ("Slayer recorded with the Boss HM-2. "
+            "Slayer played at Ruthie's Inn. "
+            "Metallica was promoted on MTV. "
+            "'Reign in Blood' was produced with the scooped mids sound.")
+    mentions = _mentions(text)
+    by_type = {m["entity_type"]: m for m in mentions}
+    assert by_type["equipment"]["name"] == "Boss HM-2"
+    assert by_type["equipment"]["manufacturer"] == "Boss"
+    assert by_type["venues"]["name"] == "Ruthie's Inn"
+    assert by_type["venues"]["location"] == "Berkeley"
+    assert by_type["platforms"]["name"] == "MTV"
+    assert by_type["production_styles"]["name"] == "scooped mids"
+    rels = _rels(text)
+    assert ("USES_EQUIPMENT", "Slayer", "Boss HM-2") in rels
+    assert ("VENUE_HOSTED", "Ruthie's Inn", "Slayer") in rels
+    assert ("PROMOTED_ON", "Metallica", "MTV") in rels
+    assert ("PRODUCED_WITH_STYLE", "Reign in Blood", "scooped mids") in rels

@@ -587,6 +587,27 @@ def q_triangles(spark, sf_dir):
     )
 
 
+def q_betweenness(spark, sf_dir):
+    """Sampled-BFS betweenness over the derived edge graph — the
+    min-parent shortest-path-tree decision (operators/graph_algos.py)
+    replayed exactly in DuckDB: BFS levels via a bounded recursive CTE,
+    parent(v) = min neighbor at dist−1, recursive parent-chain walk
+    counting interiors. Turns the betweenness family from rows-only
+    into oracle-checked."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        betweenness_sampled,
+    )
+
+    e = _derived_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    )
+    return (
+        betweenness_sampled(e, n_sources=16, max_hops=6)
+        .select("node_id", F.col("betweenness").cast("long").alias("betweenness"))
+        .orderBy("node_id")
+    )
+
+
 def q_clustering(spark, sf_dir):
     """Local clustering coefficient over the derived edge graph —
     triangle numerator (q_triangles oracle) divided by deg·(deg−1)/2
@@ -864,6 +885,27 @@ def kg_intent_search(spark, sf_dir):
     ).withColumn("genres", F.array_join(F.coalesce("genres", F.array()), ","))
 
 
+def kg_monitor(spark, sf_dir):
+    """Quality monitors (extraction F1 / search latency / graph growth)
+    with metrics-history append (rows-only; reference
+    quality_monitor.py:25-430). Sandbox latency threshold is loosened —
+    Spark fixed overhead, not Kuzu point-lookup scale."""
+    from metal_history_knowledge_graph_spark.operators.monitor import (
+        DEFAULT_THRESHOLDS,
+        run_all_monitors,
+    )
+    from metal_history_knowledge_graph_spark.sources.corpus import generate_truth
+
+    store = _kg_store(spark, sf_dir)
+    n_pages = 300 if "0.01" in os.path.basename(os.path.abspath(sf_dir)) else 120
+    truth = generate_truth(spark, n_pages, seed=42)
+    row, _alerts = run_all_monitors(
+        spark, store, truth,
+        {**DEFAULT_THRESHOLDS, "search_latency_max_ms": 60_000.0},
+    )
+    return row.select("n_entities", "n_edges", "f1")
+
+
 def kg_quality(spark, sf_dir):
     """Triple P/R vs the corpus oracle — the north-rule gate as a query."""
     from metal_history_knowledge_graph_spark.plans.quality import triple_prf
@@ -911,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_components": q_components,
         "q_bfs_hops": q_bfs_hops,
         "q_mutual_edges": q_mutual_edges,
+        "q_betweenness": q_betweenness,
         "q_triangles": q_triangles,
         "q_clustering": q_clustering,
         "q_collect_list": q_collect_list,
@@ -931,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_validation": kg_validation,
         "kg_hybrid_search": kg_hybrid_search,
         "kg_intent_search": kg_intent_search,
+        "kg_monitor": kg_monitor,
         "kg_quality": kg_quality,
     }
 
@@ -1133,6 +1177,49 @@ def oracle_sql() -> dict[str, str]:
                 WHERE walk.hops < 4
             )
             SELECT node, min(hops) AS hops FROM walk GROUP BY node ORDER BY node
+        """,
+        "q_betweenness": f"""
+            WITH RECURSIVE {_DERIVED_EDGES_SQL},
+            und AS (
+                SELECT src AS a, dst AS b FROM edges
+                UNION
+                SELECT dst AS a, src AS b FROM edges
+            ),
+            srcs AS (
+                SELECT a AS s FROM und GROUP BY a ORDER BY a LIMIT 16
+            ),
+            walk(s, node, hops) AS (
+                SELECT s, s, CAST(0 AS BIGINT) FROM srcs
+                UNION
+                SELECT walk.s, und.b, walk.hops + 1
+                FROM walk JOIN und ON und.a = walk.node
+                WHERE walk.hops < 6
+            ),
+            dist AS (
+                SELECT s, node, min(hops) AS d FROM walk GROUP BY s, node
+            ),
+            parents AS (
+                -- min-parent shortest-path tree: parent(v) = min
+                -- neighbor at dist-1 (the well-defined tie-break the
+                -- Spark operator uses)
+                SELECT c.s, c.node, min(p.node) AS parent
+                FROM dist c
+                JOIN und ON und.b = c.node
+                JOIN dist p ON p.s = c.s AND p.node = und.a
+                             AND p.d = c.d - 1
+                WHERE c.d > 0
+                GROUP BY c.s, c.node
+            ),
+            chain(s, dst, cur) AS (
+                SELECT s, node, parent FROM parents WHERE parent <> s
+                UNION
+                SELECT c.s, c.dst, p.parent
+                FROM chain c
+                JOIN parents p ON p.s = c.s AND p.node = c.cur
+                WHERE p.parent <> c.s
+            )
+            SELECT cur AS node_id, count(*) AS betweenness
+            FROM chain GROUP BY cur ORDER BY node_id
         """,
         "q_mutual_edges": f"""
             WITH {_DERIVED_EDGES_SQL}

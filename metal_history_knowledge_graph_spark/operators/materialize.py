@@ -60,6 +60,46 @@ def commit_stage(
     store.append(df, LINEAGE_TABLE)
 
 
+PARTITION_LINEAGE_TABLE = "partition_lineage"
+
+
+def partition_lineage(
+    df: DataFrame, run_id: str, stage: str,
+    key_col: str = "url", mismatch_col: str | None = None,
+) -> DataFrame:
+    """Per-physical-partition lineage record (north rule: key range +
+    row count per partition — the audit/resume unit at scale), in ONE
+    scan of the committed table. ``mismatch_col`` (boolean) fuses the
+    byte-identity violation count into the same pass (chunks stage)."""
+    aggs = [
+        F.min(key_col).cast("string").alias("key_min"),
+        F.max(key_col).cast("string").alias("key_max"),
+        F.count(F.lit(1)).alias("row_count"),
+        F.countDistinct(key_col).alias("n_keys"),
+        (
+            F.sum((~F.col(mismatch_col)).cast("long"))
+            if mismatch_col is not None
+            else F.max(F.lit(None).cast("long"))
+        ).alias("n_mismatch"),
+    ]
+    return (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(*aggs)
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("stage", F.lit(stage))
+    )
+
+
+def commit_partition_lineage(store: TableStore, lineage: DataFrame) -> tuple[int, int]:
+    """Append the (tiny) per-partition records; returns
+    (total_rows, total_mismatch) summed over them so callers never
+    rescan the big table for counts."""
+    mat = lineage.localCheckpoint(eager=True)
+    totals = mat.agg(F.sum("row_count"), F.sum("n_mismatch")).collect()[0]
+    store.append(mat, PARTITION_LINEAGE_TABLE)
+    return int(totals[0] or 0), int(totals[1] or 0)
+
+
 def write_entities(store: TableStore, entities: DataFrame) -> None:
     store.write(entities, "entities", partition_by=["entity_type"])
 

@@ -29,7 +29,9 @@ from ..operators.canonicalize import canonicalize
 from ..operators.chunk import chunk_pages
 from ..operators.extract import extract_chunks, mentions_of, relationships_of
 from ..operators.materialize import (
+    commit_partition_lineage,
     commit_stage,
+    partition_lineage,
     stage_complete,
     write_edges,
     write_entities,
@@ -73,39 +75,32 @@ def run(
         if until_stage == stage:
             stop["flag"] = True
 
+    # Every stage commits a per-partition lineage record (north rule:
+    # key range + row count per physical partition — the unit of exact
+    # resume/audit at scale) in ONE scan of its committed table; stage
+    # row totals are sums over the tiny lineage rows, never a second
+    # pass over the data.
+
     def do_chunks():
         chunks = chunk_pages(pages)
         store.write(chunks, "chunks")
         persisted = store.read("chunks")
-        # ONE scan produces the per-partition lineage record (north
-        # rule: url range + row count per physical partition — the unit
-        # of exact resume/audit at scale), the total row count AND the
-        # byte-identity violation count: the totals are sums over the
-        # (tiny) lineage rows, so no second or third pass over the
-        # committed table.
-        part_lineage = persisted.groupBy(
-            F.spark_partition_id().alias("partition_id")
-        ).agg(
-            F.min("url").alias("url_min"),
-            F.max("url").alias("url_max"),
-            F.count(F.lit(1)).alias("row_count"),
-            F.countDistinct("url").alias("n_urls"),
-            F.sum((~F.col("text_matches_crawl")).cast("long")).alias("n_mismatch"),
-        ).withColumn("run_id", F.lit(run_id)).withColumn("stage", F.lit("chunks")) \
-            .localCheckpoint(eager=True)
-        totals = part_lineage.agg(
-            F.sum("row_count"), F.sum("n_mismatch")
-        ).collect()[0]
-        store.write(part_lineage, "partition_lineage")
+        # the chunks scan also fuses the byte-identity violation count
+        n, n_mismatch = commit_partition_lineage(store, partition_lineage(
+            persisted, run_id, "chunks", key_col="url",
+            mismatch_col="text_matches_crawl",
+        ))
         # compact seen-set for incremental/streaming anti-joins
         # (url column only — pruned scan of the just-committed table)
         store.write(persisted.select("url").distinct(), "processed_urls")
-        return int(totals[0] or 0), {"text_mismatch_urls": int(totals[1] or 0)}
+        return n, {"text_mismatch_urls": n_mismatch}
 
     def do_extract():
         extracted = extract_chunks(store.read("chunks"))
         store.write(extracted, "extracted")
-        n = store.read("extracted").count()
+        n, _ = commit_partition_lineage(store, partition_lineage(
+            store.read("extracted"), run_id, "extracted", key_col="url"
+        ))
         return n, {}
 
     def do_entities():
@@ -117,7 +112,9 @@ def run(
         write_entities(store, entities)
         store.write(resolution, "resolution")
         store.write(provenance, "entity_provenance")
-        n = store.read("entities").count()
+        n, _ = commit_partition_lineage(store, partition_lineage(
+            store.read("entities"), run_id, "entities", key_col="canonical_name"
+        ))
         return n, {"forms": store.read("resolution").count()}
 
     def do_edges():
@@ -128,7 +125,9 @@ def run(
         )
         write_edges(store, edges)
         store.write(edge_prov, "edge_provenance")
-        n = store.read("edges").count()
+        n, _ = commit_partition_lineage(store, partition_lineage(
+            store.read("edges"), run_id, "edges", key_col="edge_key"
+        ))
         return n, {}
 
     timed("chunks", do_chunks)

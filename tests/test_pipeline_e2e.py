@@ -126,3 +126,32 @@ def test_incremental_append(spark, graph):
         .filter(F.col("count") > 1).count()
     )
     assert per_url == 0
+
+
+def test_partition_lineage_all_stages(spark, tmp_path):
+    """Every stage commits per-partition lineage (key range + row count
+    per physical partition) and the recorded totals equal the committed
+    tables' counts."""
+    from pyspark.sql import functions as F
+
+    from metal_history_knowledge_graph_spark.io import TableStore
+    from metal_history_knowledge_graph_spark.plans.pipeline import run
+
+    store = TableStore(spark, str(tmp_path / "plstore"))
+    run(spark, generate_pages(spark, 25, seed=21), store, run_id="pl")
+    pl = store.read("partition_lineage")
+    stages = {r.stage for r in pl.select("stage").distinct().collect()}
+    assert stages == {"chunks", "extracted", "entities", "edges"}
+    totals = {
+        r.stage: r.total
+        for r in pl.groupBy("stage").agg(F.sum("row_count").alias("total")).collect()
+    }
+    assert totals["chunks"] == store.read("chunks").count()
+    assert totals["extracted"] == store.read("extracted").count()
+    assert totals["entities"] == store.read("entities").count()
+    assert totals["edges"] == store.read("edges").count()
+    # mismatch column fused only on the chunks scan, zero violations
+    mm = {r.stage: r.m for r in pl.groupBy("stage")
+          .agg(F.sum("n_mismatch").alias("m")).collect()}
+    assert mm["chunks"] == 0
+    assert mm["extracted"] is None

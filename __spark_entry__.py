@@ -375,6 +375,30 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_hybrid_rank(spark, sf_dir):
+    """Hybrid 0.7·semantic + 0.3·keyword rank over documents ⋈
+    embeddings with a precomputed query vector — the full-outer-merge
+    decision function of the hybrid-search family, exactly
+    SQL-expressible (reference api/semantic_search.py:325-455)."""
+    from metal_history_knowledge_graph_spark.operators.embeddings import (
+        hybrid_search_vec,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), F.lower(F.trim("text")).alias("text_norm")
+    )
+    vecs = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    qvec = [float(v) for v in
+            vecs.filter(F.col("doc") == 0).head().embedding]
+    return hybrid_search_vec(
+        docs, vecs, qvec, keyword="data", k=15,
+        id_col="doc", text_col="text_norm",
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing gate: documents → binary media column →
     Arrow-batched mapInPandas feature extraction. The metadata outputs
@@ -946,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dup_groups": q_exact_dup_groups,
         "q_wordset_jaccard": q_wordset_jaccard,
         "q_cosine_topk": q_cosine_topk,
+        "q_hybrid_rank": q_hybrid_rank,
         "q_ivf_fullprobe": q_ivf_fullprobe,
         "td_ivf_topk": td_ivf_topk,
         "q_media_features": q_media_features,
@@ -1293,6 +1318,32 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents WHERE length(text) > 0
+        """,
+        "q_hybrid_rank": """
+            WITH q AS (
+                SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+            ),
+            sem AS (
+                SELECT vec_id AS doc,
+                       round(list_cosine_similarity(embedding::DOUBLE[], qv), 4)
+                           AS semantic_score
+                FROM embeddings, q
+                ORDER BY semantic_score DESC, doc ASC LIMIT 45
+            ),
+            kw AS (
+                SELECT doc_id AS doc,
+                       CASE WHEN lower(trim(text)) = 'data' THEN 1.0
+                            WHEN lower(trim(text)) LIKE 'data%' THEN 0.8
+                            ELSE 0.5 END AS keyword_score
+                FROM documents WHERE lower(trim(text)) LIKE '%data%'
+            )
+            SELECT coalesce(sem.doc, kw.doc) AS doc,
+                   coalesce(semantic_score, 0) AS semantic_score,
+                   coalesce(keyword_score, 0) AS keyword_score,
+                   round(0.7 * coalesce(semantic_score, 0)
+                       + 0.3 * coalesce(keyword_score, 0), 4) AS final_score
+            FROM sem FULL OUTER JOIN kw ON sem.doc = kw.doc
+            ORDER BY final_score DESC, doc ASC LIMIT 15
         """,
         "q_ivf_fullprobe": """
             WITH q AS (

@@ -127,6 +127,61 @@ def semantic_search(
                        id_col="canonical_id")
 
 
+def hybrid_search_vec(
+    items: DataFrame, vectors: DataFrame, query_vec: list[float],
+    keyword: str, k: int = 10, id_col: str = "canonical_id",
+    text_col: str = "name_norm", round_digits: int = 4,
+) -> DataFrame:
+    """Hybrid rank with a PRECOMPUTED query vector: the same
+    0.7·semantic + 0.3·keyword full-outer merge as ``hybrid_search``
+    (api/semantic_search.py:325-455) but with both inputs expressible
+    in plain SQL — semantic = cosine against ``query_vec`` over the
+    stored vector column, keyword = exact/prefix/contains tiers on
+    ``text_col``. This is the oracle-checkable decision function of
+    the hybrid family (the text-embedding step is covered by unit
+    tests); numeric tie-break on ``id_col``. Semantic side keeps
+    ``hybrid_search``'s top-3k cut before the merge."""
+    import math
+
+    qn = math.sqrt(sum(v * v for v in query_vec)) or 1.0
+    q = F.array(*[F.lit(float(v) / qn) for v in query_vec])
+    from .simsearch import _dot
+
+    sem = (
+        with_l2_normalized(vectors, "embedding")
+        .withColumn("semantic_score", F.round(_dot(F.col("unit_vec"), q), round_digits))
+        .select(id_col, "semantic_score")
+        .orderBy(F.desc("semantic_score"), F.asc(id_col))
+        .limit(k * 3)
+    )
+    kwn = keyword.lower().strip()
+    kw = (
+        items.filter(F.col(text_col).contains(kwn))
+        .withColumn(
+            "keyword_score",
+            F.when(F.col(text_col) == kwn, 1.0)
+            .when(F.col(text_col).startswith(kwn), 0.8)
+            .otherwise(0.5),
+        )
+        .select(id_col, "keyword_score")
+    )
+    return (
+        sem.join(kw, id_col, "full_outer")
+        .select(
+            id_col,
+            F.coalesce("semantic_score", F.lit(0.0)).alias("semantic_score"),
+            F.coalesce("keyword_score", F.lit(0.0)).alias("keyword_score"),
+        )
+        .withColumn(
+            "final_score",
+            F.round(0.7 * F.col("semantic_score") + 0.3 * F.col("keyword_score"),
+                    round_digits),
+        )
+        .orderBy(F.desc("final_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def hybrid_search(
     spark, entities: DataFrame, entity_vectors: DataFrame, query: str,
     k: int = 10, dim: int = DIM_DEFAULT,

@@ -194,6 +194,57 @@ SONGS: dict[str, dict] = {
     "Am I Evil?": dict(artist="Diamond Head", album="Lightning to the Nations", track_number=4),
 }
 
+#: eras (schema initialize_kuzu.py Era node; ACTIVE_DURING /
+#: EMERGED_DURING endpoints). Ranges tile the bands' formed_year span.
+ERAS: dict[str, tuple[int, int]] = {
+    "Early Metal Era": (1965, 1978),
+    "NWOBHM Era": (1979, 1982),
+    "Thrash Era": (1983, 1989),
+    "Extreme Metal Era": (1990, 1999),
+}
+
+#: media outlets (DOCUMENTED_IN / FEATURED_IN endpoints).
+MEDIA_OUTLETS: list[str] = ["Kerrang!", "Metal Hammer", "Sounds", "Rolling Stone"]
+
+#: cultural events (PARTICIPATED_IN / INFLUENCED_EVENT endpoints).
+CULTURAL_EVENTS: list[str] = [
+    "Monsters of Rock", "Wacken Open Air", "US Festival",
+    "Clash of the Titans",
+]
+
+#: musical characteristics (HAS_CHARACTERISTIC / USES_TECHNIQUE /
+#: ALBUM_FEATURES endpoints); lowercase phrases, pattern-only.
+CHARACTERISTICS: list[str] = [
+    "blast beats", "palm muting", "tremolo picking", "growled vocals",
+    "downtuned riffing",
+]
+
+#: viral phenomena (enhanced schema ViralPhenomenon; WENT_VIRAL).
+VIRAL_PHENOMENA: list[str] = [
+    "bedroom cover boom", "reaction video wave", "speedup remix trend",
+    "meme compilation craze",
+]
+
+#: album producers (PRODUCED FROM Person TO Album).
+PRODUCERS: dict[str, list[str]] = {
+    "Martin Birch": ["The Number of the Beast", "Powerslave", "Heaven and Hell"],
+    "Rick Rubin": ["Reign in Blood", "Vulgar Display of Power"],
+    "Flemming Rasmussen": ["Master of Puppets", "Ride the Lightning"],
+    "Scott Burns": ["Scream Bloody Gore", "Altars of Madness"],
+    "Tom Allom": ["British Steel", "Screaming for Vengeance", "Painkiller"],
+}
+PRODUCER_BY_ALBUM: dict[str, str] = {
+    a: p for p, albums in PRODUCERS.items() for a in albums
+}
+
+
+def era_of(year: int) -> str | None:
+    for era, (lo, hi) in ERAS.items():
+        if lo <= year <= hi:
+            return era
+    return None
+
+
 #: enhanced-schema entity families
 #: (``src/extraction/specialized_prompts.py``, node tables
 #: ``metal_history_schema_enhanced.cypher:29-99,187-195``).
@@ -360,4 +411,12 @@ def build_alias_rows() -> list[dict]:
         add(name, "venues", name, ["played", "venue", "club"])
     for name in PLATFORMS:
         add(name, "platforms", name, ["promoted", "viral", "platform"])
+    for name in ERAS:
+        add(name, "eras", name, ["era", "during", "active"])
+    for name in MEDIA_OUTLETS:
+        add(name, "media_outlets", name, ["documented", "featured", "press"])
+    for name in CULTURAL_EVENTS:
+        add(name, "events", name, ["festival", "participated"])
+    for name in PRODUCERS:
+        add(name, "people", name, ["producer", "produced", "album"])
     return rows

@@ -30,13 +30,18 @@ from typing import Optional
 
 from .confidence import score_mention
 from .gazetteer import (
+    CHARACTERISTICS,
+    CULTURAL_EVENTS,
     EQUIPMENT,
+    ERAS,
     INSTRUMENT_BY_ROLE,
+    MEDIA_OUTLETS,
     PLATFORMS,
     PRODUCTION_STYLES,
     ROLE_BY_INSTRUMENT,
     SUBGENRES,
     VENUES,
+    VIRAL_PHENOMENA,
     build_alias_rows,
 )
 
@@ -82,6 +87,28 @@ _EQUIP = "|".join(sorted((re.escape(e) for e in EQUIPMENT), key=len, reverse=Tru
 _VENUE = "|".join(sorted((re.escape(v) for v in VENUES), key=len, reverse=True))
 _PLATFORM = "|".join(sorted((re.escape(p) for p in PLATFORMS), key=len, reverse=True))
 _PRODSTYLE = "|".join(sorted((re.escape(s) for s in PRODUCTION_STYLES), key=len, reverse=True))
+_ERA = "|".join(sorted((re.escape(e) for e in ERAS), key=len, reverse=True))
+_OUTLET = "|".join(sorted((re.escape(o) for o in MEDIA_OUTLETS), key=len, reverse=True))
+_CEVENT = "|".join(sorted((re.escape(c) for c in CULTURAL_EVENTS), key=len, reverse=True))
+_CHAR = "|".join(sorted((re.escape(c) for c in CHARACTERISTICS), key=len, reverse=True))
+_VIRAL = "|".join(sorted((re.escape(v) for v in VIRAL_PHENOMENA), key=len, reverse=True))
+# full base-whitelist coverage: one context pattern per remaining
+# reference predicate (initialize_kuzu.py:167-220 rel tables)
+P_ACTIVE_DURING = re.compile(rf"\b({NAME}) was active during the ({_ERA})")
+P_EMERGED_DURING = re.compile(rf"\b({GENRES}) emerged during the ({_ERA})")
+P_DOCUMENTED_IN = re.compile(rf"\b({NAME}) was documented in ({_OUTLET})")
+P_FEATURED_IN = re.compile(rf"'([^']+)' was featured in ({_OUTLET})")
+P_PARTICIPATED = re.compile(rf"\b({NAME}) participated in ({_CEVENT})")
+P_INFLUENCED_EVENT = re.compile(rf"\b({NAME}) heavily shaped ({_CEVENT})")
+P_HAS_CHAR = re.compile(rf"\b({GENRES}) is defined by ({_CHAR})")
+P_USES_TECH = re.compile(rf"\b({NAME}) uses ({_CHAR})")
+P_ALBUM_FEAT = re.compile(rf"'([^']+)' showcases ({_CHAR})")
+P_PRODUCED_BY = re.compile(rf"'([^']+)' was produced by ({NAME})")
+P_REPRESENTS = re.compile(rf"'([^']+)' represents ({GENRES})")
+P_SCENE_SPAWNED = re.compile(rf"[Tt]he ({NAME}) scene spawned ({NAME})")
+P_SCENE_DEVELOPED = re.compile(rf"[Tt]he ({NAME}) scene developed ({GENRES})")
+P_CITED = re.compile(rf"\b({NAME}) cited '([^']+)' as a formative record")
+P_WENT_VIRAL = re.compile(rf"'([^']+)' went viral through the ({_VIRAL})")
 # enhanced-schema context patterns (specialized_prompts.py cue lists:
 # 'recorded with', 'played at', 'promoted on')
 P_EQUIPMENT = re.compile(rf"\b({NAME}) recorded with the ({_EQUIP})")
@@ -317,6 +344,121 @@ def extract_from_text(text: str) -> tuple[list[dict], list[dict]]:
             if former_band:
                 acc.add("bands", former_band, s_off, description=sent)
                 acc.rel("MEMBER_OF", "person", person, "band", former_band, context=sent)
+
+        m = P_ACTIVE_DURING.search(sent)
+        if m:
+            band, era = m.group(1), m.group(2)
+            acc.add("bands", band, s_off, description=sent)
+            acc.add("eras", era, s_off, era_start=ERAS[era][0], era_end=ERAS[era][1])
+            acc.rel("ACTIVE_DURING", "band", band, "era", era, context=sent)
+
+        m = P_EMERGED_DURING.search(sent)
+        if m:
+            genre, era = m.group(1).lower(), m.group(2)
+            acc.add("subgenres", genre, s_off)
+            acc.add("eras", era, s_off, era_start=ERAS[era][0], era_end=ERAS[era][1])
+            acc.rel("EMERGED_DURING", "subgenre", genre, "era", era, context=sent)
+
+        m = P_DOCUMENTED_IN.search(sent)
+        if m:
+            band, outlet = m.group(1), m.group(2)
+            acc.add("bands", band, s_off, description=sent)
+            acc.add("media_outlets", outlet, s_off)
+            acc.rel("DOCUMENTED_IN", "band", band, "media_outlet", outlet, context=sent)
+
+        m = P_FEATURED_IN.search(sent)
+        if m:
+            album, outlet = m.group(1), m.group(2)
+            acc.add("albums", album, s_off, title=album)
+            acc.add("media_outlets", outlet, s_off)
+            acc.rel("FEATURED_IN", "album", album, "media_outlet", outlet, context=sent)
+
+        m = P_PARTICIPATED.search(sent)
+        if m:
+            band, cev = m.group(1), m.group(2)
+            acc.add("bands", band, s_off, description=sent)
+            acc.add("events", cev, s_off, type="festival", description=sent)
+            acc.rel("PARTICIPATED_IN", "band", band, "event", cev, context=sent)
+
+        m = P_INFLUENCED_EVENT.search(sent)
+        if m:
+            band, cev = m.group(1), m.group(2)
+            acc.add("bands", band, s_off, description=sent)
+            acc.add("events", cev, s_off, type="festival", description=sent)
+            acc.rel("INFLUENCED_EVENT", "band", band, "event", cev, context=sent)
+
+        m = P_HAS_CHAR.search(sent)
+        if m:
+            genre, char = m.group(1).lower(), m.group(2)
+            acc.add("subgenres", genre, s_off)
+            acc.add("characteristics", char, s_off)
+            acc.rel("HAS_CHARACTERISTIC", "subgenre", genre,
+                    "characteristic", char, context=sent)
+
+        m = P_USES_TECH.search(sent)
+        if m:
+            band, char = m.group(1), m.group(2)
+            acc.add("bands", band, s_off, description=sent)
+            acc.add("characteristics", char, s_off)
+            acc.rel("USES_TECHNIQUE", "band", band, "characteristic", char,
+                    context=sent)
+
+        m = P_ALBUM_FEAT.search(sent)
+        if m:
+            album, char = m.group(1), m.group(2)
+            acc.add("albums", album, s_off, title=album)
+            acc.add("characteristics", char, s_off)
+            acc.rel("ALBUM_FEATURES", "album", album, "characteristic", char,
+                    context=sent)
+
+        m = P_PRODUCED_BY.search(sent)
+        if m:
+            album, person = m.group(1), m.group(2)
+            acc.add("albums", album, s_off, title=album)
+            acc.add("people", person, s_off, description=sent)
+            acc.rel("PRODUCED", "person", person, "album", album, context=sent)
+
+        m = P_REPRESENTS.search(sent)
+        if m:
+            album, genre = m.group(1), m.group(2).lower()
+            acc.add("albums", album, s_off, title=album)
+            acc.add("subgenres", genre, s_off)
+            acc.rel("REPRESENTS_GENRE", "album", album, "subgenre", genre,
+                    context=sent)
+
+        m = P_SCENE_SPAWNED.search(sent)
+        if m:
+            city, band = m.group(1), m.group(2)
+            acc.add("locations", city, s_off, city=city, country="",
+                    scene_description=f"Metal scene in {city}")
+            acc.add("bands", band, s_off, description=sent)
+            acc.rel("SCENE_SPAWNED", "location", city, "band", band, context=sent)
+
+        m = P_SCENE_DEVELOPED.search(sent)
+        if m:
+            city, genre = m.group(1), m.group(2).lower()
+            acc.add("locations", city, s_off, city=city, country="",
+                    scene_description=f"Metal scene in {city}")
+            acc.add("subgenres", genre, s_off)
+            acc.rel("SCENE_DEVELOPED", "location", city, "subgenre", genre,
+                    context=sent)
+
+        m = P_CITED.search(sent)
+        if m:
+            band, album = m.group(1), m.group(2)
+            acc.add("bands", band, s_off, description=sent)
+            acc.add("albums", album, s_off, title=album)
+            # CITATION(Band→Album, quote/context), initialize_kuzu.py:214
+            acc.rel("CITATION", "band", band, "album", album, context=sent)
+
+        m = P_WENT_VIRAL.search(sent)
+        if m:
+            song, phen = m.group(1), m.group(2)
+            acc.add("songs", song, s_off, title=song)
+            acc.add("viral_phenomena", phen, s_off)
+            # WENT_VIRAL(Song→ViralPhenomenon), enhanced cypher :116
+            acc.rel("WENT_VIRAL", "song", song, "viral_phenomenon", phen,
+                    context=sent)
 
         m = P_EQUIPMENT.search(sent)
         if m:

@@ -40,7 +40,7 @@ BASE_PREDICATES = [
 #: (metal_history_schema_enhanced.cypher:104-198).
 ENHANCED_PREDICATES = [
     "PART_OF_MOVEMENT", "USES_EQUIPMENT", "VENUE_HOSTED", "PROMOTED_ON",
-    "PRODUCED_WITH_STYLE",
+    "PRODUCED_WITH_STYLE", "WENT_VIRAL",
 ]
 PREDICATE_WHITELIST = frozenset(BASE_PREDICATES + ENHANCED_PREDICATES)
 
@@ -59,6 +59,9 @@ SINGULAR_TO_PLURAL = {
     "event": "events", "equipment": "equipment", "studio": "studios",
     "label": "labels", "movement": "movements", "venue": "venues",
     "platform": "platforms", "production_style": "production_styles",
+    "era": "eras", "media_outlet": "media_outlets",
+    "characteristic": "characteristics",
+    "viral_phenomenon": "viral_phenomena",
 }
 
 PROVENANCE_SAMPLE = 100

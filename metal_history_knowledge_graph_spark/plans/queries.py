@@ -32,6 +32,10 @@ _TYPE_SCHEMAS = {
     "venues": "struct<type:string, location:string>",
     "platforms": "struct<type:string>",
     "production_styles": "struct<key_characteristics:string>",
+    "eras": "struct<era_start:int, era_end:int>",
+    "media_outlets": "struct<description:string>",
+    "characteristics": "struct<description:string>",
+    "viral_phenomena": "struct<description:string>",
 }
 
 

@@ -30,17 +30,24 @@ from datetime import datetime, timedelta
 from ..functions.gazetteer import (
     ALBUMS,
     BANDS,
+    CHARACTERISTICS,
+    CULTURAL_EVENTS,
     EQUIPMENT,
     GENRE_EVOLUTION,
     GENRE_ORIGINS,
     INFLUENCES,
-    PLATFORMS,
-    PRODUCTION_STYLES,
-    VENUES,
+    MEDIA_OUTLETS,
     MOVEMENTS,
     PEOPLE,
+    PLATFORMS,
+    PRODUCER_BY_ALBUM,
+    PRODUCTION_STYLES,
     ROLE_BY_INSTRUMENT,
     SONGS,
+    SUBGENRES,
+    VENUES,
+    VIRAL_PHENOMENA,
+    era_of,
 )
 from ..functions.html_text import render_html
 
@@ -183,6 +190,36 @@ def _band_profile(rng: random.Random, truth: list) -> list[str]:
         platform = rng.choice(sorted(PLATFORMS))
         sents.append(f"{band} was promoted on {platform}.")
         truth.append(("PROMOTED_ON", "band", band, "platform", platform))
+    # full base-whitelist color: eras, press, festivals, techniques,
+    # scene attribution, citations
+    if rng.random() < 0.25:
+        era = era_of(b["formed_year"])
+        if era:
+            sents.append(f"{band} was active during the {era}.")
+            truth.append(("ACTIVE_DURING", "band", band, "era", era))
+    if rng.random() < 0.2:
+        outlet = rng.choice(MEDIA_OUTLETS)
+        sents.append(f"{band} was documented in {outlet}.")
+        truth.append(("DOCUMENTED_IN", "band", band, "media_outlet", outlet))
+    if rng.random() < 0.2:
+        cev = rng.choice(CULTURAL_EVENTS)
+        if rng.random() < 0.5:
+            sents.append(f"{band} participated in {cev}.")
+            truth.append(("PARTICIPATED_IN", "band", band, "event", cev))
+        else:
+            sents.append(f"{band} heavily shaped {cev}.")
+            truth.append(("INFLUENCED_EVENT", "band", band, "event", cev))
+    if rng.random() < 0.2:
+        char = rng.choice(CHARACTERISTICS)
+        sents.append(f"{band} uses {char}.")
+        truth.append(("USES_TECHNIQUE", "band", band, "characteristic", char))
+    if rng.random() < 0.15:
+        sents.append(f"The {b['origin_city']} scene spawned {band}.")
+        truth.append(("SCENE_SPAWNED", "location", b["origin_city"], "band", band))
+    if rng.random() < 0.15:
+        cited = rng.choice(sorted(a for a, d in ALBUMS.items() if d["artist"] != band))
+        sents.append(f"{band} cited '{cited}' as a formative record.")
+        truth.append(("CITATION", "band", band, "album", cited))
     sents.extend(_filler(rng, rng.randint(0, 2)))
     blocks.append(" ".join(sents))
 
@@ -203,6 +240,27 @@ def _band_profile(rng: random.Random, truth: list) -> list[str]:
             song = rng.choice(songs)
             sents.append(f"'{album}' features the track '{song}'.")
             truth.append(("CONTAINS_TRACK", "album", album, "song", song))
+            if rng.random() < 0.3:
+                phen = rng.choice(VIRAL_PHENOMENA)
+                sents.append(f"'{song}' went viral through the {phen}.")
+                truth.append(("WENT_VIRAL", "song", song,
+                              "viral_phenomenon", phen))
+        producer = PRODUCER_BY_ALBUM.get(album)
+        if producer and rng.random() < 0.5:
+            sents.append(f"'{album}' was produced by {producer}.")
+            truth.append(("PRODUCED", "person", producer, "album", album))
+        if rng.random() < 0.25:
+            rep_genre = rng.choice(b["genres"])
+            sents.append(f"'{album}' represents {rep_genre}.")
+            truth.append(("REPRESENTS_GENRE", "album", album, "subgenre", rep_genre))
+        if rng.random() < 0.2:
+            outlet = rng.choice(MEDIA_OUTLETS)
+            sents.append(f"'{album}' was featured in {outlet}.")
+            truth.append(("FEATURED_IN", "album", album, "media_outlet", outlet))
+        if rng.random() < 0.2:
+            char = rng.choice(CHARACTERISTICS)
+            sents.append(f"'{album}' showcases {char}.")
+            truth.append(("ALBUM_FEATURES", "album", album, "characteristic", char))
         if members and rng.random() < 0.5:
             perf = rng.choice(members)
             instrument = PEOPLE[perf]["instruments"][0]
@@ -262,6 +320,19 @@ def _genre_section(rng: random.Random, truth: list) -> list[str]:
         g1, g2 = rng.choice(evolutions)
         sents.append(f"Later {g1} evolved into {g2}.")
         truth.append(("EVOLVED_INTO", "subgenre", g1, "subgenre", g2))
+    if rng.random() < 0.4:
+        era = era_of(SUBGENRES[genre]["era_start"]) if genre in SUBGENRES else None
+        if era:
+            sents.append(f"In time {genre} emerged during the {era}.")
+            truth.append(("EMERGED_DURING", "subgenre", genre, "era", era))
+    if rng.random() < 0.4:
+        char = rng.choice(CHARACTERISTICS)
+        sents.append(f"Typically {genre} is defined by {char}.")
+        truth.append(("HAS_CHARACTERISTIC", "subgenre", genre,
+                      "characteristic", char))
+    if rng.random() < 0.3:
+        sents.append(f"The {city} scene developed {genre}.")
+        truth.append(("SCENE_DEVELOPED", "location", city, "subgenre", genre))
     sents.extend(_filler(rng, rng.randint(1, 3)))
     return [f"## The story of {genre}", " ".join(sents)]
 

@@ -157,3 +157,60 @@ def test_enhanced_family_extraction():
     assert ("VENUE_HOSTED", "Ruthie's Inn", "Slayer") in rels
     assert ("PROMOTED_ON", "Metallica", "MTV") in rels
     assert ("PRODUCED_WITH_STYLE", "Reign in Blood", "scooped mids") in rels
+
+
+def test_full_base_whitelist_extraction():
+    """Every remaining base-whitelist predicate has a working pattern
+    (initialize_kuzu.py:167-220 rel tables, complete coverage)."""
+    text = ("Metallica was active during the Thrash Era. "
+            "In time thrash metal emerged during the Thrash Era. "
+            "Metallica was documented in Kerrang!. "
+            "'Master of Puppets' was featured in Metal Hammer. "
+            "Metallica participated in Monsters of Rock. "
+            "Slayer heavily shaped Clash of the Titans. "
+            "Typically death metal is defined by blast beats. "
+            "Death uses tremolo picking. "
+            "'Reign in Blood' showcases blast beats. "
+            "'Master of Puppets' was produced by Flemming Rasmussen. "
+            "'Reign in Blood' represents thrash metal. "
+            "The Birmingham scene spawned Black Sabbath. "
+            "The Tampa scene developed death metal. "
+            "Pantera cited 'Paranoid' as a formative record. "
+            "'Battery' went viral through the speedup remix trend.")
+    rels = _rels(text)
+    expected = {
+        ("ACTIVE_DURING", "Metallica", "Thrash Era"),
+        ("EMERGED_DURING", "thrash metal", "Thrash Era"),
+        ("DOCUMENTED_IN", "Metallica", "Kerrang!"),
+        ("FEATURED_IN", "Master of Puppets", "Metal Hammer"),
+        ("PARTICIPATED_IN", "Metallica", "Monsters of Rock"),
+        ("INFLUENCED_EVENT", "Slayer", "Clash of the Titans"),
+        ("HAS_CHARACTERISTIC", "death metal", "blast beats"),
+        ("USES_TECHNIQUE", "Death", "tremolo picking"),
+        ("ALBUM_FEATURES", "Reign in Blood", "blast beats"),
+        ("PRODUCED", "Flemming Rasmussen", "Master of Puppets"),
+        ("REPRESENTS_GENRE", "Reign in Blood", "thrash metal"),
+        ("SCENE_SPAWNED", "Birmingham", "Black Sabbath"),
+        ("SCENE_DEVELOPED", "Tampa", "death metal"),
+        ("CITATION", "Pantera", "Paranoid"),
+        ("WENT_VIRAL", "Battery", "speedup remix trend"),
+    }
+    assert expected <= rels
+
+
+def test_all_base_predicates_emittable():
+    """The pattern bank covers the reference's full 27-predicate base
+    whitelist (load_to_kuzu.py:813-821)."""
+    from metal_history_knowledge_graph_spark.operators.triples import (
+        BASE_PREDICATES,
+    )
+
+    import metal_history_knowledge_graph_spark.functions.patterns as P
+
+    emitted = set()
+    import re as _re
+    src = open(P.__file__).read()
+    for m in _re.finditer(r'acc\.rel\(\s*"([A-Z_]+)"', src):
+        emitted.add(m.group(1))
+    missing = set(BASE_PREDICATES) - emitted
+    assert not missing, f"base predicates with no extraction pattern: {missing}"

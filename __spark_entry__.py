@@ -522,6 +522,44 @@ _DERIVED_EDGES_SQL = f"""
 """
 
 
+def _pagerank_oracle(n_iters: int = 5, damping: int = 85, scale: int = 10**12) -> str:
+    """Chained-CTE DuckDB replay of operators/graph_algos.pagerank:
+    one CTE per iteration, all arithmetic integer floor-divides, so the
+    oracle reproduces the Spark trajectory bit-exactly (DuckDB sum()
+    yields HUGEINT — cast back to BIGINT at every step)."""
+    ctes = [
+        f"WITH {_DERIVED_EDGES_SQL}",
+        "pnodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "params AS (SELECT count(*) AS n FROM pnodes)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1)",
+        f"r0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS r "
+        "FROM pnodes CROSS JOIN params)",
+    ]
+    for k in range(1, n_iters + 1):
+        prev = f"r{k - 1}"
+        ctes.append(
+            f"r{k} AS (\n"
+            f"  SELECT p.node, CAST(\n"
+            f"    (({100 - damping} * {scale}) // (100 * params.n))\n"
+            f"    + ({damping} * coalesce(s.contrib, 0)) // 100\n"
+            f"  AS BIGINT) AS r\n"
+            f"  FROM pnodes p CROSS JOIN params\n"
+            f"  LEFT JOIN (\n"
+            f"    SELECT e2.dst AS node,\n"
+            f"           CAST(sum({prev}.r // deg.outdeg) AS BIGINT) AS contrib\n"
+            f"    FROM edges e2\n"
+            f"    JOIN {prev} ON e2.src = {prev}.node\n"
+            f"    JOIN deg ON e2.src = deg.src\n"
+            f"    GROUP BY e2.dst\n"
+            f"  ) s ON p.node = s.node\n"
+            f")"
+        )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT node AS node_id, r AS rank_fixed FROM r{n_iters} ORDER BY node_id"
+    )
+
+
 def q_components(spark, sf_dir):
     """Distributed connected components (iterative min-label
     propagation, graph_metrics.py:97-175 family) over the
@@ -690,6 +728,145 @@ def q_word_freq(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "word")
         .limit(20)
+    )
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank over the derived edge graph
+    (operators/graph_algos.pagerank): 5 damped iterations, every divide
+    an integer floor-divide, so the whole trajectory is replayed
+    bit-exactly by the chained-CTE DuckDB oracle — an iterative graph
+    algorithm with an EXACT oracle, not a tolerance compare."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import pagerank
+
+    e = _derived_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    )
+    return pagerank(e, n_iters=5).orderBy("node_id")
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-bounded sessionization (30-min) of the event log + per-session
+    rollup (operators/temporal.sessionize) — every window partitioned by
+    user, span kept in exact integer microseconds."""
+    from metal_history_knowledge_graph_spark.operators.temporal import (
+        session_stats,
+        sessionize,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, gap_minutes=30)
+    return (
+        session_stats(s)
+        .select(
+            "user_id", F.col("session_no").cast("long").alias("session_no"),
+            "n_events", "span_us", "total_value",
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent
+    click at-or-before it (operators/temporal.asof_join — single-shuffle
+    union-and-carry-forward, never a range-join blowup). Oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from metal_history_knowledge_graph_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(purchases, clicks, "user_id", "ts", "event_id", ["value"])
+    return out.select(
+        "user_id", "ts", "event_id", "matched_event_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("matched_ts").cast("timestamp"))
+        ).alias("gap_us"),
+        F.col("matched_value"),
+    ).orderBy("event_id")
+
+
+def q_latest_event(spark, sf_dir):
+    """Latest-snapshot per key (operators/temporal.latest_snapshot) —
+    the keep-newest-WARC-capture-per-url dedup, as a partial-agg
+    friendly max(struct) instead of a row_number window."""
+    from metal_history_knowledge_graph_spark.operators.temporal import (
+        latest_snapshot,
+    )
+
+    return latest_snapshot(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_id",
+        ["event_type", "value"],
+    ).orderBy("user_id")
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition/diversity metrics + keep gate
+    (operators/textstats.with_repetition_stats / gopher_keep), all
+    fixed-point integer so the DuckDB list-lambda oracle is exact."""
+    from metal_history_knowledge_graph_spark.operators.textstats import (
+        gopher_keep,
+        with_repetition_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        gopher_keep(with_repetition_stats(docs))
+        .select(
+            "doc_id", F.col("n_words").cast("long").alias("n_words"),
+            "unique_word_bp", "top_word_bp", "dup_bigram_bp",
+            "mean_word_len_x100", "keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_source_stats(spark, sf_dir):
+    """Per-source (per-domain) corpus rollup: doc counts, exact-dup
+    distinct fingerprints, language spread, fixed-point mean length —
+    the domain-level quality aggregation a crawl pipeline gates on."""
+    from metal_history_knowledge_graph_spark.operators.textstats import (
+        with_fingerprint,
+    )
+
+    docs = with_fingerprint(_t(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_unique_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").alias("_sum_chars"),
+        )
+        .withColumn(
+            "avg_chars_x100", F.expr("(100 * _sum_chars) div n_docs").cast("long")
+        )
+        .drop("_sum_chars")
+        .orderBy("source")
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    """Semi-structured extraction: pull a typed field out of the JSON
+    props column (native get_json_object — JVM-side, no UDF) and
+    aggregate it per event type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+        .orderBy("event_type")
     )
 
 
@@ -983,6 +1160,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_clustering": q_clustering,
         "q_collect_list": q_collect_list,
         "q_word_freq": q_word_freq,
+        "q_pagerank": q_pagerank,
+        # temporal / event-log operators
+        "q_sessionize": q_sessionize,
+        "q_asof_join": q_asof_join,
+        "q_latest_event": q_latest_event,
+        # corpus quality / semi-structured
+        "q_repetition_stats": q_repetition_stats,
+        "q_source_stats": q_source_stats,
+        "q_json_extract": q_json_extract,
         "td_minhash_pairs": td_minhash_pairs,
         "td_simhash_pairs": td_simhash_pairs,
         "td_lsh_topk": td_lsh_topk,
@@ -1416,5 +1602,123 @@ def oracle_sql() -> dict[str, str]:
             FROM cand
             WHERE bit_count(xor(h_a, h_b)) <= 3
             ORDER BY doc_a, doc_b
+        """,
+        "q_pagerank": _pagerank_oracle(n_iters=5, damping=85, scale=10**12),
+        "q_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 30 * 60 * 1000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts, value,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS session_no
+                FROM flagged
+            )
+            SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+                   count(*) AS n_events,
+                   max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us,
+                   round(sum(value), 2) AS total_value
+            FROM sess GROUP BY user_id, session_no
+            ORDER BY user_id, session_no
+        """,
+        "q_asof_join": """
+            WITH clicks AS (
+                SELECT user_id, ts, event_id, value FROM (
+                    SELECT user_id, ts, event_id, value,
+                           row_number() OVER (PARTITION BY user_id, ts
+                               ORDER BY event_id DESC) AS rn
+                    FROM events WHERE event_type = 'click'
+                ) WHERE rn = 1
+            ), purchases AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT p.user_id, p.ts, p.event_id,
+                   c.event_id AS matched_event_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+                   c.value AS matched_value
+            FROM purchases p
+            ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY p.event_id
+        """,
+        "q_latest_event": """
+            SELECT user_id, ts, event_id, event_type, value FROM (
+                SELECT user_id, ts, event_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "q_repetition_stats": f"""
+            WITH base AS (
+                SELECT doc_id, {toks} AS w FROM documents
+            ), st AS (
+                SELECT doc_id, w, len(w) AS n_words,
+                       CASE WHEN len(w) >= 2 THEN
+                           list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i + 1])
+                       ELSE [] END AS bg
+                FROM base
+            ), agg AS (
+                SELECT doc_id, n_words,
+                       len(list_distinct(w)) AS uniq,
+                       coalesce(list_max(list_transform(list_distinct(w),
+                           u -> len(list_filter(w, x -> x = u)))), 0) AS top,
+                       CAST(coalesce(list_sum(list_transform(bg,
+                           g -> CASE WHEN len(list_filter(bg, x -> x = g)) > 1
+                                     THEN length(g) ELSE 0 END)), 0) AS BIGINT)
+                           AS dup_chars,
+                       CAST(coalesce(list_sum(list_transform(bg,
+                           g -> length(g))), 0) AS BIGINT) AS tot_chars,
+                       CAST(coalesce(list_sum(list_transform(w,
+                           x -> length(x))), 0) AS BIGINT) AS sum_len
+                FROM st
+            ), stats AS (
+                SELECT doc_id,
+                       CAST(n_words AS BIGINT) AS n_words,
+                       CAST(CASE WHEN n_words > 0
+                            THEN (10000 * uniq) // n_words ELSE 0 END
+                            AS BIGINT) AS unique_word_bp,
+                       CAST(CASE WHEN n_words > 0
+                            THEN (10000 * top) // n_words ELSE 0 END
+                            AS BIGINT) AS top_word_bp,
+                       CAST(CASE WHEN tot_chars > 0
+                            THEN (10000 * dup_chars) // tot_chars ELSE 0 END
+                            AS BIGINT) AS dup_bigram_bp,
+                       CAST(CASE WHEN n_words > 0
+                            THEN (100 * sum_len) // n_words ELSE 0 END
+                            AS BIGINT) AS mean_word_len_x100
+                FROM agg
+            )
+            SELECT doc_id, n_words, unique_word_bp, top_word_bp,
+                   dup_bigram_bp, mean_word_len_x100,
+                   (n_words >= 30 AND unique_word_bp >= 2000
+                    AND dup_bigram_bp <= 2500
+                    AND mean_word_len_x100 BETWEEN 300 AND 1000) AS keep
+            FROM stats ORDER BY doc_id
+        """,
+        "q_source_stats": r"""
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT md5(regexp_replace(lower(trim(text)),
+                       '\s+', ' ', 'g'))) AS n_unique_docs,
+                   count(DISTINCT lang) AS n_langs,
+                   CAST((100 * sum(n_chars)) // count(*) AS BIGINT)
+                       AS avg_chars_x100
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "q_json_extract": """
+            SELECT event_type, count(*) AS n,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
     }

@@ -92,6 +92,83 @@ def component_sizes(edges: DataFrame) -> DataFrame:
     )
 
 
+PAGERANK_SCALE = 10**12  # fixed-point unit: 1.0 rank mass = 10^12
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = PAGERANK_SCALE,
+) -> DataFrame:
+    """Deterministic PageRank over the directed edge table
+    (subj_id → obj_id), in fixed-point integer arithmetic.
+
+    All rank mass is a BIGINT multiple of 1/``scale``; every divide is
+    an integer floor-divide, so the trajectory is bit-identical on any
+    engine and any partitioning — no float summation-order noise. The
+    update (simplified variant: dangling mass is dropped, documented):
+
+        r0(v)      = scale div N
+        r_{k+1}(v) = ((100-d)·scale) div (100·N)
+                     + (d · Σ_{u→v} (r_k(u) div outdeg(u))) div 100
+
+    Scale: per iteration, one join of edges against the (node, rank)
+    table on ``src`` (rank table is node-sized — broadcastable for
+    vocabulary-sized graphs; hash join with map-side partial sums for
+    web-sized ones) and one groupBy on ``dst``. ``localCheckpoint``
+    per iteration truncates the growing lineage. Magnitudes: ranks ≤
+    scale = 10^12 and d·Σ ≤ 100·10^12 < 2^63, so BIGINT never overflows.
+
+    Reference analogue: the graph-metrics centrality family
+    (scripts/analysis/graph_metrics.py) — expressed as an iterative
+    relational plan instead of a NetworkX call.
+    """
+    e = (
+        edges.select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame([], "node_id long, rank_fixed long")
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    teleport = ((100 - damping_pct) * scale) // (100 * n)
+    ranks = nodes.withColumn("rank_fixed", F.lit(scale // n).cast("long"))
+    for _ in range(n_iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_fixed div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(contrib, 0L)) div 100"
+                    )
+                ).cast("long").alias("rank_fixed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("node").alias("node_id"), "rank_fixed")
+
+
 def betweenness_sampled(
     edges: DataFrame, n_sources: int = 16, max_hops: int = 6,
     driver_edge_limit: int = 2_000_000,

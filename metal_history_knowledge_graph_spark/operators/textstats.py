@@ -105,6 +105,113 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(normalized))
 
 
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition / lexical-diversity metrics, all in
+    fixed-point integers (×10⁴ basis points, ×100 for mean word length)
+    so the exact-SQL oracle hashes identically — no float anywhere.
+
+    * ``n_words`` — whitespace token count
+    * ``unique_word_bp`` — 10⁴·distinct/total (lexical diversity)
+    * ``top_word_bp`` — 10⁴·(most frequent word count)/total
+    * ``dup_bigram_bp`` — 10⁴·(chars inside word-2-grams that occur
+      more than once)/(total 2-gram chars) — the Gopher duplicate
+      n-gram character fraction
+    * ``mean_word_len_x100`` — 100·Σlen(word)/n_words
+
+    Everything is a narrow per-row native HOF chain (whole-stage
+    codegen, zero shuffle, zero Python). Per-row cost is O(words ·
+    distinct-words) — documents are row-sized, so this stays cheap;
+    a web-page row is ~10³ words. Reference analogue: the corpus
+    quality gating the training-data pipeline needs (SURVEY §"beyond
+    the reference").
+    """
+    toks = _tokens(F.col(text_col))
+    t = df.withColumn("_w", toks).withColumn("n_words", F.size("_w"))
+    nw = F.col("n_words")
+    uniq = F.size(F.array_distinct("_w"))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct("_w"),
+            lambda u: F.size(F.filter(F.col("_w"), lambda x: x == u)),
+        )
+    )
+    bigrams = F.when(
+        nw >= 2,
+        F.expr(
+            "transform(sequence(0, size(_w) - 2), "
+            "i -> concat(element_at(_w, i + 1), ' ', element_at(_w, i + 2)))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    t = t.withColumn("_bg", bigrams)
+    dup_chars = F.aggregate(
+        F.col("_bg"), F.lit(0).cast("long"),
+        lambda acc, g: acc + F.when(
+            F.size(F.filter(F.col("_bg"), lambda x: x == g)) > 1, F.length(g)
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+    tot_chars = F.aggregate(
+        F.col("_bg"), F.lit(0).cast("long"),
+        lambda acc, g: acc + F.length(g).cast("long"),
+    )
+    sum_len = F.aggregate(
+        F.col("_w"), F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x).cast("long"),
+    )
+    zero = F.lit(0).cast("long")
+    t = (
+        t.withColumn("_uniq", uniq.cast("long"))
+        .withColumn("_top", top.cast("long"))
+        .withColumn("_dup_chars", dup_chars)
+        .withColumn("_tot_chars", tot_chars)
+        .withColumn("_sum_len", sum_len)
+        .withColumn(
+            "unique_word_bp",
+            F.when(nw > 0, F.expr("(10000 * _uniq) div n_words"))
+            .otherwise(zero).cast("long"),
+        )
+        .withColumn(
+            "top_word_bp",
+            F.when(nw > 0, F.expr("(10000 * _top) div n_words"))
+            .otherwise(zero).cast("long"),
+        )
+        .withColumn(
+            "dup_bigram_bp",
+            F.when(
+                F.col("_tot_chars") > 0,
+                F.expr("(10000 * _dup_chars) div _tot_chars"),
+            ).otherwise(zero).cast("long"),
+        )
+        .withColumn(
+            "mean_word_len_x100",
+            F.when(nw > 0, F.expr("(100 * _sum_len) div n_words"))
+            .otherwise(zero).cast("long"),
+        )
+        .drop("_w", "_bg", "_uniq", "_top", "_dup_chars", "_tot_chars", "_sum_len")
+    )
+    return t
+
+
+def gopher_keep(
+    df: DataFrame,
+    min_words: int = 30,
+    min_unique_bp: int = 2000,
+    max_dup_bigram_bp: int = 2500,
+    min_mwl_x100: int = 300,
+    max_mwl_x100: int = 1000,
+) -> DataFrame:
+    """Boolean quality gate over ``with_repetition_stats`` columns —
+    the Gopher-rules filter bank (word-count bounds, lexical diversity
+    floor, duplicate-2-gram ceiling, mean-word-length band)."""
+    return df.withColumn(
+        "keep",
+        (F.col("n_words") >= min_words)
+        & (F.col("unique_word_bp") >= min_unique_bp)
+        & (F.col("dup_bigram_bp") <= max_dup_bigram_bp)
+        & (F.col("mean_word_len_x100") >= min_mwl_x100)
+        & (F.col("mean_word_len_x100") <= max_mwl_x100),
+    )
+
+
 def rolling_fingerprints(
     df: DataFrame, text_col: str = "text", window: int = 16, keep_every: int = 8
 ) -> DataFrame:

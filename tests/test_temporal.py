@@ -1,0 +1,169 @@
+"""Unit tests for operators/temporal.py (sessionize, asof_join,
+latest_snapshot) and operators/graph_algos.pagerank — the driver-gate
+oracle parity for these lives in test_oracle_parity.py (q_sessionize,
+q_asof_join, q_latest_event, q_pagerank); here we pin the semantic
+corner cases the oracles can't isolate."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from metal_history_knowledge_graph_spark.operators.temporal import (
+    asof_join,
+    latest_snapshot,
+    session_stats,
+    sessionize,
+)
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 12, minute, second)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+
+
+def test_sessionize_gap_splits_sessions(spark):
+    rows = [
+        (1, _ts(0), 1, 1.0),
+        (1, _ts(10), 2, 1.0),   # 10 min gap → same session
+        (1, _ts(50), 3, 1.0),   # 40 min gap → new session
+        (1, _ts(55), 4, 1.0),
+        (2, _ts(0), 5, 1.0),    # other user independent
+    ]
+    out = sessionize(_events(spark, rows), gap_minutes=30).collect()
+    by_id = {r.event_id: r.session_no for r in out}
+    assert by_id == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_sessionize_exact_gap_is_same_session(spark):
+    # gap == threshold stays in-session (strictly-greater rule)
+    rows = [(1, _ts(0), 1, 1.0), (1, _ts(30), 2, 1.0),
+            (1, _ts(0, 1) + dt.timedelta(minutes=60), 3, 1.0)]
+    out = sessionize(_events(spark, rows), gap_minutes=30).collect()
+    by_id = {r.event_id: r.session_no for r in out}
+    assert by_id[1] == 1 and by_id[2] == 1 and by_id[3] == 2
+
+
+def test_session_stats_span_and_counts(spark):
+    rows = [(1, _ts(0), 1, 2.0), (1, _ts(10), 2, 3.0), (1, _ts(50), 3, 5.0)]
+    s = session_stats(sessionize(_events(spark, rows), gap_minutes=30))
+    got = {(r.user_id, r.session_no): (r.n_events, r.span_us, r.total_value)
+           for r in s.collect()}
+    assert got[(1, 1)] == (2, 10 * 60 * 1_000_000, 5.0)
+    assert got[(1, 2)] == (1, 0, 5.0)
+
+
+def test_asof_inclusive_and_no_match(spark):
+    left = _events(spark, [(1, _ts(10), 100, 0.0), (1, _ts(5), 101, 0.0),
+                           (2, _ts(10), 102, 0.0)]).drop("value")
+    right = _events(spark, [(1, _ts(10), 7, 7.7), (1, _ts(3), 6, 6.6)])
+    out = asof_join(left, right, "user_id", "ts", "event_id", ["value"])
+    got = {r.event_id: (r.matched_event_id, r.matched_value) for r in out.collect()}
+    assert got[100] == (7, 7.7)      # same-ts right row matches (inclusive)
+    assert got[101] == (6, 6.6)      # most recent prior
+    assert got[102] == (None, None)  # user 2 has no rights → left-join nulls
+
+
+def test_asof_right_ts_tie_keeps_greatest_id(spark):
+    left = _events(spark, [(1, _ts(20), 100, 0.0)]).drop("value")
+    right = _events(spark, [(1, _ts(10), 5, 5.5), (1, _ts(10), 9, 9.9)])
+    out = asof_join(left, right, "user_id", "ts", "event_id", ["value"]).collect()
+    assert out[0].matched_event_id == 9 and out[0].matched_value == 9.9
+
+
+def test_latest_snapshot_keeps_newest_and_breaks_ties_by_id(spark):
+    df = _events(spark, [
+        (1, _ts(0), 1, 1.0), (1, _ts(9), 3, 3.0), (1, _ts(9), 2, 2.0),
+        (2, _ts(5), 4, 4.0),
+    ])
+    out = latest_snapshot(df, "user_id", "ts", "event_id", ["value"])
+    got = {r.user_id: (r.event_id, r.value) for r in out.collect()}
+    assert got == {1: (3, 3.0), 2: (4, 4.0)}
+
+
+# --- pagerank ----------------------------------------------------------------
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "subj_id long, obj_id long")
+
+
+def test_pagerank_matches_float_reference(spark):
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        PAGERANK_SCALE,
+        pagerank,
+    )
+
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 1), (3, 2), (3, 0)]
+    out = {r.node_id: r.rank_fixed / PAGERANK_SCALE
+           for r in pagerank(_edges(spark, pairs), n_iters=20).collect()}
+    # float power iteration, same simplified (dropped dangling mass) rule
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    outdeg = {}
+    for a, _ in pairs:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    r = {v: 1 / len(nodes) for v in nodes}
+    for _ in range(20):
+        nxt = {v: 0.15 / len(nodes) for v in nodes}
+        for a, b in pairs:
+            nxt[b] += 0.85 * r[a] / outdeg[a]
+        r = nxt
+    for v in nodes:
+        assert abs(out[v] - r[v]) < 1e-4, (v, out[v], r[v])
+    # ranking order must agree exactly
+    assert sorted(out, key=out.get) == sorted(r, key=r.get)
+
+
+def test_pagerank_deterministic_across_partitioning(spark):
+    from metal_history_knowledge_graph_spark.operators.graph_algos import pagerank
+
+    pairs = [(i, (i * 7 + 1) % 50) for i in range(50)] + \
+            [(i, (i + 1) % 50) for i in range(50)]
+    e = _edges(spark, pairs)
+    a = sorted((r.node_id, r.rank_fixed)
+               for r in pagerank(e.repartition(1), n_iters=5).collect())
+    b = sorted((r.node_id, r.rank_fixed)
+               for r in pagerank(e.repartition(13), n_iters=5).collect())
+    assert a == b
+
+
+def test_pagerank_mass_bounded(spark):
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        PAGERANK_SCALE,
+        pagerank,
+    )
+
+    pairs = [(0, 1), (1, 0), (1, 2)]  # node 2 dangles
+    total = sum(r.rank_fixed for r in
+                pagerank(_edges(spark, pairs), n_iters=8).collect())
+    assert 0 < total <= PAGERANK_SCALE  # floor-divides + dangling only lose mass
+
+
+# --- repetition stats --------------------------------------------------------
+
+def test_repetition_stats_extremes(spark):
+    from metal_history_knowledge_graph_spark.operators.textstats import (
+        gopher_keep,
+        with_repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "word"), (2, "spam spam spam spam spam spam"),
+         (3, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           gopher_keep(with_repetition_stats(docs)).collect()}
+    assert out[0].n_words == 0 and out[0].unique_word_bp == 0
+    assert out[1].n_words == 1 and out[1].unique_word_bp == 10000
+    assert out[1].dup_bigram_bp == 0  # no bigrams in a 1-word doc
+    # all-same-word doc: every bigram identical → fully duplicated
+    assert out[2].top_word_bp == 10000 and out[2].dup_bigram_bp == 10000
+    assert not out[2].keep  # fails the diversity floor
+    assert out[3].unique_word_bp == 10000 and out[3].dup_bigram_bp == 0
+    assert out[3].mean_word_len_x100 == (100 * 22) // 6  # Σlen = 3+3+5+4+4+3

@@ -145,16 +145,27 @@ def make_spark(cpus: int):
 
 
 def default_bench() -> dict:
+    """Pipeline phase runs ``SPARK_GRAFT_REPEATS`` times (default 2,
+    fresh store each time) and the MINIMUM wall is reported — the same
+    repeats+min treatment the scaling bench has always used, because
+    this sandbox's hypervisor throttles identical runs by up to 2×
+    (BENCH.md records back-to-back samples of the SAME commit spanning
+    76–164 s). All raw walls are reported in ``pipeline_walls``; the
+    pipeline output itself is deterministic, so every repeat produces
+    byte-identical tables and the min is a pure noise filter."""
     n_pages = PAGES_BY_SF.get(_sf_name(), 600)
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "2")))
     spark = make_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     root = f"/tmp/kg_bench_{_sf_name()}"
     pages_path = build_corpus(spark, n_pages, root)
 
-    result = run_pipeline(spark, pages_path, os.path.join(root, "store"))
+    runs = [run_pipeline(spark, pages_path, os.path.join(root, "store"))
+            for _ in range(repeats)]
+    result = min(runs, key=lambda r: r["wall"])
     queries = {f"stage_{k}": round(v, 3) for k, v in result["metrics"].items()
                if k.endswith("_secs")}
-    queries.update(run_read_queries(spark, result["store"]))
+    queries.update(run_read_queries(spark, runs[-1]["store"]))
     queries.update(run_analytics(spark))
     spark.stop()
 
@@ -166,6 +177,7 @@ def default_bench() -> dict:
         "queries": queries,
         "sf": _sf_name(),
         "pages": n_pages,
+        "pipeline_walls": [round(r["wall"], 3) for r in runs],
         "triples": result["triples"],
         "triple_observations": result["observations"],
         "triples_per_sec": round(tps, 2),

@@ -870,6 +870,87 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def q_rollup(spark, sf_dir):
+    """Hierarchical aggregation (ROLLUP): per-(flag, status) totals
+    plus per-flag subtotals plus the grand total in ONE pass — native
+    Catalyst Expand, partial-agg friendly at every level."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_pivot(spark, sf_dir):
+    """Pivot (long → wide) with a FIXED value list — no
+    distinct-collect planning step, so the plan is deterministic and
+    the pivot stays a single hash aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", kinds).count()
+    for k in kinds:
+        out = out.withColumn(k, F.coalesce(F.col(k), F.lit(0)).cast("long"))
+    return out.orderBy("user_id")
+
+
+def q_sliding_window(spark, sf_dir):
+    """Hopping-window aggregation (30-min windows every 10 min) via the
+    native F.window generator — each event lands in exactly
+    width/hop = 3 windows; the DuckDB oracle replays the same epoch
+    alignment with time_bucket minus hop offsets."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.window("ts", "30 minutes", "10 minutes")
+    return (
+        ev.withColumn("w", w)
+        .groupBy(F.col("w.start").alias("win_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+def q_dup_groups(spark, sf_dir):
+    """End-to-end near-dup GROUPING (not just pairs): MinHash-LSH
+    candidate pairs (exact-Jaccard verified, recall 1.0 — the
+    td_minhash_pairs gate) → connected components → (doc, group
+    representative = min doc id, group size). Oracle replays the exact
+    all-pairs Jaccard decisions and closes them transitively with a
+    recursive CTE."""
+    from metal_history_knowledge_graph_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        graph_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.unionByName(
+        docs.filter(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    pairs = minhash_lsh_pairs(injected, threshold=0.9).select(
+        F.col("doc_a").alias("subj_id"), F.col("doc_b").alias("obj_id")
+    )
+    comp = graph_components(pairs)  # component_id = min doc id (union by min)
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        comp.join(sizes, "component_id")
+        .select(
+            F.col("node_id").alias("doc_id"),
+            F.col("component_id").alias("group_rep"),
+            "group_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- KG pipeline catalog (rows-only: not SQL-expressible) ---------------------
 
 def kg_entity_counts(spark, sf_dir):
@@ -1169,6 +1250,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_stats": q_repetition_stats,
         "q_source_stats": q_source_stats,
         "q_json_extract": q_json_extract,
+        # relational surface widening + dedup grouping
+        "q_rollup": q_rollup,
+        "q_pivot": q_pivot,
+        "q_sliding_window": q_sliding_window,
+        "q_dup_groups": q_dup_groups,
         "td_minhash_pairs": td_minhash_pairs,
         "td_simhash_pairs": td_simhash_pairs,
         "td_lsh_topk": td_lsh_topk,
@@ -1192,6 +1278,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     toks = r"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> length(x) > 0)"
+    # shared by td_minhash_pairs and q_dup_groups: injected-dup corpus →
+    # word-3-gram shingle sets → exact all-pairs Jaccard (the decision
+    # function the LSH prefilter must reproduce with recall 1.0)
+    _minhash_sh = f"""docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text FROM documents
+                WHERE doc_id < 30
+            ), t AS (
+                SELECT doc_id, {toks} AS toks FROM docs
+            ), sh AS (
+                SELECT doc_id,
+                    CASE WHEN length(toks) >= 3 THEN
+                        list_distinct(list_transform(
+                            generate_series(1, length(toks) - 2),
+                            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                    ELSE [array_to_string(toks, ' ')] END AS shingles
+                FROM t
+            )"""
+    _minhash_scored = """
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       round(length(list_intersect(a.shingles, b.shingles))::DOUBLE
+                             / (length(a.shingles) + length(b.shingles)
+                                - length(list_intersect(a.shingles, b.shingles))),
+                             4) AS jaccard
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            """
     return {
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1541,31 +1654,62 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
         "td_minhash_pairs": f"""
-            WITH docs AS (
-                SELECT doc_id, text FROM documents
-                UNION ALL
-                SELECT doc_id + 100000 AS doc_id, text FROM documents
-                WHERE doc_id < 30
-            ), t AS (
-                SELECT doc_id, {toks} AS toks FROM docs
-            ), sh AS (
-                SELECT doc_id,
-                    CASE WHEN length(toks) >= 3 THEN
-                        list_distinct(list_transform(
-                            generate_series(1, length(toks) - 2),
-                            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
-                    ELSE [array_to_string(toks, ' ')] END AS shingles
-                FROM t
-            )
-            SELECT doc_a, doc_b, jaccard FROM (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       round(length(list_intersect(a.shingles, b.shingles))::DOUBLE
-                             / (length(a.shingles) + length(b.shingles)
-                                - length(list_intersect(a.shingles, b.shingles))),
-                             4) AS jaccard
-                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            ) WHERE jaccard >= 0.9
+            WITH {_minhash_sh}
+            SELECT doc_a, doc_b, jaccard FROM ({_minhash_scored})
+            WHERE jaccard >= 0.9
             ORDER BY doc_a, doc_b
+        """,
+        "q_dup_groups": f"""
+            WITH RECURSIVE {_minhash_sh},
+            pairs AS (
+                SELECT doc_a, doc_b FROM ({_minhash_scored})
+                WHERE jaccard >= 0.9
+            ),
+            sym AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM pairs
+            ),
+            reach AS (
+                SELECT a AS src, a AS node FROM sym
+                UNION
+                SELECT r.src, s.b AS node
+                FROM reach r JOIN sym s ON r.node = s.a
+            ),
+            groups AS (
+                SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS group_rep
+                FROM reach GROUP BY src
+            )
+            SELECT g.doc_id, g.group_rep, c.group_size
+            FROM groups g
+            JOIN (SELECT group_rep, count(*) AS group_size
+                  FROM groups GROUP BY group_rep) c USING (group_rep)
+            ORDER BY g.doc_id
+        """,
+        "q_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "q_sliding_window": """
+            SELECT time_bucket(INTERVAL '10 minutes', ts)
+                       - k.k * INTERVAL '10 minutes' AS win_start,
+                   event_type, count(*) AS n,
+                   round(sum(value), 2) AS total_value
+            FROM events
+            CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "q_cosine_topk": """
             WITH q AS (

@@ -951,6 +951,93 @@ def q_dup_groups(spark, sf_dir):
     )
 
 
+# --- KG pipeline decision-oracles -------------------------------------------
+#
+# Same pattern as the SimHash oracle: the Spark side EXPORTS the outputs
+# of the genuinely non-SQL steps (pattern extraction, the SequenceMatcher
+# pair verifier, the merge folds) as parquet, and the DuckDB oracle
+# independently replays every SET-ORIENTED decision downstream of them —
+# connected-components grouping, relationship inference from JSON attrs,
+# predicate normalization/whitelisting, id resolution, edge-level dedup —
+# and must land on the same canonical tables the pipeline committed.
+
+_KG_CANON_FORMS_PATH = "/tmp/kg_canon_forms.parquet"
+_KG_CANON_PAIRS_PATH = "/tmp/kg_canon_pairs.parquet"
+_KG_REPLAY_RELS_PATH = "/tmp/kg_replay_rels.parquet"
+_KG_REPLAY_ENTS_PATH = "/tmp/kg_replay_ents.parquet"
+_KG_REPLAY_RES_PATH = "/tmp/kg_replay_res.parquet"
+
+
+def kg_canon_counts(spark, sf_dir):
+    """Canonicalization decision-oracle: exports the surface-form table
+    (downstream of the fold UDF) and the verified LSH pairs (downstream
+    of the SequenceMatcher UDF), then returns per-type canonical entity
+    counts from the REAL pipeline store. The DuckDB oracle closes the
+    exported pair graph transitively (recursive CTE) and must count the
+    same groups — i.e. it independently re-derives stage 5+6 grouping
+    from stages 1–4's outputs."""
+    from metal_history_knowledge_graph_spark.operators.canonicalize import (
+        candidate_pairs_lsh,
+        surface_forms,
+        verify_pairs,
+    )
+    from metal_history_knowledge_graph_spark.operators.extract import mentions_of
+
+    store = _kg_store(spark, sf_dir)
+    mentions = mentions_of(store.read("extracted"))
+    forms = surface_forms(mentions).localCheckpoint(eager=True)
+    pairs = verify_pairs(candidate_pairs_lsh(forms))
+    forms.select("entity_type", "form_norm").write.mode("overwrite").parquet(
+        _KG_CANON_FORMS_PATH
+    )
+    pairs.select(
+        "entity_type", F.col("left").alias("lhs"), F.col("right").alias("rhs")
+    ).write.mode("overwrite").parquet(_KG_CANON_PAIRS_PATH)
+    return (
+        store.read("entities")
+        .groupBy("entity_type")
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+        .orderBy("entity_type")
+    )
+
+
+def kg_edge_replay(spark, sf_dir):
+    """Triple-emission decision-oracle: exports the raw extraction
+    relationship candidates plus the canonical entities/resolution map,
+    then returns per-predicate edge counts from the REAL pipeline edges
+    table. The DuckDB oracle independently replays relationship
+    inference (MEMBER_OF/RELEASED/CONTAINS_TRACK from the JSON attrs),
+    predicate alias-normalization + whitelisting, the singular→plural
+    endpoint mapping, id resolution against the exported resolution
+    map, and (pred, subj, obj)-level dedup — the whole of
+    operators/triples.py's set logic."""
+    from metal_history_knowledge_graph_spark.operators.extract import (
+        relationships_of,
+    )
+
+    store = _kg_store(spark, sf_dir)
+    relationships_of(store.read("extracted")).select(
+        "rel_type", "from_entity_type", "from_entity_name",
+        "to_entity_type", "to_entity_name",
+    ).write.mode("overwrite").parquet(_KG_REPLAY_RELS_PATH)
+    store.read("entities").select(
+        "entity_type", "canonical_name", "attrs_json"
+    ).write.mode("overwrite").parquet(_KG_REPLAY_ENTS_PATH)
+    store.read("resolution").select(
+        "entity_type", "form_norm", "canonical_id"
+    ).write.mode("overwrite").parquet(_KG_REPLAY_RES_PATH)
+    return (
+        store.read("edges")
+        .groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("subj_id").alias("n_subjects"),
+            F.countDistinct("obj_id").alias("n_objects"),
+        )
+        .orderBy("pred")
+    )
+
+
 # --- KG pipeline catalog (rows-only: not SQL-expressible) ---------------------
 
 def kg_entity_counts(spark, sf_dir):
@@ -1255,6 +1342,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot": q_pivot,
         "q_sliding_window": q_sliding_window,
         "q_dup_groups": q_dup_groups,
+        # KG pipeline decision-oracles (export UDF outputs, replay the
+        # set-oriented logic in SQL)
+        "kg_canon_counts": kg_canon_counts,
+        "kg_edge_replay": kg_edge_replay,
         "td_minhash_pairs": td_minhash_pairs,
         "td_simhash_pairs": td_simhash_pairs,
         "td_lsh_topk": td_lsh_topk,
@@ -1277,7 +1368,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from metal_history_knowledge_graph_spark.operators.triples import (
+        PREDICATE_ALIASES,
+        PREDICATE_WHITELIST,
+        SINGULAR_TO_PLURAL,
+    )
+
     toks = r"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> length(x) > 0)"
+    _alias_case = (
+        "CASE lower(rel_type) "
+        + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in sorted(PREDICATE_ALIASES.items()))
+        + " ELSE upper(rel_type) END"
+    )
+    _whitelist = ", ".join(f"'{p}'" for p in sorted(PREDICATE_WHITELIST))
+
+    def _plural_case(col):
+        return (
+            f"CASE {col} "
+            + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in sorted(SINGULAR_TO_PLURAL.items()))
+            + " ELSE NULL END"
+        )
+
     # shared by td_minhash_pairs and q_dup_groups: injected-dup corpus →
     # word-3-gram shingle sets → exact all-pairs Jaccard (the decision
     # function the LSH prefilter must reproduce with recall 1.0)
@@ -1710,6 +1821,101 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # Replays connected-components grouping (stage 5+6 of
+        # canonicalization) over the Spark-exported surface forms +
+        # SequenceMatcher-verified pairs: transitive closure via a
+        # recursive CTE, count distinct min-labels per type.
+        "kg_canon_counts": f"""
+            WITH RECURSIVE forms AS (
+                SELECT entity_type, form_norm
+                FROM '{_KG_CANON_FORMS_PATH}/*.parquet'
+            ), pairs AS (
+                SELECT entity_type, lhs, rhs
+                FROM '{_KG_CANON_PAIRS_PATH}/*.parquet'
+            ), sym AS (
+                SELECT entity_type, lhs AS a, rhs AS b FROM pairs
+                UNION
+                SELECT entity_type, rhs AS a, lhs AS b FROM pairs
+            ), reach AS (
+                SELECT entity_type, a AS src, a AS node FROM sym
+                UNION
+                SELECT r.entity_type, r.src, s.b AS node
+                FROM reach r JOIN sym s
+                  ON r.entity_type = s.entity_type AND r.node = s.a
+            ), labels AS (
+                SELECT entity_type, src AS form_norm, min(node) AS label
+                FROM reach GROUP BY entity_type, src
+            ), all_labels AS (
+                SELECT f.entity_type, f.form_norm,
+                       coalesce(l.label, f.form_norm) AS label
+                FROM forms f LEFT JOIN labels l
+                  USING (entity_type, form_norm)
+            )
+            SELECT entity_type,
+                   CAST(count(DISTINCT label) AS BIGINT) AS n_entities
+            FROM all_labels GROUP BY entity_type ORDER BY entity_type
+        """,
+        # Replays the whole of operators/triples.py's set logic from the
+        # Spark-exported extraction candidates + canonical tables:
+        # inference from JSON attrs, alias-normalization + whitelist,
+        # singular→plural endpoint mapping, resolution joins,
+        # (pred, subj, obj) dedup.
+        "kg_edge_replay": f"""
+            WITH rels AS (
+                SELECT * FROM '{_KG_REPLAY_RELS_PATH}/*.parquet'
+            ), ents AS (
+                SELECT * FROM '{_KG_REPLAY_ENTS_PATH}/*.parquet'
+            ), res AS (
+                SELECT * FROM '{_KG_REPLAY_RES_PATH}/*.parquet'
+            ), member_of AS (
+                SELECT 'MEMBER_OF' AS rel_type,
+                       'person' AS from_entity_type,
+                       canonical_name AS from_entity_name,
+                       'band' AS to_entity_type,
+                       unnest(CAST(attrs_json->'$.associated_bands'
+                                   AS VARCHAR[])) AS to_entity_name
+                FROM ents WHERE entity_type = 'people'
+            ), released AS (
+                SELECT 'RELEASED', 'band',
+                       json_extract_string(attrs_json, '$.artist'),
+                       'album', canonical_name
+                FROM ents WHERE entity_type = 'albums'
+                  AND json_extract_string(attrs_json, '$.artist') IS NOT NULL
+            ), contains_track AS (
+                SELECT 'CONTAINS_TRACK', 'album',
+                       json_extract_string(attrs_json, '$.album'),
+                       'song', canonical_name
+                FROM ents WHERE entity_type = 'songs'
+                  AND json_extract_string(attrs_json, '$.album') IS NOT NULL
+            ), cand AS (
+                SELECT rel_type, from_entity_type, from_entity_name,
+                       to_entity_type, to_entity_name FROM rels
+                UNION ALL SELECT * FROM member_of
+                UNION ALL SELECT * FROM released
+                UNION ALL SELECT * FROM contains_track
+            ), norm AS (
+                SELECT * FROM (
+                    SELECT {_alias_case} AS pred,
+                           {_plural_case('from_entity_type')} AS subj_etype,
+                           lower(trim(from_entity_name)) AS subj_norm,
+                           {_plural_case('to_entity_type')} AS obj_etype,
+                           lower(trim(to_entity_name)) AS obj_norm
+                    FROM cand
+                ) WHERE pred IN ({_whitelist})
+            ), resolved AS (
+                SELECT DISTINCT n.pred,
+                       rs.canonical_id AS subj_id, ro.canonical_id AS obj_id
+                FROM norm n
+                JOIN res rs ON rs.entity_type = n.subj_etype
+                           AND rs.form_norm = n.subj_norm
+                JOIN res ro ON ro.entity_type = n.obj_etype
+                           AND ro.form_norm = n.obj_norm
+            )
+            SELECT pred, count(*) AS n_edges,
+                   count(DISTINCT subj_id) AS n_subjects,
+                   count(DISTINCT obj_id) AS n_objects
+            FROM resolved GROUP BY pred ORDER BY pred
         """,
         "q_cosine_topk": """
             WITH q AS (

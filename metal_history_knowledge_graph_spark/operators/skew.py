@@ -72,6 +72,38 @@ def salted_collect_set(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    n_salts: int = 32,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key-safe equi-join WITHOUT broadcast: for the case where the
+    dimension side is too large to broadcast but the fact side has hot
+    keys (one famous band = millions of rows landing on one reducer of
+    a shuffled join).
+
+    The big side gets a uniform salt; the small side is replicated once
+    per salt value (|small| × n_salts rows — cheap when small ≪ big);
+    the join key becomes (keys…, salt), so a hot key's rows spread over
+    ``n_salts`` reducers instead of one. Semantics-preserving for
+    ``inner`` and ``left`` joins (every (key, salt) pair exists on the
+    replicated side exactly once per small-side row).
+
+    Prefer, in order: broadcast (dim fits), AQE skew-join splitting
+    (session default), then this explicit treatment — it composes with
+    pre-aggregation and works when AQE's runtime stats miss the skew.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    b = with_salt(big, n_salts)
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return b.join(s, [*keys, "_salt"], how).drop("_salt")
+
+
 def salted_count_distinct(
     df: DataFrame, keys: list[str], value_col: str, n_salts: int = 32,
     out_col: str = "n_distinct",

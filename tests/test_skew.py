@@ -83,3 +83,41 @@ def test_hot_key_pipeline_end_to_end(spark, tmp_path):
         .count()
     )
     assert sab[0].n_mentions == mentions_total
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from metal_history_knowledge_graph_spark.operators.skew import salted_join
+
+    # one hot key (90% of rows) + a long tail
+    big = spark.range(0, 100_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 50)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(0, 40)], "k long, label string"
+    )
+    plain = big.join(small, ["k"]).select("k", "v", "label")
+    salted = salted_join(big, small, ["k"], n_salts=8).select("k", "v", "label")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from pyspark.sql import functions as F
+
+    from metal_history_knowledge_graph_spark.operators.skew import salted_join
+
+    big = spark.range(0, 1000).select((F.col("id") % 60).alias("k"),
+                                      F.col("id").alias("v"))
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(0, 40)], "k long, label string"
+    )
+    plain = big.join(small, ["k"], "left").select("k", "v", "label")
+    salted = salted_join(big, small, ["k"], n_salts=8, how="left") \
+        .select("k", "v", "label")
+    assert salted.count() == plain.count() == 1000
+    assert salted.exceptAll(plain).count() == 0

@@ -870,6 +870,19 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def q_semi_join(spark, sf_dir):
+    """LEFT SEMI join (EXISTS): customers with at least one large
+    order — completes the join-type inventory alongside the broadcast,
+    self, anti, range and similarity joins."""
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
 def q_rollup(spark, sf_dir):
     """Hierarchical aggregation (ROLLUP): per-(flag, status) totals
     plus per-flag subtotals plus the grand total in ONE pass — native
@@ -1212,6 +1225,27 @@ def kg_betweenness(spark, sf_dir):
     return betweenness_sampled(store.read("edges")).limit(20)
 
 
+def kg_pagerank(spark, sf_dir):
+    """Fixed-point PageRank over the real entity graph (rows-only here;
+    the exact-oracle variant runs on the derived graph: q_pagerank).
+    Top-20 most central canonical entities with names attached."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import pagerank
+
+    store = _kg_store(spark, sf_dir)
+    edges = store.read("edges")
+    names = (
+        store.read("entities")
+        .select(F.col("canonical_id").alias("node_id"), "canonical_name")
+        .distinct()
+    )
+    return (
+        pagerank(edges, n_iters=8)
+        .join(F.broadcast(names), "node_id")
+        .orderBy(F.desc("rank_fixed"), "node_id")
+        .limit(20)
+    )
+
+
 def kg_validation(spark, sf_dir):
     """Entity validation issue counts per rule (rows-only)."""
     from metal_history_knowledge_graph_spark.operators.validate import validate_entities
@@ -1338,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_stats": q_source_stats,
         "q_json_extract": q_json_extract,
         # relational surface widening + dedup grouping
+        "q_semi_join": q_semi_join,
         "q_rollup": q_rollup,
         "q_pivot": q_pivot,
         "q_sliding_window": q_sliding_window,
@@ -1359,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_chunk_stats": kg_chunk_stats,
         "kg_components": kg_components,
         "kg_betweenness": kg_betweenness,
+        "kg_pagerank": kg_pagerank,
         "kg_validation": kg_validation,
         "kg_hybrid_search": kg_hybrid_search,
         "kg_intent_search": kg_intent_search,
@@ -1796,6 +1832,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT group_rep, count(*) AS group_size
                   FROM groups GROUP BY group_rep) c USING (group_rep)
             ORDER BY g.doc_id
+        """,
+        "q_semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 150000)
+            ORDER BY c_custkey
         """,
         "q_rollup": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -11,6 +11,7 @@ string) so it runs vectorized inside the extraction batch UDF.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 _HIGH = [re.compile(p) for p in (
     r"formed in \d{4}", r"released in \d{4}", r"founded in \d{4}",
@@ -58,6 +59,7 @@ _COMPLETENESS: dict[str, dict[str, float]] = {
 CURRENT_YEAR = 2026
 
 
+@lru_cache(maxsize=65536)
 def _pattern_score(context_lower: str) -> float:
     high = sum(1 for p in _HIGH if p.search(context_lower))
     med = sum(1 for p in _MEDIUM if p.search(context_lower))
@@ -86,6 +88,7 @@ def _completeness_score(entity: dict, entity_type: str) -> float:
     return achieved / (sum(weights.values()) + 0.4)
 
 
+@lru_cache(maxsize=65536)
 def _source_score(context_lower: str) -> float:
     if any(m in context_lower for m in _SOURCE_HIGH):
         return 0.9

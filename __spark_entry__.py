@@ -694,6 +694,46 @@ def q_clustering(spark, sf_dir):
     )
 
 
+def q_path_enum(spark, sf_dir):
+    """Node-simple directed path enumeration ≤4 hops from sampled
+    roots (the longest-influence-chain / genre-evolution family,
+    graph_metrics.py:358-399) via the iterative frontier-extend
+    operator; DuckDB replays it with a recursive CTE carrying the
+    same accumulated-path cycle filter."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        path_enumeration,
+    )
+
+    e = _derived_edges(spark, sf_dir)
+    roots = e.select("src").filter(F.col("src") < 40).distinct()
+    return (
+        path_enumeration(e, max_hops=4, roots=roots)
+        .select(
+            "src", "dst", "hops",
+            F.array_join(
+                F.expr("transform(path, x -> cast(x as string))"), "->"
+            ).alias("path_str"),
+        )
+        .orderBy(F.desc("hops"), "path_str")
+    )
+
+
+def q_path_stats(spark, sf_dir):
+    """Shortest-path-length distribution over sampled (root, node)
+    pairs (graph_metrics.py:330-356 — the sampled
+    avg/median/max/Counter path analysis; the Counter IS this
+    distribution). Multi-source frontier-join BFS, min-hop semantics,
+    node > root mirroring the reference's n.id < m.id pair filter."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        path_length_distribution,
+    )
+
+    e = _derived_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    )
+    return path_length_distribution(e, n_sources=16, max_hops=8)
+
+
 def q_collect_list(spark, sf_dir):
     """Ordered collect_list aggregation (band→genres family,
     query_pattern_tester.py:104-110), joined string for an exact
@@ -1246,6 +1286,21 @@ def kg_pagerank(spark, sf_dir):
     )
 
 
+def kg_path_analysis(spark, sf_dir):
+    """Longest INFLUENCED_BY chains over the real entity graph with
+    the full node-name path attached (graph_metrics.py:358-377;
+    rows-only — the exact-oracle sibling for the enumeration decision
+    is q_path_enum, for the BFS-distance decision q_path_stats)."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        longest_chains,
+    )
+
+    store = _kg_store(spark, sf_dir)
+    return longest_chains(
+        store.read("edges"), pred="INFLUENCED_BY", max_hops=4, top_n=10
+    ).select("hops", "chain_str")
+
+
 def kg_validation(spark, sf_dir):
     """Entity validation issue counts per rule (rows-only)."""
     from metal_history_knowledge_graph_spark.operators.validate import validate_entities
@@ -1360,6 +1415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_betweenness": q_betweenness,
         "q_triangles": q_triangles,
         "q_clustering": q_clustering,
+        "q_path_enum": q_path_enum,
+        "q_path_stats": q_path_stats,
         "q_collect_list": q_collect_list,
         "q_word_freq": q_word_freq,
         "q_pagerank": q_pagerank,
@@ -1395,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_components": kg_components,
         "kg_betweenness": kg_betweenness,
         "kg_pagerank": kg_pagerank,
+        "kg_path_analysis": kg_path_analysis,
         "kg_validation": kg_validation,
         "kg_hybrid_search": kg_hybrid_search,
         "kg_intent_search": kg_intent_search,
@@ -1691,6 +1749,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cur AS node_id, count(*) AS betweenness
             FROM chain GROUP BY cur ORDER BY node_id
+        """,
+        "q_path_enum": f"""
+            WITH RECURSIVE {_DERIVED_EDGES_SQL},
+            -- explicit DISTINCT: DuckDB 1.0 loses the UNION dedup of
+            -- the edges CTE when it is referenced from a recursive
+            -- CTE, duplicating the two pairs that two generator
+            -- branches both emit ((0,1) and (250,251))
+            dedges AS (SELECT DISTINCT src, dst FROM edges),
+            walk(src, dst, path, path_str, hops) AS (
+                SELECT src, dst, [src, dst],
+                       CAST(src AS VARCHAR) || '->' || CAST(dst AS VARCHAR),
+                       CAST(1 AS BIGINT)
+                FROM dedges WHERE src < 40
+                UNION ALL
+                SELECT w.src, e.dst, list_append(w.path, e.dst),
+                       w.path_str || '->' || CAST(e.dst AS VARCHAR),
+                       w.hops + 1
+                FROM walk w JOIN dedges e ON e.src = w.dst
+                WHERE w.hops < 4 AND NOT list_contains(w.path, e.dst)
+            )
+            SELECT src, dst, hops, path_str FROM walk
+            ORDER BY hops DESC, path_str
+        """,
+        "q_path_stats": f"""
+            WITH RECURSIVE {_DERIVED_EDGES_SQL},
+            und AS (
+                SELECT src AS a, dst AS b FROM edges
+                UNION
+                SELECT dst AS a, src AS b FROM edges
+            ),
+            srcs AS (SELECT a AS s FROM und GROUP BY a ORDER BY a LIMIT 16),
+            walk(s, node, hops) AS (
+                SELECT s, s, CAST(0 AS BIGINT) FROM srcs
+                UNION
+                SELECT w.s, u.b, w.hops + 1
+                FROM walk w JOIN und u ON u.a = w.node
+                WHERE w.hops < 8
+            ),
+            dist AS (
+                SELECT s, node, min(hops) AS hops FROM walk GROUP BY s, node
+            )
+            SELECT hops, count(*) AS n_pairs FROM dist
+            WHERE node > s GROUP BY hops ORDER BY hops
         """,
         "q_mutual_edges": f"""
             WITH {_DERIVED_EDGES_SQL}

@@ -307,3 +307,159 @@ def _betweenness_distributed(und: DataFrame, n_sources: int, max_hops: int) -> D
         .agg(F.count(F.lit(1)).alias("betweenness"))
         .orderBy(F.desc("betweenness"), "node_id")
     )
+
+
+# --- path analysis (graph_metrics.py:324-404) -------------------------------
+
+def path_enumeration(
+    pairs: DataFrame, max_hops: int = 4, roots: DataFrame | None = None,
+) -> DataFrame:
+    """Enumerate every node-simple directed path up to ``max_hops``
+    (the reference's longest-influence-chain / genre-evolution queries,
+    ``MATCH p = (a)-[:PRED*..k]->(b) RETURN [n IN nodes(p) | n.name]``,
+    scripts/analysis/graph_metrics.py:358-399).
+
+    ``pairs`` is a (src, dst) edge list; ``roots`` (optional, col
+    ``src``) restricts starting nodes — the reference's LIMIT-sampling
+    analogue. Returns (src, dst, hops, path:array<long>); cycles are
+    excluded with an ``array_contains`` filter on the accumulated path
+    (node-simple trail semantics — distinct entities along a chain,
+    which is what "longest influence chain" means).
+
+    Scale: per hop, ONE equi-join frontier.dst = edges.src; output is
+    bounded by the predicate subgraph's fan-out^max_hops. Intended for
+    vocabulary-sized predicate subgraphs (distinct INFLUENCED_BY /
+    EVOLVED_INTO facts), with ``roots`` capping the frontier when the
+    predicate is dense. ``localCheckpoint`` per hop truncates lineage.
+    """
+    e = (
+        pairs.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    base = e
+    if roots is not None:
+        base = e.join(
+            F.broadcast(roots.select(F.col("src").cast("long")).distinct()),
+            "src",
+        )
+    cur = base.select(
+        "src", "dst",
+        F.array("src", "dst").alias("path"),
+        F.lit(1).cast("long").alias("hops"),
+    ).localCheckpoint(eager=True)
+    out = cur
+    ext_edges = e.select(F.col("src").alias("_hop_src"), F.col("dst").alias("_nxt"))
+    for h in range(2, max_hops + 1):
+        if cur.limit(1).count() == 0:
+            break
+        cur = (
+            cur.join(ext_edges, cur["dst"] == ext_edges["_hop_src"])
+            .filter(~F.array_contains(F.col("path"), F.col("_nxt")))
+            .select(
+                "src",
+                F.col("_nxt").alias("dst"),
+                F.concat(F.col("path"), F.array(F.col("_nxt"))).alias("path"),
+                F.lit(h).cast("long").alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(cur)
+    return out
+
+
+def longest_chains(
+    edges: DataFrame, pred: str = "INFLUENCED_BY", max_hops: int = 4,
+    top_n: int = 20,
+) -> DataFrame:
+    """Longest chains of a predicate with the full node-name path —
+    graph_metrics.py:358-377 (influence chains) and 380-399 (genre
+    evolution) as one operator. Returns (hops, chain:array<string>,
+    chain_str) ordered longest-first with a deterministic tie-break.
+
+    Names are attached set-oriented: posexplode the id-paths, ONE
+    broadcast join against the vocabulary-sized id→name dim built from
+    the edge endpoints, regroup ordered by position — no per-path
+    lookups."""
+    pe = edges.filter(F.col("pred") == pred)
+    pairs = pe.select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+    names = (
+        pe.select(F.col("subj_id").alias("node"), F.col("subj_name").alias("name"))
+        .unionByName(
+            pe.select(F.col("obj_id").alias("node"), F.col("obj_name").alias("name"))
+        )
+        .groupBy("node").agg(F.min("name").alias("name"))
+    )
+    paths = path_enumeration(pairs, max_hops=max_hops)
+    exploded = paths.select(
+        "path", "hops", F.posexplode("path").alias("pos", "node")
+    )
+    named = (
+        exploded.join(F.broadcast(names), "node")
+        .groupBy("path", "hops")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "name"))),
+                lambda s: s["name"],
+            ).alias("chain")
+        )
+    )
+    return (
+        named.select(
+            "hops",
+            "chain",
+            F.array_join("chain", " -> ").alias("chain_str"),
+        )
+        .orderBy(F.desc("hops"), "chain_str")
+        .limit(top_n)
+    )
+
+
+def path_length_distribution(
+    edges: DataFrame, n_sources: int = 16, max_hops: int = 8,
+) -> DataFrame:
+    """Shortest-path-length distribution over sampled node pairs —
+    graph_metrics.py:330-356 (``shortestPath((n)-(m))`` over a pair
+    sample, then avg/median/max/Counter). Undirected, min-hop BFS from
+    the ``n_sources`` smallest node ids (deterministic sample, same
+    rule as betweenness_sampled); pairs are (root, node) with
+    node > root, mirroring the reference's ``n.id < m.id``. Returns
+    (hops, n_pairs); avg/median/max are derivable (the Counter IS the
+    reference's ``distribution`` output).
+
+    Scale: the frontier-join BFS batches all sources in one DataFrame
+    keyed by (bfs_src, node) — n_sources·|V| state upper bound, no
+    driver collect."""
+    und = _undirected_pairs(edges)
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    sources = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .orderBy("node").limit(n_sources)
+        .select(F.col("node").alias("bfs_src"))
+        .localCheckpoint(eager=True)
+    )
+    visited = sources.select(
+        "bfs_src", F.col("bfs_src").alias("node"), F.lit(0).alias("dist")
+    )
+    frontier = visited
+    for d in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["a"])
+            .select("bfs_src", F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("bfs_src", "node"), ["bfs_src", "node"], "left_anti")
+            .withColumn("dist", F.lit(d))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+        if frontier.limit(1).count() == 0:
+            break
+    return (
+        visited.filter(F.col("node") > F.col("bfs_src"))
+        .groupBy(F.col("dist").cast("long").alias("hops"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hops")
+    )

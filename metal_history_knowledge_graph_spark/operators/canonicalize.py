@@ -214,14 +214,19 @@ def connected_components(
     ``driver_pair_limit`` the distributed min-label-propagation loop
     takes over (one shuffle per iteration, localCheckpoint lineage
     cuts)."""
-    n_pairs = edges.limit(driver_pair_limit + 1).count()
-    if n_pairs == 0:
+    # ONE action decides the path AND fetches the pairs: limit+1 rows
+    # collected — if fewer come back than the cap, that IS the complete
+    # pair set (the LSH join + verify UDF lineage runs once, not once
+    # for a count probe and again for the collect).
+    probe = edges.select("entity_type", "left", "right") \
+        .limit(driver_pair_limit + 1).collect()
+    if not probe:
         return forms.select(
             "entity_type", "form_norm", F.col("form_norm").alias("label")
         )
 
-    if n_pairs <= driver_pair_limit:
-        pair_rows = edges.select("entity_type", "left", "right").collect()
+    if len(probe) <= driver_pair_limit:
+        pair_rows = probe
         parent: dict = {}
 
         def find(x):
@@ -400,5 +405,7 @@ def canonicalize(
     entities = canonical_entities(forms, labels).localCheckpoint(eager=True)
     resolution = resolution_map(entities).localCheckpoint(eager=True)
     provenance = entity_provenance(mentions, resolution).localCheckpoint(eager=True)
-    entities = attach_provenance_sample(entities, provenance).localCheckpoint(eager=True)
+    # no checkpoint on the final attach: both inputs are already cut,
+    # so re-running it per consumer is one vocabulary-sized join
+    entities = attach_provenance_sample(entities, provenance)
     return entities, resolution, provenance

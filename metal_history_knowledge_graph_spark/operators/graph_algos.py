@@ -31,9 +31,11 @@ def graph_components(edges: DataFrame, driver_edge_limit: int = 2_000_000) -> Da
     driver union-find path applies at any realistic scale; falls back
     to distributed label propagation above ``driver_edge_limit``."""
     und = _undirected_pairs(edges)
-    n = und.limit(driver_edge_limit + 1).count()
-    if n <= driver_edge_limit:
-        rows = und.collect()
+    # one action: limit+1 collect both decides the path and (driver
+    # case) yields the complete edge list without re-running lineage
+    probe = und.limit(driver_edge_limit + 1).collect()
+    if len(probe) <= driver_edge_limit:
+        rows = probe
         parent: dict = {}
 
         def find(x):
@@ -189,10 +191,9 @@ def betweenness_sampled(
     plans/queries.shortest_path_length pattern, batched over all
     sampled sources at once) — no unguarded ``collect``."""
     und = _undirected_pairs(edges)
-    n = und.limit(driver_edge_limit + 1).count()
-    if n > driver_edge_limit:
+    rows = und.limit(driver_edge_limit + 1).collect()
+    if len(rows) > driver_edge_limit:
         return _betweenness_distributed(und, n_sources, max_hops)
-    rows = und.collect()
     adj: dict[int, list[int]] = {}
     for r in rows:
         adj.setdefault(r.a, []).append(r.b)

@@ -14,11 +14,15 @@ calls in ``scripts/automation/load_to_kuzu.py:638-861``):
    emit (``src/schema/metal_history_schema_enhanced.cypher:104-198``);
 3. dedup on ``rel_hash = md5(type|from_type|lower(from)|to_type|
    lower(to))`` keeping the first occurrence in the pinned total order
-   (``extraction_pipeline.py:336-353``);
+   (``extraction_pipeline.py:336-353``) — fused with provenance
+   pooling into ONE mention-scale aggregation (min-struct + url
+   collect_set, both map-side combinable), so the observation set is
+   scanned exactly once per edges build;
 4. resolve names → canonical ids via a **broadcast** join against the
    resolution map (vocabulary-sized dim table — no shuffle of the big
    side, no skew: this is the famous-band hot-key join done right);
-5. provenance = normalized (rel_hash, url) table + bounded sample.
+5. provenance = normalized (edge_key, url) table + bounded sample on
+   the edge rows.
 """
 
 from __future__ import annotations
@@ -226,19 +230,7 @@ def build_triples(
         "rel_year", "rel_role", "rel_context", "order_key", "url",
     )
     candidates = explicit.unionByName(infer_relationships(entities))
-    # Materialize once: BOTH the dedup path and the provenance path
-    # consume the full relationship-observation set below — without
-    # this, each downstream write re-scans and re-normalizes the
-    # mention-scale table (~5 redundant scans measured). Note
-    # localCheckpoint blocks live on executor local storage and are NOT
-    # fault-tolerant; at cluster scale this spot is where a reliable
-    # checkpoint / intermediate table commit (store.write + read, as
-    # the pipeline stages do) belongs.
-    normalized = normalize_predicates(candidates).localCheckpoint(eager=True)
-
-    # Provenance first (pre-dedup, every observing url counts), keyed
-    # by the same canonical hash.
-    hashed = normalized.withColumn(
+    hashed = normalize_predicates(candidates).withColumn(
         "rel_hash",
         F.md5(F.concat_ws(
             "|", F.col("pred"), F.col("from_entity_type"),
@@ -246,13 +238,30 @@ def build_triples(
             F.lower(F.col("to_entity_name")),
         )),
     )
-    edge_prov = (
-        hashed.filter(F.col("url").isNotNull())
-        .select("rel_hash", "url").distinct()
+
+    # ONE mention-scale shuffle does BOTH first-occurrence dedup and
+    # provenance pooling: min(struct) picks the representative row in
+    # the pinned total order (identical to dedup_relationships) and
+    # collect_set(url) pools every observing url — both partial-agg
+    # friendly, so a fact observed in millions of pages collapses
+    # map-side. The observation set is scanned exactly once per edges
+    # build (previously: a materialization pass + a dedup shuffle + a
+    # provenance-distinct shuffle, three mention-scale passes).
+    # Buffer = distinct urls per fact; exact at sandbox scales,
+    # hash-subsample urls first if a fact's source set ever outgrows
+    # executor memory.
+    keep_cols = [c for c in hashed.columns if c not in ("rel_hash", "order_key")]
+    per_fact = (
+        hashed.groupBy("rel_hash")
+        .agg(
+            F.min(F.struct("order_key", *keep_cols)).alias("_r"),
+            F.sort_array(F.collect_set("url")).alias("_urls"),
+        )
+        .select("rel_hash", "_r.order_key",
+                *[F.col(f"_r.{c}") for c in keep_cols], "_urls")
     )
 
-    deduped = dedup_relationships(normalized)
-    resolved = resolve_triples(deduped, resolution)
+    resolved = resolve_triples(per_fact, resolution)
     complete = resolved.filter(
         F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()
     ).withColumn(
@@ -262,50 +271,50 @@ def build_triples(
         "edge_key",
         F.md5(F.concat_ws("|", F.col("pred"), F.col("subj_id"), F.col("obj_id"))),
     )
-    final = _keep_first(complete, "edge_key")
 
-    # Re-key provenance from surface hashes to canonical edge keys so a
-    # fact observed under several spellings pools its source urls.
-    # One partial-agg-friendly aggregation yields the exact source
-    # count and a bounded sorted sample together (buffer = distinct
-    # urls per fact; exact at sandbox scales, hash-subsample the urls
-    # first if a fact's source set ever outgrows executor memory).
-    hash_to_edge = complete.select("rel_hash", "edge_key").distinct()
-    prov_canon = (
-        edge_prov.join(F.broadcast(hash_to_edge), "rel_hash")
-        .select("edge_key", "url")
-        .distinct()
-        # consumed twice: the n_sources aggregation that lands on the
-        # edges table, and the edge_provenance table write itself
+    # Vocabulary-sized: representative per canonical edge (same pinned
+    # min-struct order as before, _urls excluded from the tie-break —
+    # distinct rel_hashes always differ in an earlier field) + url pools
+    # merged across the fact's surface spellings.
+    rep_cols = [c for c in complete.columns
+                if c not in ("edge_key", "order_key", "_urls")]
+    rep = (
+        complete.groupBy("edge_key")
+        .agg(
+            F.min(F.struct("order_key", *rep_cols)).alias("_r"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("_urls")))
+            ).alias("_urls"),
+        )
+        .select("edge_key", "_r.order_key",
+                *[F.col(f"_r.{c}") for c in rep_cols], "_urls")
+        # feeds both the edges table and the edge_provenance table; the
+        # cut stops the mention-scale lineage re-running per consumer.
+        # localCheckpoint blocks are executor-local and not
+        # fault-tolerant; at cluster scale this spot is a reliable
+        # checkpoint / intermediate table commit.
         .localCheckpoint(eager=True)
     )
-    prov_agg = prov_canon.groupBy("edge_key").agg(
-        F.sort_array(F.collect_set("url")).alias("_urls")
-    ).select(
-        "edge_key",
-        F.size("_urls").alias("n_sources"),
-        F.slice("_urls", 1, PROVENANCE_SAMPLE).alias("provenance"),
-    )
 
-    edges = (
-        final.select(
-            "edge_key", "rel_hash",
-            "subj_id", F.col("subj_etype").alias("subj_type"), "subj_name",
-            "pred",
-            "obj_id", F.col("obj_etype").alias("obj_type"), "obj_name",
-            F.map_filter(
-                F.create_map(
-                    F.lit("year"), F.col("rel_year").cast("string"),
-                    F.lit("role"), F.col("rel_role"),
-                    F.lit("context"), F.col("rel_context"),
-                ),
-                lambda _, v: v.isNotNull(),
-            ).alias("props"),
-            "order_key",
-        )
-        .join(prov_agg, "edge_key", "left")
-        .withColumn("n_sources", F.coalesce("n_sources", F.lit(0)))
+    edges = rep.select(
+        "edge_key", "rel_hash",
+        "subj_id", F.col("subj_etype").alias("subj_type"), "subj_name",
+        "pred",
+        "obj_id", F.col("obj_etype").alias("obj_type"), "obj_name",
+        F.map_filter(
+            F.create_map(
+                F.lit("year"), F.col("rel_year").cast("string"),
+                F.lit("role"), F.col("rel_role"),
+                F.lit("context"), F.col("rel_context"),
+            ),
+            lambda _, v: v.isNotNull(),
+        ).alias("props"),
+        "order_key",
+        F.size("_urls").alias("n_sources"),
+        F.when(F.size("_urls") > 0, F.slice("_urls", 1, PROVENANCE_SAMPLE))
+        .alias("provenance"),
     )
+    prov_canon = rep.select("edge_key", F.explode("_urls").alias("url"))
     return edges, prov_canon
 
 

@@ -1287,18 +1287,24 @@ def kg_pagerank(spark, sf_dir):
 
 
 def kg_path_analysis(spark, sf_dir):
-    """Longest INFLUENCED_BY chains over the real entity graph with
-    the full node-name path attached (graph_metrics.py:358-377;
-    rows-only — the exact-oracle sibling for the enumeration decision
-    is q_path_enum, for the BFS-distance decision q_path_stats)."""
+    """Longest predicate chains over the real entity graph with the
+    full node-name path attached — BOTH reference path queries:
+    influence chains (graph_metrics.py:358-377) and genre evolution
+    (graph_metrics.py:380-399). Rows-only — the exact-oracle sibling
+    for the enumeration decision is q_path_enum, for the BFS-distance
+    decision q_path_stats."""
     from metal_history_knowledge_graph_spark.operators.graph_algos import (
         longest_chains,
     )
 
     store = _kg_store(spark, sf_dir)
-    return longest_chains(
-        store.read("edges"), pred="INFLUENCED_BY", max_hops=4, top_n=10
-    ).select("hops", "chain_str")
+    edges = store.read("edges")
+    out = None
+    for pred in ("INFLUENCED_BY", "EVOLVED_INTO"):
+        chains = longest_chains(edges, pred=pred, max_hops=4, top_n=10) \
+            .select(F.lit(pred).alias("pred"), "hops", "chain_str")
+        out = chains if out is None else out.unionByName(chains)
+    return out
 
 
 def kg_validation(spark, sf_dir):

@@ -100,6 +100,122 @@ class TableStore:
         out = merged.localCheckpoint(eager=True)
         self.write(out, name)
 
+    # -- table maintenance -------------------------------------------------
+    def file_stats(self, name: str) -> dict:
+        """Data-file census for a parquet table: file count, total bytes,
+        min/max file size. Driver-side directory walk — O(#files) metadata,
+        no executor work (on Iceberg the same numbers come from the
+        ``files`` metadata table)."""
+        sizes = []
+        for dirpath, _dirs, files in os.walk(self._path(name)):
+            for f in files:
+                if f.endswith(".parquet"):
+                    sizes.append(os.path.getsize(os.path.join(dirpath, f)))
+        return {
+            "n_files": len(sizes),
+            "total_bytes": sum(sizes),
+            "min_bytes": min(sizes) if sizes else 0,
+            "max_bytes": max(sizes) if sizes else 0,
+        }
+
+    def compact(
+        self,
+        name: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        partition_by: list[str] | None = None,
+    ) -> dict:
+        """Bin-pack a table's data files into ~``target_file_bytes`` files
+        (the maintenance pass every incrementally-appended table needs:
+        streaming ``foreachBatch`` appends and per-batch upserts each
+        commit a task-count's worth of small files, and small files kill
+        scan throughput at 100 TB — per-file open/footer costs swamp the
+        column reads, and the driver chokes on listing millions of
+        splits). Iceberg expresses this as the ``rewrite_data_files``
+        snapshot procedure; parquet mode rewrites + atomically swaps.
+
+        Unpartitioned: one ``repartition(ceil(bytes/target))`` rewrite.
+        Partitioned (pass the table's ``partition_by``): per-partition
+        file counts are sized from that partition's on-disk bytes (a
+        driver-side metadata walk — #partitions rows, never data), then
+        ONE shuffle on (partition cols, deterministic salt) lands every
+        output file at ~target size while preserving the partition
+        layout — hot partitions get more files instead of one huge one.
+
+        Returns {files_before, files_after, total_bytes} for monitors.
+        """
+        if self.iceberg:
+            raise NotImplementedError(
+                "Iceberg mode: CALL kg.system.rewrite_data_files("
+                f"table => 'kg.{name}', "
+                f"options => map('target-file-size-bytes', '{target_file_bytes}'))"
+            )
+        from pyspark.sql import functions as F
+
+        before = self.file_stats(name)
+        if before["n_files"] == 0:
+            return {"files_before": 0, "files_after": 0, "total_bytes": 0}
+        df = self.read(name)
+
+        if not partition_by:
+            n_out = max(1, -(-before["total_bytes"] // target_file_bytes))
+            out = df.repartition(n_out)
+            self.write(out.localCheckpoint(eager=True), name)
+        else:
+            # Per-partition targets from the hive dir layout (col=val/...).
+            root = self._path(name)
+            part_bytes: dict = {}
+            for dirpath, _dirs, files in os.walk(root):
+                pb = sum(
+                    os.path.getsize(os.path.join(dirpath, f))
+                    for f in files if f.endswith(".parquet")
+                )
+                if not pb:
+                    continue
+                rel = os.path.relpath(dirpath, root)
+                key = tuple(
+                    seg.split("=", 1)[1] for seg in rel.split(os.sep) if "=" in seg
+                )
+                part_bytes[key] = part_bytes.get(key, 0) + pb
+            targets = [
+                (*k, max(1, -(-b // target_file_bytes)))
+                for k, b in part_bytes.items()
+            ]
+            # Partition-column values read back as strings from dir names;
+            # cast the join keys to string on the data side to match.
+            tdf = self.spark.createDataFrame(
+                targets, ", ".join([f"{c} string" for c in partition_by] + ["_nf long"])
+            )
+            keyed = df
+            for c in partition_by:
+                keyed = keyed.withColumn(f"_k_{c}", F.col(c).cast("string"))
+            joined = keyed.join(
+                F.broadcast(
+                    tdf.select(
+                        *[F.col(c).alias(f"_k_{c}") for c in partition_by], "_nf"
+                    )
+                ),
+                [f"_k_{c}" for c in partition_by],
+                "left",
+            )
+            salted = joined.withColumn(
+                "_salt",
+                F.pmod(
+                    F.xxhash64(F.struct(*[F.col(c) for c in df.columns])),
+                    F.coalesce(F.col("_nf"), F.lit(1)),
+                ),
+            )
+            out = (
+                salted.repartition(*partition_by, "_salt")
+                .select(*df.columns)
+            )
+            self.write(out.localCheckpoint(eager=True), name, partition_by=partition_by)
+        after = self.file_stats(name)
+        return {
+            "files_before": before["n_files"],
+            "files_after": after["n_files"],
+            "total_bytes": after["total_bytes"],
+        }
+
     # -- bucketed tables (co-located joins) --------------------------------
     def _table_ident(self, name: str) -> str:
         # The readable prefix is lossy ('/tmp/a/b' and '/tmp/a_b' both

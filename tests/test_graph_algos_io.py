@@ -157,3 +157,45 @@ def test_table_ident_distinct_roots(spark, tmp_path):
     os.makedirs(r1, exist_ok=True)
     s1, s2 = TableStore(spark, r1), TableStore(spark, r2)
     assert s1._table_ident("t") != s2._table_ident("t")
+
+
+def test_compact_unpartitioned(spark, store):
+    """12 small appends -> >=12 files; one compaction pass -> 1 file,
+    identical rows (the streaming-append maintenance path)."""
+    for i in range(12):
+        df = spark.createDataFrame([(i * 10 + j, f"v{i}") for j in range(10)], "k long, v string")
+        store.append(df, "t")
+    before = store.file_stats("t")
+    assert before["n_files"] >= 12
+
+    report = store.compact("t", target_file_bytes=1 << 30)
+    assert report["files_before"] == before["n_files"]
+    assert report["files_after"] == 1
+    rows = sorted((r.k, r.v) for r in store.read("t").collect())
+    assert rows == sorted((i * 10 + j, f"v{i}") for i in range(12) for j in range(10))
+
+
+def test_compact_partitioned_preserves_layout(spark, store):
+    """Partitioned compaction: per-partition rewrite keeps the hive dir
+    layout (partition pruning intact), dedupes the small files, and a
+    hot partition is allowed more output files than a cold one."""
+    import os
+
+    df = spark.createDataFrame(
+        [("hot", j) for j in range(800)] + [("cold", j) for j in range(16)],
+        "part string, k long",
+    )
+    # 16-task write -> up to 16 small files in each partition dir
+    store.write(df.repartition(16), "pt", partition_by=["part"])
+    assert store.file_stats("pt")["n_files"] >= 8
+    before_rows = sorted((r.part, r.k) for r in store.read("pt").collect())
+
+    report = store.compact("pt", target_file_bytes=1 << 30, partition_by=["part"])
+    after = store.file_stats("pt")
+    assert report["files_after"] == after["n_files"] <= report["files_before"]
+    # layout preserved: hive dirs per partition value
+    root = os.path.join(store.root, "pt")
+    assert sorted(d for d in os.listdir(root) if d.startswith("part=")) == [
+        "part=cold", "part=hot",
+    ]
+    assert sorted((r.part, r.k) for r in store.read("pt").collect()) == before_rows

@@ -1091,6 +1091,37 @@ def kg_edge_replay(spark, sf_dir):
     )
 
 
+_KG_ORPHAN_ENTS_PATH = "/tmp/kg_orphan_ents.parquet"
+_KG_ORPHAN_EDGES_PATH = "/tmp/kg_orphan_edges.parquet"
+
+
+def kg_orphans(spark, sf_dir):
+    """Orphaned-node report (graph_explorer.py:108-135: per-type
+    ``WHERE NOT EXISTS {{ MATCH (n)-[]-() }}``) as a decision oracle:
+    exports the canonical entity ids and the edge endpoint ids, returns
+    per-type orphan counts + first orphan name from the REAL pipeline
+    store via validate.orphan_nodes (two left-anti joins); the DuckDB
+    oracle replays the NOT EXISTS decision over the same exports."""
+    from metal_history_knowledge_graph_spark.operators.validate import orphan_nodes
+
+    store = _kg_store(spark, sf_dir)
+    ents = store.read("entities")
+    edges = store.read("edges")
+    ents.select("entity_type", "canonical_name", "canonical_id") \
+        .write.mode("overwrite").parquet(_KG_ORPHAN_ENTS_PATH)
+    edges.select("subj_id", "obj_id") \
+        .write.mode("overwrite").parquet(_KG_ORPHAN_EDGES_PATH)
+    return (
+        orphan_nodes(ents, edges)
+        .groupBy("entity_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_orphans"),
+            F.min("canonical_name").alias("first_orphan"),
+        )
+        .orderBy("entity_type")
+    )
+
+
 # --- KG pipeline catalog (rows-only: not SQL-expressible) ---------------------
 
 def kg_entity_counts(spark, sf_dir):
@@ -1444,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # set-oriented logic in SQL)
         "kg_canon_counts": kg_canon_counts,
         "kg_edge_replay": kg_edge_replay,
+        "kg_orphans": kg_orphans,
         "td_minhash_pairs": td_minhash_pairs,
         "td_simhash_pairs": td_simhash_pairs,
         "td_lsh_topk": td_lsh_topk,
@@ -2066,6 +2098,23 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT subj_id) AS n_subjects,
                    count(DISTINCT obj_id) AS n_objects
             FROM resolved GROUP BY pred ORDER BY pred
+        """,
+        # Replays validate.orphan_nodes' NOT-EXISTS decision over the
+        # exported entity-id / edge-endpoint tables.
+        "kg_orphans": f"""
+            WITH ents AS (
+                SELECT * FROM '{_KG_ORPHAN_ENTS_PATH}/*.parquet'
+            ), eids AS (
+                SELECT subj_id AS id FROM '{_KG_ORPHAN_EDGES_PATH}/*.parquet'
+                UNION
+                SELECT obj_id FROM '{_KG_ORPHAN_EDGES_PATH}/*.parquet'
+            )
+            SELECT entity_type,
+                   count(*) AS n_orphans,
+                   min(canonical_name) AS first_orphan
+            FROM ents e
+            WHERE NOT EXISTS (SELECT 1 FROM eids WHERE eids.id = e.canonical_id)
+            GROUP BY entity_type ORDER BY entity_type
         """,
         "q_cosine_topk": """
             WITH q AS (

@@ -123,6 +123,7 @@ class TableStore:
         name: str,
         target_file_bytes: int = 128 * 1024 * 1024,
         partition_by: list[str] | None = None,
+        sort_cols: list[str] | None = None,
     ) -> dict:
         """Bin-pack a table's data files into ~``target_file_bytes`` files
         (the maintenance pass every incrementally-appended table needs:
@@ -141,6 +142,14 @@ class TableStore:
         output file at ~target size while preserving the partition
         layout — hot partitions get more files instead of one huge one.
 
+        ``sort_cols`` is the Spark-side analogue of the reference's
+        ``CREATE INDEX`` pass (``optimize_database.py:26-68``): the
+        rewrite range-partitions on the sort key and sorts within
+        files, so every output file covers a disjoint key range and
+        parquet footer min/max stats prune point/range lookups to one
+        file (and row-group stats prune within it) — no index
+        structure, just data layout.
+
         Returns {files_before, files_after, total_bytes} for monitors.
         """
         if self.iceberg:
@@ -158,7 +167,11 @@ class TableStore:
 
         if not partition_by:
             n_out = max(1, -(-before["total_bytes"] // target_file_bytes))
-            out = df.repartition(n_out)
+            if sort_cols:
+                out = df.repartitionByRange(n_out, *sort_cols) \
+                    .sortWithinPartitions(*sort_cols)
+            else:
+                out = df.repartition(n_out)
             self.write(out.localCheckpoint(eager=True), name)
         else:
             # Per-partition targets from the hive dir layout (col=val/...).
@@ -208,6 +221,8 @@ class TableStore:
                 salted.repartition(*partition_by, "_salt")
                 .select(*df.columns)
             )
+            if sort_cols:
+                out = out.sortWithinPartitions(*sort_cols)
             self.write(out.localCheckpoint(eager=True), name, partition_by=partition_by)
         after = self.file_stats(name)
         return {

@@ -108,6 +108,33 @@ def write_edges(store: TableStore, edges: DataFrame) -> None:
     store.write(edges, "edges", partition_by=["pred"])
 
 
+def optimize_store(
+    store: TableStore, target_file_bytes: int = 128 * 1024 * 1024
+) -> dict[str, dict]:
+    """Post-load layout optimization — the Spark analogue of the
+    reference's index pass (``optimize_database.py:26-68`` creates
+    Band(name)/Album(title)/… indexes). A columnar lake has no index
+    structures; the equivalent is DATA LAYOUT: compact each graph
+    table's files to target size and sort by its dominant lookup key
+    inside the existing partition scheme, so point/range lookups prune
+    via partition dirs + parquet footer min/max instead of scanning.
+    On Iceberg the same pass is rewrite_data_files with sort orders.
+    Returns the per-table compaction reports for monitors."""
+    reports = {}
+    reports["entities"] = store.compact(
+        "entities", target_file_bytes,
+        partition_by=["entity_type"], sort_cols=["name_norm"],
+    )
+    reports["edges"] = store.compact(
+        "edges", target_file_bytes,
+        partition_by=["pred"], sort_cols=["subj_name"],
+    )
+    for small in ("resolution", "entity_provenance", "edge_provenance"):
+        if store.exists(small):
+            reports[small] = store.compact(small, target_file_bytes)
+    return reports
+
+
 def verify_counts(store: TableStore) -> DataFrame:
     """Post-load verification counts (load_to_kuzu.py:863-907)."""
     ents = store.read("entities").groupBy("entity_type").agg(

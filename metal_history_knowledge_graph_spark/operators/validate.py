@@ -155,6 +155,26 @@ def graph_consistency(entities: DataFrame, edges: DataFrame) -> DataFrame:
     return released_too_early.unionByName(self_loops)
 
 
+def orphan_nodes(entities: DataFrame, edges: DataFrame) -> DataFrame:
+    """Entities participating in NO edge in either direction — the
+    reference's orphaned-node report (``graph_explorer.py:108-135``:
+    ``WHERE NOT EXISTS {{ MATCH (n)-[]-() }}`` per node type).
+
+    Two left-anti joins against the distinct endpoint-id sets. The
+    endpoint sets are canonical-entity-sized (vocabulary, not mentions)
+    and the distinct collapses map-side, so at 100 TB this is two
+    small-side joins AQE turns into broadcasts — never a scan-vs-scan
+    shuffle of the entity table."""
+    endpoint_ids = (
+        edges.select(F.col("subj_id").alias("canonical_id"))
+        .unionByName(edges.select(F.col("obj_id").alias("canonical_id")))
+        .distinct()
+    )
+    return entities.join(endpoint_ids, "canonical_id", "left_anti").select(
+        "entity_type", "canonical_name", "canonical_id"
+    )
+
+
 def quality_score(issues: DataFrame) -> float:
     """100 − 5·errors − 2·warnings, floored at 0
     (entity_validation.py:200-219)."""

@@ -199,3 +199,67 @@ def test_compact_partitioned_preserves_layout(spark, store):
         "part=cold", "part=hot",
     ]
     assert sorted((r.part, r.k) for r in store.read("pt").collect()) == before_rows
+
+
+def test_compact_sorted_ranges(spark, store):
+    """sort_cols compaction = the CREATE INDEX analogue: output files
+    cover disjoint, ordered key ranges (parquet footer min/max prunes a
+    point lookup to one file)."""
+    import pyarrow.parquet as pq
+    import os
+
+    df = spark.createDataFrame(
+        [(f"name_{i:05d}", i) for i in range(4000)], "name string, v long"
+    )
+    store.write(df.repartition(8), "s")
+    sz = store.file_stats("s")
+    # target ~1/4 of the table -> >=2 output files
+    report = store.compact("s", target_file_bytes=sz["total_bytes"] // 4, sort_cols=["name"])
+    assert report["files_after"] >= 2
+
+    ranges = []
+    root = os.path.join(store.root, "s")
+    for f in sorted(os.listdir(root)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(root, f))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint, ordered key ranges across files
+    # content unchanged
+    assert store.read("s").count() == 4000
+
+
+def test_optimize_store(spark, store):
+    """optimize_database.py analogue over the graph tables: layout
+    rewrite preserves rows + partition dirs, reduces file counts."""
+    import os
+    from metal_history_knowledge_graph_spark.operators.materialize import optimize_store
+
+    ents = spark.createDataFrame(
+        [("bands", f"Band {i}", f"band {i}", i) for i in range(50)]
+        + [("people", f"P {i}", f"p {i}", 100 + i) for i in range(50)],
+        "entity_type string, canonical_name string, name_norm string, canonical_id long",
+    )
+    edges = spark.createDataFrame(
+        [("MEMBER_OF", f"P {i}", 100 + i, i % 50) for i in range(50)],
+        "pred string, subj_name string, subj_id long, obj_id long",
+    )
+    store.write(ents.repartition(8), "entities", partition_by=["entity_type"])
+    store.write(edges.repartition(8), "edges", partition_by=["pred"])
+    before_e = store.file_stats("entities")["n_files"]
+
+    reports = optimize_store(store, target_file_bytes=1 << 30)
+    assert reports["entities"]["files_after"] <= before_e
+    assert store.read("entities").count() == 100
+    assert store.read("edges").count() == 50
+    root = os.path.join(store.root, "entities")
+    assert sorted(d for d in os.listdir(root) if "=" in d) == [
+        "entity_type=bands", "entity_type=people",
+    ]

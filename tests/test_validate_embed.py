@@ -102,3 +102,20 @@ def test_hybrid_search_keyword_boost(spark, graph):
     assert any("sabbath" in n for n in names)
     scores = [r.final_score for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_orphan_nodes(spark):
+    from metal_history_knowledge_graph_spark.operators.validate import orphan_nodes
+
+    ents = spark.createDataFrame(
+        [("bands", "A", 1), ("bands", "B", 2), ("people", "C", 3), ("genres", "D", 4)],
+        "entity_type string, canonical_name string, canonical_id long",
+    )
+    edges = spark.createDataFrame(
+        [("MEMBER_OF", 3, 1)], "pred string, subj_id long, obj_id long"
+    )
+    got = sorted(
+        (r.entity_type, r.canonical_name)
+        for r in orphan_nodes(ents, edges).collect()
+    )
+    assert got == [("bands", "B"), ("genres", "D")]

@@ -72,11 +72,16 @@ class TableStore:
             shutil.rmtree(final)
         os.rename(tmp, final)
 
-    def append(self, df: DataFrame, name: str) -> None:
+    def append(
+        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+    ) -> None:
         if self.iceberg:
             df.writeTo(f"kg.{name}").append()
             return
-        df.write.mode("append").parquet(self._path(name))
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._path(name))
 
     def merge_upsert(self, df: DataFrame, name: str, keys: list[str]) -> None:
         """Set-oriented upsert: incoming rows win on key collision."""

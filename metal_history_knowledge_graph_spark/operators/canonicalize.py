@@ -50,7 +50,8 @@ from .extract import _ATTR_NAMES
 
 FORMS_SCHEMA = (
     "entity_type string, form_norm string, first_seen string, first_name string, "
-    "attrs_json string, variations array<string>, n_mentions long, confidence double"
+    "attrs_json string, variations array<string>, n_mentions long, confidence double, "
+    "source_urls array<string>"
 )
 
 ENTITY_SCHEMA = (
@@ -81,8 +82,9 @@ def surface_forms(
     adversarial web text where every page words a description
     differently, the distinct-payload set grows with the corpus; the
     cap trades the unbounded description-concat semantics (which the
-    reference also has) for a hard skew bound. Leave None for exact
-    reference semantics (tests, sandbox scales)."""
+    reference also has) for a hard skew bound (capped variants also
+    drop their pooled urls — provenance becomes sample-bounded). Leave
+    None for exact reference semantics (tests, sandbox scales)."""
     attrs_json = F.to_json(F.struct(*[F.col(a) for a in _ATTR_NAMES]))
     variants = (
         mentions
@@ -92,6 +94,11 @@ def surface_forms(
             F.min("order_key").alias("first_seen"),
             F.count(F.lit(1)).alias("n_mentions"),
             F.max("confidence").alias("confidence"),
+            # url provenance pooled IN the same mention-scale pass (the
+            # whole-pipeline provenance scan this replaces cost a full
+            # extra pass over the mention table). Buffer = distinct urls
+            # per variant; hot keys combine map-side like the counts.
+            F.collect_set("url").alias("urls"),
         )
     )
     if max_variants_per_form is not None:
@@ -108,6 +115,9 @@ def surface_forms(
         pdf = pdf.sort_values(["first_seen", "name", "attrs_json"], kind="mergesort")
         merged = _fold_rows_to_dict(list(pdf["attrs_json"]))
         variations = list(dict.fromkeys(pdf["name"]))
+        urls: set = set()
+        for u in pdf["urls"]:
+            urls.update(u)
         return pd.DataFrame([{
             "entity_type": pdf["entity_type"].iloc[0],
             "form_norm": pdf["link_norm"].iloc[0],
@@ -117,6 +127,7 @@ def surface_forms(
             "variations": variations,
             "n_mentions": int(pdf["n_mentions"].sum()),
             "confidence": float(pdf["confidence"].max()),
+            "source_urls": sorted(urls),
         }])
 
     return variants.groupBy("entity_type", "link_norm").applyInPandas(fold, FORMS_SCHEMA)
@@ -350,13 +361,33 @@ def resolution_map(entities: DataFrame) -> DataFrame:
 
 
 def entity_provenance(mentions: DataFrame, resolution: DataFrame) -> DataFrame:
-    """Normalized provenance: one row per (canonical_id, url)."""
+    """Normalized provenance: one row per (canonical_id, url), derived
+    by a full mention-scale scan. Kept as the from-first-principles
+    fallback; the pipeline uses :func:`form_provenance`, which gets the
+    identical set from the url pools the surface-form aggregation
+    already collected — zero extra mention passes."""
     return (
         mentions.select("entity_type", "link_norm", "url")
         .join(
             F.broadcast(resolution.withColumnRenamed("form_norm", "link_norm")),
             ["entity_type", "link_norm"],
         )
+        .select("canonical_id", "url")
+        .distinct()
+    )
+
+
+def form_provenance(forms: DataFrame, resolution: DataFrame) -> DataFrame:
+    """(canonical_id, url) from the ``source_urls`` pooled in the
+    surface-form aggregation — a vocabulary-sized explode + broadcast
+    join, replacing a full mention-scale distinct scan. Identical set
+    to :func:`entity_provenance` when ``max_variants_per_form`` is
+    None (every mention row's url reaches some variant's pool)."""
+    return (
+        forms.select(
+            "entity_type", "form_norm", F.explode("source_urls").alias("url")
+        )
+        .join(F.broadcast(resolution), ["entity_type", "form_norm"])
         .select("canonical_id", "url")
         .distinct()
     )
@@ -404,7 +435,7 @@ def canonicalize(
     # applyInPandas fold DAG runs exactly once, not once per consumer.
     entities = canonical_entities(forms, labels).localCheckpoint(eager=True)
     resolution = resolution_map(entities).localCheckpoint(eager=True)
-    provenance = entity_provenance(mentions, resolution).localCheckpoint(eager=True)
+    provenance = form_provenance(forms, resolution).localCheckpoint(eager=True)
     # no checkpoint on the final attach: both inputs are already cut,
     # so re-running it per consumer is one vocabulary-sized join
     entities = attach_provenance_sample(entities, provenance)

@@ -97,7 +97,10 @@ def run(
 
     def do_extract():
         extracted = extract_chunks(store.read("chunks"))
-        store.write(extracted, "extracted")
+        # partitioned by row kind: the mention and relationship passes
+        # downstream each scan ONLY their partition (partition pruning
+        # halves both mention-scale reads)
+        store.write(extracted, "extracted", partition_by=["kind"])
         n, _ = commit_partition_lineage(store, partition_lineage(
             store.read("extracted"), run_id, "extracted", key_col="url"
         ))
@@ -166,7 +169,7 @@ def run_incremental(
     todo = new_pages.join(processed_urls(store), "url", "left_anti")
     chunks = chunk_pages(todo).localCheckpoint(eager=True)
     store.append(chunks, "chunks")
-    store.append(extract_chunks(chunks), "extracted")
+    store.append(extract_chunks(chunks), "extracted", partition_by=["kind"])
     store.append(chunks.select("url").distinct(), "processed_urls")
     # Downstream (vocabulary-sized) stages recompute from the appended
     # mention set — idempotent deterministic folds.

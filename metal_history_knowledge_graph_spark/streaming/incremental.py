@@ -55,7 +55,7 @@ def ingest_batch(store: TableStore, batch_df: DataFrame, run_id: str, batch_id: 
     if n == 0:
         return 0
     store.append(chunks, "chunks")
-    store.append(extract_chunks(chunks), "extracted")
+    store.append(extract_chunks(chunks), "extracted", partition_by=["kind"])
     store.append(chunks.select("url").distinct(), "processed_urls")
     commit_stage(store, run_id, f"stream-batch-{batch_id}", n)
     return n

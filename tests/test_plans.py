@@ -240,3 +240,19 @@ def test_latest_snapshot_partial_agg(spark):
     )
     assert "Window" not in plan
     assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
+
+
+def test_extracted_kind_partition_pruned(graph):
+    """The extracted table is partitioned by row kind; the mention and
+    relationship branches must each scan only their partition (the
+    filter shows up as a PartitionFilters entry on kind, not a
+    post-scan Filter over all rows)."""
+    from metal_history_knowledge_graph_spark.operators.extract import (
+        mentions_of, relationships_of,
+    )
+
+    for branch in (mentions_of, relationships_of):
+        plan = plan_of(branch(graph.read("extracted")))
+        assert "PartitionFilters" in plan
+        pf = plan.split("PartitionFilters")[1].splitlines()[0]
+        assert "kind" in pf

@@ -309,6 +309,45 @@ def q_lang_id(spark, sf_dir):
     return with_lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_id")
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic md5-keyed Bernoulli sample (operators/sampling.py)
+    — the resume-safe replacement for df.sample(); the oracle replays
+    the exact keep/drop decision in DuckDB."""
+    from metal_history_knowledge_graph_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.25, seed=7).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic sampling rates — vocabulary-sized
+    CASE cutoff, no join/shuffle; per-stratum keep decision replayed
+    exactly in SQL."""
+    from metal_history_knowledge_graph_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.8, "fr": 0.1}, key_col="doc_id", seed=3
+    ).select("doc_id", "lang")
+
+
+def q_mix_sources(spark, sf_dir):
+    """Dataset mixing to target proportions (downsample-only): the
+    count pass + driver rate math + stratified hash filter, replayed
+    end-to-end by the oracle's CTE chain (same float expression
+    shapes, so the floor(rate*1e6) cutoffs agree bit-for-bit)."""
+    from metal_history_knowledge_graph_spark.operators.sampling import mix_sources
+
+    docs = _t(spark, sf_dir, "documents")
+    return mix_sources(
+        docs, "source", {"src0": 1, "src1": 1, "src2": 2}, key_col="doc_id", seed=5
+    ).select("doc_id", "source")
+
+
 def q_exact_dup_groups(spark, sf_dir):
     from metal_history_knowledge_graph_spark.operators.dedup import exact_duplicates
 
@@ -1438,6 +1477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_counts": q_token_counts,
         "q_quality_scores": q_quality_scores,
         "q_lang_id": q_lang_id,
+        "q_hash_sample": q_hash_sample,
+        "q_stratified_sample": q_stratified_sample,
+        "q_mix_sources": q_mix_sources,
         "q_exact_dup_groups": q_exact_dup_groups,
         "q_wordset_jaccard": q_wordset_jaccard,
         "q_cosine_topk": q_cosine_topk,
@@ -1668,6 +1710,38 @@ def oracle_sql() -> dict[str, str]:
                                 / length({toks}) ELSE 0 END))) * 10000) / 10000.0
                        AS quality_score
             FROM documents
+        """,
+        # deterministic sampling family: replay the md5 keep/drop
+        # decision (hash_bucket = first 8 md5 hex chars mod 1e6)
+        "q_hash_sample": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE CAST(('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                       % 1000000 AS BIGINT) < 250000
+        """,
+        "q_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5('3|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                       % 1000000 AS BIGINT) <
+                  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 800000
+                            WHEN 'fr' THEN 100000 ELSE 0 END
+        """,
+        "q_mix_sources": """
+            WITH tgt(source, w) AS (VALUES ('src0', 1.0), ('src1', 1.0), ('src2', 2.0)),
+            shares AS (SELECT source, w / (SELECT sum(w) FROM tgt) AS share FROM tgt),
+            counts AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+            j AS (SELECT s.source, s.share, coalesce(c.cnt, 0) AS cnt
+                  FROM shares s LEFT JOIN counts c USING (source)),
+            lim AS (SELECT min(cnt / share) AS l FROM j WHERE share > 0),
+            rates AS (SELECT source,
+                             CASE WHEN cnt = 0 THEN 0.0
+                                  ELSE least(1.0, ((SELECT l FROM lim) * share) / cnt)
+                             END AS r
+                      FROM j)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN rates USING (source)
+            WHERE CAST(('0x' || substr(md5('5|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                       % 1000000 AS BIGINT)
+                  < CAST(floor(r * 1000000) AS BIGINT)
         """,
         "q_lang_id": f"""
             WITH t AS (

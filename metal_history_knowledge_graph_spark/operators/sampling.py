@@ -1,0 +1,146 @@
+"""Deterministic sampling / dataset-mixing operators for training-data
+pipelines.
+
+Why not ``df.sample()``: Spark's built-in sampler draws per-partition
+from a seeded RNG, so the selected set changes whenever the input's
+partitioning changes (repartition, AQE coalescing, file-split drift) —
+unacceptable for a resumable pipeline whose checkpoint story promises
+exact re-runs (SURVEY §2.1 resume semantics). These operators decide
+per *row key* instead: a row is kept iff a hash of its key lands below
+the rate cutoff. That decision is
+
+* deterministic and partition-independent (stable under repartition,
+  resume, speculative re-execution),
+* a narrow ``Filter`` — no shuffle, applied before any downstream
+  exchange, column-pruned to the key column on the scan side,
+* cross-engine reproducible: the hash is ``md5`` (bit-identical in
+  every engine), so the driver's DuckDB oracle replays the exact
+  keep/drop decision (unlike xxhash64, which DuckDB lacks).
+
+At 100 TB the md5-per-row cost is one JVM intrinsic inside
+whole-stage codegen — no Python, no UDF, no extra scan.
+
+Scale notes per operator are in each docstring. The reference repo has
+no sampling surface; these are the training-data-pipeline additions
+required alongside the KG operators (brief: dedup/sampling/mixing as
+first-class components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Hash-bucket resolution: rates are exact multiples of 1e-6.
+BUCKETS = 1_000_000
+
+
+def hash_bucket(key: Column, seed: int = 0) -> Column:
+    """Deterministic bucket in ``[0, BUCKETS)`` from the first 8 hex
+    chars of ``md5(seed || key)`` — 32 hash bits, uniform, and exactly
+    reproducible in ANSI SQL (DuckDB: ``('0x' ||
+    substr(md5(...),1,8))::UBIGINT % 1000000``)."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(str(seed) + "|"), key.cast("string"))), 1, 8), 16, 10)
+    return h.cast("bigint") % BUCKETS
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float, seed: int = 0) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff
+    ``hash_bucket(key) < rate * BUCKETS``.
+
+    Narrow filter, no shuffle; the same (key, seed, rate) always makes
+    the same decision, so incremental/resumed runs and the DuckDB
+    oracle agree row-for-row. ``rate`` is truncated to 1e-6 resolution.
+    """
+    cutoff = int(rate * BUCKETS)
+    return df.where(hash_bucket(F.col(key_col), seed) < cutoff)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum ``s`` keeps rows at
+    ``rates[s]`` (strata absent from ``rates`` keep at
+    ``default_rate``; 0.0 drops them).
+
+    The rate table is vocabulary-sized (languages, source domains), so
+    it is inlined as a ``CASE``/literal-map expression — whole-stage
+    codegen, no join, no shuffle, no broadcast round-trip. The keep
+    decision itself is the same narrow hash filter as
+    :func:`hash_sample`, so two strata never disagree about a shared
+    key by accident (seed is shared).
+    """
+    cutoff = None
+    for stratum, rate in sorted(rates.items()):
+        c = int(rate * BUCKETS)
+        cond = F.col(strata_col) == stratum
+        cutoff = F.when(cond, c) if cutoff is None else cutoff.when(cond, c)
+    cutoff = F.lit(int(default_rate * BUCKETS)) if cutoff is None else cutoff.otherwise(int(default_rate * BUCKETS))
+    return df.where(hash_bucket(F.col(key_col), seed) < cutoff)
+
+
+def mixing_rates(
+    counts: dict[str, int], targets: dict[str, float]
+) -> dict[str, float]:
+    """Downsample-only acceptance rates that reshape observed
+    per-source ``counts`` into the ``targets`` mixture.
+
+    The binding source (highest demand relative to supply) keeps rate
+    1.0 and everything else downsamples around it — no row is ever
+    duplicated (upsampling a training corpus silently re-weights
+    near-duplicates; repeat-epoch logic belongs to the trainer, not
+    the engine). Pure driver-side arithmetic over a vocabulary-sized
+    dict.
+    """
+    total_w = sum(targets.values())
+    shares = {s: w / total_w for s, w in targets.items()}
+    # Feasible output size: min over sources of count/share.
+    limit = min(counts.get(s, 0) / share for s, share in shares.items() if share > 0)
+    return {
+        s: (min(1.0, (limit * share) / counts[s]) if counts.get(s) else 0.0)
+        for s, share in shares.items()
+    }
+
+
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    targets: dict[str, float],
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Dataset mixing: filter ``df`` so the surviving rows match the
+    ``targets`` proportions across ``source_col`` (sources not in
+    ``targets`` are dropped).
+
+    Two passes: (1) a per-source count — a partial-agg-friendly
+    ``groupBy`` whose scan is pruned to the one source column, output
+    vocabulary-sized; (2) one narrow stratified hash filter using the
+    driver-computed rates. At 100 TB pass 1 is the cheap column-pruned
+    scan and pass 2 is free inside whatever stage consumes the mix.
+    Deterministic end to end: same input + seed → same mixture.
+    """
+    counts = {
+        r[source_col]: r["cnt"]
+        for r in df.groupBy(source_col).agg(F.count("*").alias("cnt")).collect()
+    }
+    rates = mixing_rates(counts, targets)
+    return stratified_sample(df, source_col, rates, key_col, seed=seed, default_rate=0.0)
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_frac: float, seed: int = 0
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic, provably disjoint and exhaustive split: test =
+    buckets ``[0, test_frac*BUCKETS)``, train = the rest. Keyed on
+    ``key_col`` so all rows sharing a key (e.g. chunks of one
+    document) land on the same side — no train/test leakage through
+    intra-document near-duplicates. Both sides are narrow filters over
+    the same scan."""
+    cutoff = int(test_frac * BUCKETS)
+    b = hash_bucket(F.col(key_col), seed)
+    return df.where(b >= cutoff), df.where(b < cutoff)

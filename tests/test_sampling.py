@@ -1,0 +1,107 @@
+"""Deterministic sampling / dataset-mixing operators
+(operators/sampling.py): partition-independence, rate accuracy,
+mixing math, split disjointness, and the no-shuffle plan property."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from metal_history_knowledge_graph_spark.operators.sampling import (
+    BUCKETS,
+    hash_bucket,
+    hash_sample,
+    mix_sources,
+    mixing_rates,
+    stratified_sample,
+    train_test_split,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # 6000 synthetic docs across 3 sources / 4 langs, deterministic.
+    return (
+        spark.range(6000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("source"),
+            F.element_at(
+                F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("zh")),
+                ((F.col("id") % 4) + 1).cast("int"),
+            ).alias("lang"),
+        )
+        .cache()
+    )
+
+
+def test_hash_sample_deterministic_and_partition_independent(docs):
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3, seed=7).collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(17), "doc_id", 0.3, seed=7).collect()
+    }
+    assert a == b and len(a) > 0
+    # different seed -> different set (overwhelmingly)
+    c = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3, seed=8).collect()}
+    assert a != c
+
+
+def test_hash_sample_rate_accuracy(docs):
+    n = hash_sample(docs, "doc_id", 0.25, seed=1).count()
+    assert abs(n / 6000 - 0.25) < 0.03
+
+
+def test_hash_bucket_range(docs):
+    row = docs.select(
+        F.min(hash_bucket(F.col("doc_id"))).alias("lo"),
+        F.max(hash_bucket(F.col("doc_id"))).alias("hi"),
+    ).first()
+    assert 0 <= row.lo and row.hi < BUCKETS
+
+
+def test_stratified_rates(docs):
+    out = stratified_sample(
+        docs, "lang", {"en": 0.8, "de": 0.2}, key_col="doc_id", seed=3
+    )
+    got = {r.lang: r.cnt for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert set(got) == {"en", "de"}  # default_rate=0 drops fr/zh
+    assert abs(got["en"] / 1500 - 0.8) < 0.05
+    assert abs(got["de"] / 1500 - 0.2) < 0.05
+
+
+def test_mixing_rates_math():
+    rates = mixing_rates({"a": 1000, "b": 1000}, {"a": 3, "b": 1})
+    # b is not binding: a needs 3x b's share but only has 1000 -> a keeps 1.0,
+    # feasible total = 1000/0.75 = 1333.3 -> b keeps 333.3/1000
+    assert rates["a"] == 1.0
+    assert abs(rates["b"] - 1 / 3) < 1e-9
+    # absent source -> 0.0, never a division error
+    assert mixing_rates({"a": 10}, {"a": 1, "missing": 1})["missing"] == 0.0
+
+
+def test_mix_sources_proportions(docs):
+    out = mix_sources(docs, "source", {"src0": 2, "src1": 1}, key_col="doc_id", seed=5)
+    got = {r.source: r.cnt for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert set(got) == {"src0", "src1"}  # src2 dropped
+    ratio = got["src0"] / got["src1"]
+    assert abs(ratio - 2.0) < 0.25
+    # binding source (src0, demand 2x supply-equal src1) keeps everything
+    assert got["src0"] == 2000
+
+
+def test_train_test_split_disjoint_exhaustive(docs):
+    train, test = train_test_split(docs, "doc_id", 0.2, seed=9)
+    nt, ns = train.count(), test.count()
+    assert nt + ns == 6000
+    assert train.join(test, "doc_id", "inner").count() == 0
+    assert abs(ns / 6000 - 0.2) < 0.03
+
+
+def test_hash_sample_plan_is_narrow(docs):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        hash_sample(docs, "doc_id", 0.5).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan

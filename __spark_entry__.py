@@ -348,6 +348,32 @@ def q_mix_sources(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def q_cosine_neardup(spark, sf_dir):
+    """Exact all-pairs embedding-cosine near-dup decision (the
+    baseline the hyperplane-bucketed variant is recall-tested
+    against): inject exact duplicates, keep pairs with cosine ≥ 0.9.
+    Oracle replays the same pairs via DuckDB list_cosine_similarity."""
+    from metal_history_knowledge_graph_spark.operators.simsearch import (
+        cosine_near_duplicates_exact,
+    )
+
+    embs = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = embs.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    # 0.25 (vs the usual 0.95) so the synthetic random embeddings
+    # produce ~3k NATURAL pairs, not just the injected cosine=1.0 dups.
+    # Membership-only output: the cosine VALUES are already
+    # exact-oracled by q_cosine_topk; here 1-ulp cross-engine rounding
+    # at 4dp would make value-hashing flaky, while the keep/drop
+    # decision is deterministic (verified: no pair in the static
+    # testdata is within 1.4e-5 of the boundary on either engine,
+    # ~20x the observed cross-engine float drift).
+    return cosine_near_duplicates_exact(
+        embs.unionByName(dups), threshold=0.25
+    ).select("doc_a", "doc_b")
+
+
 def q_exact_dup_groups(spark, sf_dir):
     from metal_history_knowledge_graph_spark.operators.dedup import exact_duplicates
 
@@ -1483,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dup_groups": q_exact_dup_groups,
         "q_wordset_jaccard": q_wordset_jaccard,
         "q_cosine_topk": q_cosine_topk,
+        "q_cosine_neardup": q_cosine_neardup,
         "q_hybrid_rank": q_hybrid_rank,
         "q_ivf_fullprobe": q_ivf_fullprobe,
         "td_ivf_topk": td_ivf_topk,
@@ -2189,6 +2216,17 @@ def oracle_sql() -> dict[str, str]:
             FROM ents e
             WHERE NOT EXISTS (SELECT 1 FROM eids WHERE eids.id = e.canonical_id)
             GROUP BY entity_type ORDER BY entity_type
+        """,
+        "q_cosine_neardup": """
+            WITH aug AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000 AS vec_id, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id < 20
+            )
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.25
         """,
         "q_cosine_topk": """
             WITH q AS (

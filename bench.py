@@ -42,6 +42,15 @@ PAGES_BY_SF = {"sf0.001": 200, "sf0.01": 600, "sf0.1": 2000}
 SCALING_PAGES_BY_SF = {"sf0.001": 4000, "sf0.01": 15000, "sf0.1": 40000}
 
 
+def _scaling_pages() -> int:
+    """Scaling-corpus size; SPARK_GRAFT_SCALING_PAGES overrides the
+    per-sf default (used to measure how end-to-end efficiency
+    converges to the extract stage's as the data-parallel share
+    grows — the Amdahl trend documented in BENCH.md)."""
+    env = os.environ.get("SPARK_GRAFT_SCALING_PAGES")
+    return int(env) if env else SCALING_PAGES_BY_SF.get(_sf_name(), 2000)
+
+
 def _sf_name() -> str:
     return os.path.basename(SF_DIR.rstrip("/"))
 
@@ -59,7 +68,7 @@ def build_corpus(spark, n_pages: int, root: str, profile: str = "default") -> st
     timed pipeline)."""
     from metal_history_knowledge_graph_spark.sources.corpus import generate_pages
 
-    path = os.path.join(root, f"pages_{profile}{CORPUS_PARTITIONS}")
+    path = os.path.join(root, f"pages_{profile}{CORPUS_PARTITIONS}_p{n_pages}")
     if not os.path.isdir(path):
         generate_pages(
             spark, n_pages, seed=42, profile=profile,
@@ -196,7 +205,7 @@ def scaling_worker(cpus: int) -> None:
     heap/conf actually apply; no cross-level warm state). Records the
     host steal%% observed during the run — this sandbox sits on an
     overcommitted hypervisor and steal spikes distort wall times."""
-    n_pages = SCALING_PAGES_BY_SF.get(_sf_name(), 2000)
+    n_pages = _scaling_pages()
     spark = make_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     root = f"/tmp/kg_scaling_{_sf_name()}"
@@ -234,7 +243,7 @@ def scaling_bench(low: int = 4, high: int = 16, repeats: int = 2) -> dict:
 
     if repeats < 1:
         raise ValueError(f"repeats must be >= 1, got {repeats}")
-    n_pages = SCALING_PAGES_BY_SF.get(_sf_name(), 2000)
+    n_pages = _scaling_pages()
     runs: dict[int, list[dict]] = {low: [], high: []}
     for attempt in range(repeats):
         for cpus in (low, high):

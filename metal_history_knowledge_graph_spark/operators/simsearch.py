@@ -367,3 +367,31 @@ def embedding_near_duplicates(
         .dropDuplicates(["doc_a", "doc_b"])
     )
     return pairs
+
+
+def cosine_near_duplicates_exact(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup pairs — the correctness baseline
+    the bucketed :func:`embedding_near_duplicates` is recall-tested
+    against, and the verifier you run on a *bounded candidate set*.
+
+    Deliberately O(n²): never run on a full 100 TB table (that is what
+    the hyperplane-bucketed variant's candidate generation is for);
+    run it on a vocabulary-sized subset, one LSH bucket, or a
+    candidate-pair join's output. Cosine is the same native HOF dot
+    over L2-normalized vectors as cosine_topk (rounded to 4dp for
+    cross-engine float identity with the DuckDB oracle)."""
+    normed = with_l2_normalized(df, vec_col).select(
+        F.col(id_col).alias("doc"), "unit_vec"
+    )
+    return (
+        normed.alias("a")
+        .join(normed.alias("b"), F.col("a.doc") < F.col("b.doc"))
+        .withColumn("cosine", F.round(_dot(F.col("a.unit_vec"), F.col("b.unit_vec")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"), "cosine")
+    )

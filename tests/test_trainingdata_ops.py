@@ -202,6 +202,23 @@ def test_embedding_near_duplicates(spark, embs):
     assert {(0, 5000), (1, 5001)} <= found
 
 
+def test_embedding_neardup_bucketed_subset_of_exact(spark, embs):
+    """The hyperplane-bucketed near-dup pairs must be a SUBSET of the
+    exact all-pairs baseline (precision 1.0 — bucketing only prunes
+    candidates, the cosine verify is the same decision function), and
+    injected exact duplicates must survive the bucketing (recall on
+    identical vectors is structural: identical vectors share every
+    hyperplane sign)."""
+    dup = embs.limit(3).select((F.col("vec_id") + 7000).alias("vec_id"), "embedding", "label")
+    aug = embs.unionByName(dup)
+    approx = {(p.doc_a, p.doc_b)
+              for p in S.embedding_near_duplicates(aug, threshold=0.5).collect()}
+    exact = {(p.doc_a, p.doc_b)
+             for p in S.cosine_near_duplicates_exact(aug, threshold=0.5).collect()}
+    assert approx <= exact
+    assert {(0, 7000), (1, 7001), (2, 7002)} <= approx
+
+
 # --- multimodal -----------------------------------------------------------------
 
 @pytest.fixture(scope="module")

@@ -348,6 +348,26 @@ def q_mix_sources(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def q_shard_stats(spark, sf_dir):
+    """Training-export shard assignment (operators/sampling.py
+    assign_shards): per-shard row count + char volume — the oracle
+    replays the md5 shard function per row, so membership (not just
+    balance) is checked."""
+    from metal_history_knowledge_graph_spark.operators.sampling import assign_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        assign_shards(docs, "doc_id", n_shards=8, seed=2)
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
 def q_cosine_neardup(spark, sf_dir):
     """Exact all-pairs embedding-cosine near-dup decision (the
     baseline the hyperplane-bucketed variant is recall-tested
@@ -1510,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wordset_jaccard": q_wordset_jaccard,
         "q_cosine_topk": q_cosine_topk,
         "q_cosine_neardup": q_cosine_neardup,
+        "q_shard_stats": q_shard_stats,
         "q_hybrid_rank": q_hybrid_rank,
         "q_ivf_fullprobe": q_ivf_fullprobe,
         "td_ivf_topk": td_ivf_topk,
@@ -2216,6 +2237,13 @@ def oracle_sql() -> dict[str, str]:
             FROM ents e
             WHERE NOT EXISTS (SELECT 1 FROM eids WHERE eids.id = e.canonical_id)
             GROUP BY entity_type ORDER BY entity_type
+        """,
+        "q_shard_stats": """
+            SELECT CAST(('0x' || substr(md5('2|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                        % 1000000 % 8 AS INT) AS shard,
+                   count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM documents GROUP BY 1
         """,
         "q_cosine_neardup": """
             WITH aug AS (

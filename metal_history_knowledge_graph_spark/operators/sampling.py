@@ -144,3 +144,23 @@ def train_test_split(
     cutoff = int(test_frac * BUCKETS)
     b = hash_bucket(F.col(key_col), seed)
     return df.where(b >= cutoff), df.where(b < cutoff)
+
+
+def assign_shards(
+    df: DataFrame, key_col: str, n_shards: int, seed: int = 0
+) -> DataFrame:
+    """Training-export shard assignment: ``shard = hash_bucket(key) %
+    n_shards`` as a new column.
+
+    Properties a 100 TB export needs: deterministic (re-runs and
+    resumed runs assign identically — an interrupted export can skip
+    completed shards), key-affine (all chunks of one document share a
+    shard when keyed by document), and balanced by law of large
+    numbers (hash buckets are uniform; expected shard-size spread at
+    M rows over S shards is O(sqrt(M/S)), i.e. <1% at any realistic
+    shard size). Writing ``partitionBy("shard")`` then gives one
+    self-contained directory per shard with no extra shuffle beyond
+    the write's own partitioning."""
+    return df.withColumn(
+        "shard", (hash_bucket(F.col(key_col), seed) % n_shards).cast("int")
+    )

@@ -105,3 +105,19 @@ def test_hash_sample_plan_is_narrow(docs):
         hash_sample(docs, "doc_id", 0.5).explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan
+
+
+def test_assign_shards(docs):
+    from metal_history_knowledge_graph_spark.operators.sampling import assign_shards
+
+    out = assign_shards(docs, "doc_id", n_shards=8, seed=2)
+    stats = {r.shard: r.cnt for r in out.groupBy("shard").agg(F.count("*").alias("cnt")).collect()}
+    assert set(stats) == set(range(8))
+    assert sum(stats.values()) == 6000
+    # balanced by LLN: each shard within 20% of the mean at n=6000
+    assert all(abs(c - 750) < 150 for c in stats.values())
+    # deterministic under repartition
+    a = {(r.doc_id, r.shard) for r in out.collect()}
+    b = {(r.doc_id, r.shard)
+         for r in assign_shards(docs.repartition(13), "doc_id", 8, seed=2).collect()}
+    assert a == b

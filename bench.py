@@ -142,6 +142,14 @@ def make_spark(cpus: int):
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
         extra_confs={
+            # Per-core-constant heap (2 GB/core, floor 8 GB): a real
+            # N- vs 4N-executor comparison holds per-executor memory
+            # fixed, so aggregate memory scales with the cluster. A
+            # fixed local heap would instead starve each task of
+            # execution memory exactly as cores grow — an artifact of
+            # single-JVM local mode, not a property of the engine.
+            "spark.driver.memory": os.environ.get(
+                "SPARK_DRIVER_MEM", f"{max(8, 2 * cpus)}g"),
             # sandbox corpora are tiny by cluster standards: shrink
             # input splits so the narrow chunk/extract stages get
             # several tasks per core and the 96 corpus files are not

@@ -50,8 +50,7 @@ from .extract import _ATTR_NAMES
 
 FORMS_SCHEMA = (
     "entity_type string, form_norm string, first_seen string, first_name string, "
-    "attrs_json string, variations array<string>, n_mentions long, confidence double, "
-    "source_urls array<string>"
+    "attrs_json string, variations array<string>, n_mentions long, confidence double"
 )
 
 ENTITY_SCHEMA = (
@@ -82,9 +81,16 @@ def surface_forms(
     adversarial web text where every page words a description
     differently, the distinct-payload set grows with the corpus; the
     cap trades the unbounded description-concat semantics (which the
-    reference also has) for a hard skew bound (capped variants also
-    drop their pooled urls — provenance becomes sample-bounded). Leave
-    None for exact reference semantics (tests, sandbox scales)."""
+    reference also has) for a hard skew bound. Leave None for exact
+    reference semantics (tests, sandbox scales).
+
+    No url pooling here: provenance lives in its own narrow
+    (canonical_id, url) pair table (:func:`entity_provenance`). Earlier
+    builds collect_set the urls through this aggregation and the fold,
+    which dragged every distinct url of a hot entity (millions at web
+    scale) through ONE Python group — an unbounded per-group state the
+    rest of this module is designed to avoid. min/count/max keep the
+    aggregation a plain whole-stage-codegen HashAggregate."""
     attrs_json = F.to_json(F.struct(*[F.col(a) for a in _ATTR_NAMES]))
     variants = (
         mentions
@@ -94,11 +100,6 @@ def surface_forms(
             F.min("order_key").alias("first_seen"),
             F.count(F.lit(1)).alias("n_mentions"),
             F.max("confidence").alias("confidence"),
-            # url provenance pooled IN the same mention-scale pass (the
-            # whole-pipeline provenance scan this replaces cost a full
-            # extra pass over the mention table). Buffer = distinct urls
-            # per variant; hot keys combine map-side like the counts.
-            F.collect_set("url").alias("urls"),
         )
     )
     if max_variants_per_form is not None:
@@ -115,9 +116,6 @@ def surface_forms(
         pdf = pdf.sort_values(["first_seen", "name", "attrs_json"], kind="mergesort")
         merged = _fold_rows_to_dict(list(pdf["attrs_json"]))
         variations = list(dict.fromkeys(pdf["name"]))
-        urls: set = set()
-        for u in pdf["urls"]:
-            urls.update(u)
         return pd.DataFrame([{
             "entity_type": pdf["entity_type"].iloc[0],
             "form_norm": pdf["link_norm"].iloc[0],
@@ -127,7 +125,6 @@ def surface_forms(
             "variations": variations,
             "n_mentions": int(pdf["n_mentions"].sum()),
             "confidence": float(pdf["confidence"].max()),
-            "source_urls": sorted(urls),
         }])
 
     return variants.groupBy("entity_type", "link_norm").applyInPandas(fold, FORMS_SCHEMA)
@@ -361,33 +358,22 @@ def resolution_map(entities: DataFrame) -> DataFrame:
 
 
 def entity_provenance(mentions: DataFrame, resolution: DataFrame) -> DataFrame:
-    """Normalized provenance: one row per (canonical_id, url), derived
-    by a full mention-scale scan. Kept as the from-first-principles
-    fallback; the pipeline uses :func:`form_provenance`, which gets the
-    identical set from the url pools the surface-form aggregation
-    already collected — zero extra mention passes."""
+    """Normalized provenance: one row per (canonical_id, url) — the
+    pipeline's provenance path. One column-pruned mention-scale pass
+    (3 columns reach the scan), a broadcast join against the
+    vocabulary-sized resolution map, and a hash distinct whose partial
+    aggregation dedups hot keys map-side. Provenance never rides
+    through arrays or a Python fold: an earlier build pooled urls via
+    collect_set inside the surface-form aggregation, which hauled a hot
+    entity's millions of urls into single rows (and single fold
+    groups) — exactly the skew this table shape exists to prevent.
+    Exact regardless of ``max_variants_per_form``."""
     return (
         mentions.select("entity_type", "link_norm", "url")
         .join(
             F.broadcast(resolution.withColumnRenamed("form_norm", "link_norm")),
             ["entity_type", "link_norm"],
         )
-        .select("canonical_id", "url")
-        .distinct()
-    )
-
-
-def form_provenance(forms: DataFrame, resolution: DataFrame) -> DataFrame:
-    """(canonical_id, url) from the ``source_urls`` pooled in the
-    surface-form aggregation — a vocabulary-sized explode + broadcast
-    join, replacing a full mention-scale distinct scan. Identical set
-    to :func:`entity_provenance` when ``max_variants_per_form`` is
-    None (every mention row's url reaches some variant's pool)."""
-    return (
-        forms.select(
-            "entity_type", "form_norm", F.explode("source_urls").alias("url")
-        )
-        .join(F.broadcast(resolution), ["entity_type", "form_norm"])
         .select("canonical_id", "url")
         .distinct()
     )
@@ -413,13 +399,19 @@ def attach_provenance_sample(
     )
 
 
-def canonicalize(
+def canonicalize_core(
     mentions: DataFrame,
     spark: SparkSession | None = None,
     pair_strategy: str = "lsh",
     threshold: float = MERGE_THRESHOLD,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Full canonicalization. Returns (entities, resolution, provenance).
+    """Canonicalization stages 1–6 WITHOUT the provenance attach.
+    Returns (entities, resolution, provenance_pairs) where entities and
+    resolution are vocabulary-sized and eagerly cut, and
+    provenance_pairs is the LAZY (canonical_id, url) pair DF — the
+    caller commits it once (its only execution) and feeds the committed
+    table to :func:`attach_provenance_sample`. This is the pipeline's
+    path: a table commit, not a 10⁷-row localCheckpoint.
 
     ``pair_strategy``: 'lsh' (scale path, default) or 'exact'
     (exhaustive; small vocabularies / oracle in tests).
@@ -435,7 +427,26 @@ def canonicalize(
     # applyInPandas fold DAG runs exactly once, not once per consumer.
     entities = canonical_entities(forms, labels).localCheckpoint(eager=True)
     resolution = resolution_map(entities).localCheckpoint(eager=True)
-    provenance = form_provenance(forms, resolution).localCheckpoint(eager=True)
+    provenance = entity_provenance(mentions, resolution)
+    return entities, resolution, provenance
+
+
+def canonicalize(
+    mentions: DataFrame,
+    spark: SparkSession | None = None,
+    pair_strategy: str = "lsh",
+    threshold: float = MERGE_THRESHOLD,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Full canonicalization. Returns (entities, resolution, provenance)
+    with n_sources + the bounded source_urls sample already attached.
+
+    Convenience wrapper over :func:`canonicalize_core` that cuts the
+    provenance pairs with a localCheckpoint (fine for tests and
+    interactive use; the pipeline commits them as a table instead)."""
+    entities, resolution, provenance = canonicalize_core(
+        mentions, spark, pair_strategy, threshold
+    )
+    provenance = provenance.localCheckpoint(eager=True)
     # no checkpoint on the final attach: both inputs are already cut,
     # so re-running it per consumer is one vocabulary-sized join
     entities = attach_provenance_sample(entities, provenance)

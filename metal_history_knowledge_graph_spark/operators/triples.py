@@ -14,10 +14,8 @@ calls in ``scripts/automation/load_to_kuzu.py:638-861``):
    emit (``src/schema/metal_history_schema_enhanced.cypher:104-198``);
 3. dedup on ``rel_hash = md5(type|from_type|lower(from)|to_type|
    lower(to))`` keeping the first occurrence in the pinned total order
-   (``extraction_pipeline.py:336-353``) — fused with provenance
-   pooling into ONE mention-scale aggregation (min-struct + url
-   collect_set, both map-side combinable), so the observation set is
-   scanned exactly once per edges build;
+   (``extraction_pipeline.py:336-353``) — a min-struct HashAggregate
+   that partial-aggregates map-side;
 4. resolve names → canonical ids via a **broadcast** join against the
    resolution map (vocabulary-sized dim table — no shuffle of the big
    side, no skew: this is the famous-band hot-key join done right);
@@ -218,10 +216,18 @@ def build_triples(
     entities: DataFrame,
     resolution: DataFrame,
 ) -> tuple[DataFrame, DataFrame]:
-    """Full triple pipeline. Returns (edges, edge_provenance).
+    """Full triple pipeline. Returns (rep, edge_provenance):
 
-    edges: (rel_hash, subj_id, subj_type, pred, obj_id, obj_type,
-    subj_name, obj_name, props map<string,string>, n_sources,
+    * ``rep`` — one vocabulary-sized representative row per canonical
+      edge (pinned min-struct order), derived from an eagerly-cut
+      mention-scale dedup; feed it to :func:`finalize_edges`.
+    * ``edge_provenance`` — LAZY distinct (edge_key, url) pairs; commit
+      it once (its only execution), then pass the committed table to
+      :func:`finalize_edges` for n_sources + the bounded sample.
+
+    finalize_edges(rep, committed_pairs) yields the edges table:
+    (edge_key, rel_hash, subj_id, subj_type, subj_name, pred, obj_id,
+    obj_type, obj_name, props map<string,string>, order_key, n_sources,
     provenance array<string> sample).
     """
     explicit = rels.select(
@@ -239,26 +245,21 @@ def build_triples(
         )),
     )
 
-    # ONE mention-scale shuffle does BOTH first-occurrence dedup and
-    # provenance pooling: min(struct) picks the representative row in
-    # the pinned total order (identical to dedup_relationships) and
-    # collect_set(url) pools every observing url — both partial-agg
-    # friendly, so a fact observed in millions of pages collapses
-    # map-side. The observation set is scanned exactly once per edges
-    # build (previously: a materialization pass + a dedup shuffle + a
-    # provenance-distinct shuffle, three mention-scale passes).
-    # Buffer = distinct urls per fact; exact at sandbox scales,
-    # hash-subsample urls first if a fact's source set ever outgrows
-    # executor memory.
+    # First-occurrence dedup as ONE mention-scale HashAggregate:
+    # min(struct) picks the representative row in the pinned total
+    # order (identical to dedup_relationships), partial-aggregating
+    # map-side so a fact observed in millions of pages collapses inside
+    # each input partition. Provenance deliberately does NOT ride along
+    # as a collect_set here: pooling urls into per-fact arrays hauls a
+    # hot fact's millions of urls into one row (and degrades the whole
+    # aggregation from codegen HashAggregate to ObjectHashAggregate);
+    # it lives in its own narrow pair table below instead.
     keep_cols = [c for c in hashed.columns if c not in ("rel_hash", "order_key")]
     per_fact = (
         hashed.groupBy("rel_hash")
-        .agg(
-            F.min(F.struct("order_key", *keep_cols)).alias("_r"),
-            F.sort_array(F.collect_set("url")).alias("_urls"),
-        )
+        .agg(F.min(F.struct("order_key", *keep_cols)).alias("_r"))
         .select("rel_hash", "_r.order_key",
-                *[F.col(f"_r.{c}") for c in keep_cols], "_urls")
+                *[F.col(f"_r.{c}") for c in keep_cols])
     )
 
     resolved = resolve_triples(per_fact, resolution)
@@ -270,33 +271,66 @@ def build_triples(
         # (subj_id, pred, obj_id) — dedup again post-resolution.
         "edge_key",
         F.md5(F.concat_ws("|", F.col("pred"), F.col("subj_id"), F.col("obj_id"))),
-    )
-
-    # Vocabulary-sized: representative per canonical edge (same pinned
-    # min-struct order as before, _urls excluded from the tie-break —
-    # distinct rel_hashes always differ in an earlier field) + url pools
-    # merged across the fact's surface spellings.
-    rep_cols = [c for c in complete.columns
-                if c not in ("edge_key", "order_key", "_urls")]
-    rep = (
-        complete.groupBy("edge_key")
-        .agg(
-            F.min(F.struct("order_key", *rep_cols)).alias("_r"),
-            F.array_sort(
-                F.array_distinct(F.flatten(F.collect_list("_urls")))
-            ).alias("_urls"),
-        )
-        .select("edge_key", "_r.order_key",
-                *[F.col(f"_r.{c}") for c in rep_cols], "_urls")
-        # feeds both the edges table and the edge_provenance table; the
-        # cut stops the mention-scale lineage re-running per consumer.
+        # feeds the edge representative, the rel_hash→edge_key map for
+        # provenance, and (via rep) the edges table; the cut stops the
+        # mention-scale dedup lineage re-running per consumer.
         # localCheckpoint blocks are executor-local and not
         # fault-tolerant; at cluster scale this spot is a reliable
         # checkpoint / intermediate table commit.
-        .localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
+
+    # Vocabulary-sized: representative per canonical edge (same pinned
+    # min-struct order as before).
+    rep_cols = [c for c in complete.columns if c not in ("edge_key", "order_key")]
+    rep = (
+        complete.groupBy("edge_key")
+        .agg(F.min(F.struct("order_key", *rep_cols)).alias("_r"))
+        .select("edge_key", "_r.order_key",
+                *[F.col(f"_r.{c}") for c in rep_cols])
     )
 
-    edges = rep.select(
+    # Provenance pair path: a second, column-pruned mention pass —
+    # (rel_hash, url) distinct (partial agg dedups hot facts map-side),
+    # then every contributing surface-level rel_hash maps onto its
+    # canonical edge via a broadcast of the vocabulary-sized key map.
+    # Urls of facts that failed resolution drop out with the inner
+    # join, exactly as a pooled design would drop them. Returned LAZY:
+    # the caller commits it as the edge_provenance table (its one
+    # execution) and feeds the committed table to finalize_edges —
+    # a table commit, not a 10⁷-row localCheckpoint.
+    obs_pairs = (
+        hashed.select("rel_hash", "url")
+        .filter(F.col("url").isNotNull())
+        .distinct()
+    )
+    key_map = complete.select("rel_hash", "edge_key")
+    prov_canon = (
+        obs_pairs.join(F.broadcast(key_map), "rel_hash")
+        .select("edge_key", "url")
+        .distinct()
+    )
+    return rep, prov_canon
+
+
+def finalize_edges(rep: DataFrame, prov_pairs: DataFrame) -> DataFrame:
+    """Attach exact ``n_sources`` + bounded sorted url sample to the
+    canonical-edge representatives. ``prov_pairs`` should be the
+    COMMITTED (edge_key, url) table from :func:`build_triples` so the
+    pool aggregation is a cheap two-column scan of parquet, not a
+    re-run of the mention-scale lineage. The full sorted array exists
+    only transiently inside this vocabulary-keyed aggregation;
+    hash-subsample the pairs first if a single edge's url set ever
+    outgrows executor memory."""
+    pools = (
+        prov_pairs.groupBy("edge_key")
+        .agg(F.array_sort(F.collect_list("url")).alias("_urls"))
+        .select(
+            "edge_key",
+            F.size("_urls").alias("n_sources"),
+            F.slice("_urls", 1, PROVENANCE_SAMPLE).alias("provenance"),
+        )
+    )
+    return rep.join(pools, "edge_key", "left").select(
         "edge_key", "rel_hash",
         "subj_id", F.col("subj_etype").alias("subj_type"), "subj_name",
         "pred",
@@ -310,12 +344,9 @@ def build_triples(
             lambda _, v: v.isNotNull(),
         ).alias("props"),
         "order_key",
-        F.size("_urls").alias("n_sources"),
-        F.when(F.size("_urls") > 0, F.slice("_urls", 1, PROVENANCE_SAMPLE))
-        .alias("provenance"),
+        F.coalesce("n_sources", F.lit(0)).alias("n_sources"),
+        "provenance",
     )
-    prov_canon = rep.select("edge_key", F.explode("_urls").alias("url"))
-    return edges, prov_canon
 
 
 def resolution_stats(resolved: DataFrame) -> DataFrame:

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import TableStore
-from ..operators.canonicalize import canonicalize
+from ..operators.canonicalize import attach_provenance_sample, canonicalize_core
 from ..operators.chunk import chunk_pages
 from ..operators.extract import extract_chunks, mentions_of, relationships_of
 from ..operators.materialize import (
@@ -36,7 +36,7 @@ from ..operators.materialize import (
     write_edges,
     write_entities,
 )
-from ..operators.triples import build_triples
+from ..operators.triples import build_triples, finalize_edges
 
 STAGES = ["chunks", "extracted", "entities", "edges"]
 
@@ -109,12 +109,16 @@ def run(
     def do_entities():
         extracted = store.read("extracted")
         mentions = mentions_of(extracted)
-        entities, resolution, provenance = canonicalize(
+        entities, resolution, provenance = canonicalize_core(
             mentions, spark, pair_strategy=pair_strategy
         )
-        write_entities(store, entities)
         store.write(resolution, "resolution")
+        # provenance pair table commits FIRST (the narrow mention-scale
+        # pass executes exactly once, into this write); the n_sources /
+        # sample attach then aggregates the committed two-column table
         store.write(provenance, "entity_provenance")
+        write_entities(store, attach_provenance_sample(
+            entities, store.read("entity_provenance")))
         n, _ = commit_partition_lineage(store, partition_lineage(
             store.read("entities"), run_id, "entities", key_col="canonical_name"
         ))
@@ -123,11 +127,14 @@ def run(
     def do_edges():
         extracted = store.read("extracted")
         rels = relationships_of(extracted)
-        edges, edge_prov = build_triples(
+        rep, edge_prov = build_triples(
             rels, store.read("entities"), store.read("resolution")
         )
-        write_edges(store, edges)
+        # provenance pair table commits FIRST (the mention-scale pass
+        # executes exactly once, into this write); the edge pools then
+        # aggregate the committed two-column table
         store.write(edge_prov, "edge_provenance")
+        write_edges(store, finalize_edges(rep, store.read("edge_provenance")))
         n, _ = commit_partition_lineage(store, partition_lineage(
             store.read("edges"), run_id, "edges", key_col="edge_key"
         ))
@@ -179,20 +186,20 @@ def run_incremental(
 def _rebuild_downstream(
     spark: SparkSession, store: TableStore, run_id: str, pair_strategy: str
 ) -> dict[str, float]:
-    from ..operators.canonicalize import canonicalize as _canon
-
     metrics: dict[str, float] = {}
     t0 = time.time()
     extracted = store.read("extracted")
     mentions = mentions_of(extracted)
-    entities, resolution, provenance = _canon(mentions, spark, pair_strategy=pair_strategy)
-    write_entities(store, entities)
+    entities, resolution, provenance = canonicalize_core(
+        mentions, spark, pair_strategy=pair_strategy)
     store.write(resolution, "resolution")
     store.write(provenance, "entity_provenance")
+    write_entities(store, attach_provenance_sample(
+        entities, store.read("entity_provenance")))
     rels = relationships_of(extracted)
-    edges, edge_prov = build_triples(rels, store.read("entities"), store.read("resolution"))
-    write_edges(store, edges)
+    rep, edge_prov = build_triples(rels, store.read("entities"), store.read("resolution"))
     store.write(edge_prov, "edge_provenance")
+    write_edges(store, finalize_edges(rep, store.read("edge_provenance")))
     metrics["incremental_secs"] = time.time() - t0
     metrics["entities_rows"] = store.read("entities").count()
     metrics["edges_rows"] = store.read("edges").count()

@@ -35,6 +35,13 @@ ENGINE_CONFS: dict[str, str] = {
     # ANSI off: the reference semantics are permissive (nulls on bad
     # casts), and we never want a job-killing overflow at 100 TB.
     "spark.sql.ansi.enabled": "false",
+    # collect_set/collect_list aggregations (triple provenance pooling,
+    # variation tracking) run on ObjectHashAggregate, which silently
+    # degrades to a per-partition SORT of the full mention stream once
+    # the hash map passes 128 keys (the Spark default). Our grouping
+    # keys are vocabulary-sized (10^3..10^5 facts), far past 128 but
+    # trivially memory-safe, so keep the hash path.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "131072",
 }
 
 

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
 from ..functions.merge_rules import fold_entities
+from ..functions.plan_hints import drop_pin, hash_agg_pin
 from ..functions.similarity import MERGE_THRESHOLD, name_similarity
 from .extract import _ATTR_NAMES
 
@@ -100,8 +101,13 @@ def surface_forms(
             F.min("order_key").alias("first_seen"),
             F.count(F.lit(1)).alias("n_mentions"),
             F.max("confidence").alias("confidence"),
+            # min-over-string alone would land this mention-scale agg
+            # on SortAggregate; the pin keeps it a hash aggregation
+            # (functions/plan_hints.py)
+            hash_agg_pin().alias("_h"),
         )
     )
+    variants = drop_pin(variants)
     if max_variants_per_form is not None:
         w = Window.partitionBy("entity_type", "link_norm").orderBy("first_seen", "name", "attrs_json")
         variants = (

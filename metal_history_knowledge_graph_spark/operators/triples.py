@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.plan_hints import drop_pin, hash_agg_pin
+
 #: base whitelist, load_to_kuzu.py:813-821.
 BASE_PREDICATES = [
     "FORMED_IN", "PLAYS_GENRE", "RELEASED", "ACTIVE_DURING", "MEMBER_OF",
@@ -158,10 +160,13 @@ def _keep_first(df: DataFrame, key: str) -> DataFrame:
     instead of funnelling through one window sorter."""
     others = [c for c in df.columns if c != key]
     agg = df.groupBy(key).agg(
-        F.min(F.struct("order_key", *[c for c in others if c != "order_key"])).alias("_r")
+        F.min(F.struct("order_key", *[c for c in others if c != "order_key"])).alias("_r"),
+        # keeps the agg hash-based; min-over-struct alone would sort
+        # every input partition (functions/plan_hints.py)
+        hash_agg_pin().alias("_h"),
     )
-    return agg.select(key, "_r.order_key",
-                      *[F.col(f"_r.{c}") for c in others if c != "order_key"])
+    return drop_pin(agg).select(key, "_r.order_key",
+                                *[F.col(f"_r.{c}") for c in others if c != "order_key"])
 
 
 def dedup_relationships(rels: DataFrame) -> DataFrame:
@@ -255,12 +260,12 @@ def build_triples(
     # aggregation from codegen HashAggregate to ObjectHashAggregate);
     # it lives in its own narrow pair table below instead.
     keep_cols = [c for c in hashed.columns if c not in ("rel_hash", "order_key")]
-    per_fact = (
+    per_fact = drop_pin(
         hashed.groupBy("rel_hash")
-        .agg(F.min(F.struct("order_key", *keep_cols)).alias("_r"))
-        .select("rel_hash", "_r.order_key",
-                *[F.col(f"_r.{c}") for c in keep_cols])
-    )
+        .agg(F.min(F.struct("order_key", *keep_cols)).alias("_r"),
+             hash_agg_pin().alias("_h"))
+    ).select("rel_hash", "_r.order_key",
+             *[F.col(f"_r.{c}") for c in keep_cols])
 
     resolved = resolve_triples(per_fact, resolution)
     complete = resolved.filter(

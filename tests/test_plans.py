@@ -256,3 +256,63 @@ def test_extracted_kind_partition_pruned(graph):
         assert "PartitionFilters" in plan
         pf = plan.split("PartitionFilters")[1].splitlines()[0]
         assert "kind" in pf
+
+
+def test_mention_scale_aggs_stay_hash_based(graph):
+    """The mention-scale aggregations (surface-form variants, triple
+    first-occurrence dedup) must be HASH aggregations with a map-side
+    partial step — never SortAggregate, which min-over-string/struct
+    buffers silently force and which sorts every input partition of
+    the mention stream by its grouping keys (see
+    functions/plan_hints.py for the pin)."""
+    from metal_history_knowledge_graph_spark.operators.canonicalize import (
+        surface_forms,
+    )
+    from metal_history_knowledge_graph_spark.operators.extract import (
+        mentions_of, relationships_of,
+    )
+    from metal_history_knowledge_graph_spark.operators.triples import (
+        dedup_relationships, normalize_predicates,
+    )
+
+    extracted = graph.read("extracted")
+    forms_plan = plan_of(surface_forms(mentions_of(extracted)))
+    assert "SortAggregate" not in forms_plan
+    # partial + final ObjectHashAggregate pair around one Exchange
+    assert forms_plan.count("ObjectHashAggregate") >= 2
+    assert "partial_min" in forms_plan
+
+    dedup_plan = plan_of(
+        dedup_relationships(normalize_predicates(relationships_of(extracted)))
+    )
+    assert "SortAggregate" not in dedup_plan
+    assert dedup_plan.count("ObjectHashAggregate") >= 2
+    assert "partial_min" in dedup_plan
+
+
+def test_provenance_pair_scan_is_column_pruned(graph):
+    """The provenance pair paths are second mention-scale passes; they
+    must be CHEAP passes — only the key/url columns may reach the
+    parquet scan, never the attr/context payload columns."""
+    from metal_history_knowledge_graph_spark.operators.canonicalize import (
+        entity_provenance,
+    )
+    from metal_history_knowledge_graph_spark.operators.extract import mentions_of
+
+    plan = plan_of(
+        entity_provenance(
+            mentions_of(graph.read("extracted")), graph.read("resolution")
+        )
+    )
+    read_schemas = [
+        ln.split("ReadSchema:")[1]
+        for ln in plan.splitlines()
+        if "ReadSchema:" in ln and "extracted" not in ln.split("ReadSchema:")[0]
+    ]
+    # the extracted-table scan carries url + name/linked_name (+ the
+    # order-key inputs Spark can't prune away) but never the wide
+    # payload columns
+    extracted_schema = [s for s in read_schemas if "url" in s]
+    assert extracted_schema
+    for s in extracted_schema:
+        assert "rel_context" not in s and "description" not in s

@@ -368,6 +368,76 @@ def q_shard_stats(spark, sf_dir):
     )
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (operators/scrub.py): the documents table is
+    deterministically augmented with synthetic emails / phones / IPs
+    derived from doc_id (both engines build the identical augmented
+    text), then redacted; the oracle replays the same
+    count-and-replace chain (common Java-regex/RE2 pattern subset) and
+    must match the per-class counts AND the sha256 of the redacted
+    text per row."""
+    from metal_history_knowledge_graph_spark.operators.scrub import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                         F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" call 555-123-"),
+                         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+                         F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(aug).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4",
+        F.sha2(F.col("redacted"), 256).alias("redacted_sha"),
+    )
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (operators/contamination.py): the
+    'benchmark' is the deterministic doc_id % 29 == 0 slice of the
+    documents table (no external data); every document reports its
+    distinct word-5-gram count, how many occur in the benchmark, and
+    the contaminated flag. Oracle replays gram construction
+    (string_split + list_slice) and the overlap join in DuckDB."""
+    from metal_history_knowledge_graph_spark.operators.contamination import (
+        contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 29 == 0)
+    return contamination(docs, benchmark, n=5)
+
+
+def q_pack_stats(spark, sf_dir):
+    """Sequence-packing assignment (operators/packing.py): documents
+    hashed into 8 shards, concat-then-chunk into 512-token sequences;
+    per-document (shard, seq_first, offset_in_seq, n_seqs) replayed
+    exactly in DuckDB via the same md5 shard hash and a
+    window-cumsum."""
+    from metal_history_knowledge_graph_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    return pack_sequences(
+        docs, "doc_id", "n_tokens", capacity=512, n_shards=8, seed=0
+    ).select("doc_id", "shard", "seq_first", "offset_in_seq", "n_seqs")
+
+
 def q_cosine_neardup(spark, sf_dir):
     """Exact all-pairs embedding-cosine near-dup decision (the
     baseline the hyperplane-bucketed variant is recall-tested
@@ -1531,6 +1601,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_cosine_neardup": q_cosine_neardup,
         "q_shard_stats": q_shard_stats,
+        "q_pii_redact": q_pii_redact,
+        "q_contamination": q_contamination,
+        "q_pack_stats": q_pack_stats,
         "q_hybrid_rank": q_hybrid_rank,
         "q_ivf_fullprobe": q_ivf_fullprobe,
         "td_ivf_topk": td_ivf_topk,
@@ -2244,6 +2317,86 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
                    min(doc_id) AS min_doc, max(doc_id) AS max_doc
             FROM documents GROUP BY 1
+        """,
+        # Replays the redaction chain with the SAME pattern strings
+        # (common Java-regex/RE2 subset): counts are taken on the text
+        # as it stands after the previous class's replacement, exactly
+        # as operators/scrub.py chains them.
+        "q_pii_redact": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0 THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+                       AS t
+                FROM documents
+            ), s1 AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                       regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+                FROM aug
+            ), s2 AS (
+                SELECT doc_id, n_email,
+                       CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+                       regexp_replace(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t
+                FROM s1
+            ), s3 AS (
+                SELECT doc_id, n_email, n_phone,
+                       CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                       regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+                FROM s2
+            )
+            SELECT doc_id, n_email, n_phone, n_ipv4, sha256(t) AS redacted_sha
+            FROM s3
+        """,
+        # Gram construction replay: string_split keeps empty words for
+        # consecutive spaces exactly like Spark split with the default
+        # -1 limit; list_slice(w, i, i+4) is the 5-gram at 1-based i.
+        "q_contamination": """
+            WITH words AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 4), ' ') AS g
+                FROM words, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)
+            ), bench AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0
+            ), per_doc AS (
+                SELECT grams.doc_id,
+                       count(*) AS n_grams,
+                       sum(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+                FROM grams LEFT JOIN bench USING (g)
+                GROUP BY grams.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+                   coalesce(n_hit, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN per_doc USING (doc_id)
+        """,
+        # Same md5 shard hash as q_shard_stats; the window cumsum is
+        # over non-negative integers so DuckDB's flooring // and
+        # Spark's truncating div agree.
+        "q_pack_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(CAST(('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                            % 1000000 % 8 AS INT) AS shard,
+                       greatest(len(string_split(text, ' ')), 1) AS n_tokens
+                FROM documents
+            ), packed AS (
+                SELECT doc_id, shard, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS start
+                FROM toks
+            )
+            SELECT doc_id, shard,
+                   CAST(start // 512 AS BIGINT) AS seq_first,
+                   CAST(start % 512 AS BIGINT) AS offset_in_seq,
+                   CAST((start + n_tokens - 1) // 512 - start // 512 + 1 AS BIGINT) AS n_seqs
+            FROM packed
         """,
         "q_cosine_neardup": """
             WITH aug AS (

@@ -1,0 +1,103 @@
+"""Benchmark decontamination: flag training documents that overlap an
+evaluation set by shared word n-grams.
+
+The standard pretraining hygiene step (GPT-3 appendix C, PaLM,
+Llama): any training document sharing ≥1 distinct n-gram (13-grams at
+production scale; configurable here) with a benchmark document is
+flagged (and usually dropped) so evaluation numbers aren't inflated by
+memorized test data.
+
+Scale shape — the asymmetry is the whole design: the benchmark side is
+tiny (eval suites are MBs) while the corpus side is the full 100 TB.
+
+* benchmark → distinct n-gram set: vocabulary-sized, **broadcast**
+* corpus → ``explode`` of per-document *distinct* n-grams: a narrow
+  generator (no shuffle); ``array_distinct`` before the explode bounds
+  the fan-out per document at its distinct-gram count
+* the membership probe is a broadcast LEFT join (no shuffle of the
+  corpus side), followed by one partial-agg-friendly per-doc count
+
+So the full pass is: one scan of the corpus, zero corpus-side
+shuffles beyond the final per-doc aggregation keyed by the (unique)
+document key — which AQE coalesces since the output is one row per
+document. Exact DuckDB oracle: `__spark_entry__.q_contamination`
+replays gram construction (string_split + list_slice) and the
+overlap join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _distinct_ngrams(text_col: Column, n: int) -> Column:
+    """Distinct word ``n``-grams of a single-space-joined word split.
+
+    Splits on the literal space character (consecutive spaces yield
+    empty-string words on BOTH engines — Spark ``split`` with the
+    default -1 limit and DuckDB ``string_split`` agree), so the oracle
+    replay is exact on any input."""
+    words = F.split(text_col, " ")
+    return F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_set(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """One row per (document, distinct n-gram)."""
+    return df.select(
+        key_col, F.explode(_distinct_ngrams(F.col(text_col), n)).alias("gram")
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document contamination report against ``benchmark``.
+
+    Returns one row per input document: ``n_grams`` (distinct n-grams
+    in the document), ``n_hit`` (of those, how many occur anywhere in
+    the benchmark), ``contaminated`` (n_hit ≥ 1). Documents shorter
+    than ``n`` words report (0, 0, false).
+
+    The benchmark's distinct gram set is broadcast — see the module
+    docstring for why every heavy step stays on the corpus side as a
+    narrow pass."""
+    bench_grams = (
+        ngram_set(benchmark, key_col, text_col, n)
+        .select("gram")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    grams = ngram_set(docs, key_col, text_col, n)
+    per_doc = (
+        grams.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hit"),
+        )
+    )
+    return (
+        docs.select(key_col)
+        .join(per_doc, key_col, "left")
+        .select(
+            key_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

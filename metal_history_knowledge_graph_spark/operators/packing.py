@@ -1,0 +1,98 @@
+"""Sequence packing for training export: assign every document a
+position in a stream of fixed-capacity token sequences.
+
+Trainers consume fixed-length sequences (e.g. 512/4096 tokens); the
+standard export (GPT-2 onward) concatenates documents and chunks the
+stream at the capacity boundary, letting documents span sequence
+borders. This operator computes that assignment *deterministically and
+in parallel*: documents are hashed into ``n_shards`` independent
+streams (shard = the unit of both parallelism and file layout — one
+output file per shard), and within a shard the stream order is the
+(unique) document key.
+
+Scale shape: the only shuffle is one hash repartition by ``shard``;
+inside each shard a *partitioned* window cumsum (never a global
+window — the classic single-task funnel this module exists to avoid)
+yields each document's start offset in the shard's token stream.
+Shard count is chosen like output-file count (thousands at 100 TB),
+so each window partition is a bounded, file-sized slice.
+
+Everything is integer arithmetic on a cross-engine hash (md5, as in
+``operators/sampling``), so re-runs, resumed runs, and the DuckDB
+oracle (`__spark_entry__.q_pack_stats`) reproduce the assignment
+bit-for-bit — an interrupted export can skip finished shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import hash_bucket
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    capacity: int,
+    n_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Concat-then-chunk packing assignment.
+
+    Adds per row (requires ``key_col`` unique and ``tokens_col`` ≥ 1;
+    zero-token rows are counted as 1 so the arithmetic stays in the
+    non-negative range where Spark's truncating ``div`` and the
+    oracle's flooring ``//`` agree):
+
+    * ``shard``      — md5-bucket of the key mod ``n_shards``
+    * ``seq_first``  — index (within the shard) of the first sequence
+      this document occupies
+    * ``offset_in_seq`` — token offset of the document's first token
+      inside that sequence
+    * ``n_seqs``     — how many sequences the document spans
+    """
+    toks = F.greatest(F.col(tokens_col), F.lit(1)).cast("long")
+    out = df.withColumn(
+        "shard", (hash_bucket(F.col(key_col), seed) % n_shards).cast("int")
+    ).withColumn("_toks", toks)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("_toks").over(w), F.lit(0)).cast("long")
+    cap = F.lit(int(capacity)).cast("long")
+    out = out.withColumn("_start", start)
+    return (
+        out.withColumn("seq_first", F.expr(f"_start div {int(capacity)}"))
+        .withColumn("offset_in_seq", (F.col("_start") % cap).cast("long"))
+        .withColumn(
+            "n_seqs",
+            (
+                F.expr(f"(_start + _toks - 1) div {int(capacity)}")
+                - F.col("seq_first") + F.lit(1)
+            ).cast("long"),
+        )
+        .drop("_start", "_toks")
+    )
+
+
+def shard_manifest(packed: DataFrame) -> DataFrame:
+    """Per-shard export manifest over a :func:`pack_sequences` output:
+    document count, total tokens, and the number of full sequences the
+    shard yields — the bookkeeping a resumable exporter checks before
+    skipping a finished shard. One vocabulary-sized aggregation."""
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(F.col("seq_first") + F.col("n_seqs") - 1).alias("last_seq"),
+        )
+        .select(
+            "shard",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (F.col("last_seq") + 1).cast("long").alias("n_seqs"),
+        )
+    )

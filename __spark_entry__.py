@@ -438,6 +438,33 @@ def q_pack_stats(spark, sf_dir):
     ).select("doc_id", "shard", "seq_first", "offset_in_seq", "n_seqs")
 
 
+def q_url_canon(spark, sf_dir):
+    """URL canonicalization (operators/urlnorm.py): synthetic crawl
+    URLs derived from doc_id exercise every rule (case, default ports,
+    tracking params, param order, fragments, trailing slash,
+    non-URL passthrough); the oracle replays the exact expression
+    chain in DuckDB (common regex subset, no replacement
+    backreferences)."""
+    from metal_history_knowledge_graph_spark.operators.urlnorm import (
+        canonicalize_urls,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 5).cast("int")
+    did = F.col("doc_id").cast("string")
+    urls = docs.select(
+        "doc_id",
+        F.when(m == 0, F.concat(F.lit("HTTP://Example.COM:80/Path/"), did,
+                                F.lit("/?b=2&utm_source=x&a=1#frag")))
+        .when(m == 1, F.lit("https://CDN.Example.org:443/assets?z=9&y=8&fbclid=abc123"))
+        .when(m == 2, F.lit("https://example.com/shared/page/"))
+        .when(m == 3, F.concat(F.lit("http://site"), (F.col("doc_id") % 7).cast("string"),
+                               F.lit(".net/p?id="), did, F.lit("&ref=home")))
+        .otherwise(F.concat(F.lit("not a url "), did)).alias("url"),
+    )
+    return canonicalize_urls(urls).select("doc_id", "canonical_url")
+
+
 def q_cosine_neardup(spark, sf_dir):
     """Exact all-pairs embedding-cosine near-dup decision (the
     baseline the hyperplane-bucketed variant is recall-tested
@@ -1604,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_redact": q_pii_redact,
         "q_contamination": q_contamination,
         "q_pack_stats": q_pack_stats,
+        "q_url_canon": q_url_canon,
         "q_hybrid_rank": q_hybrid_rank,
         "q_ivf_fullprobe": q_ivf_fullprobe,
         "td_ivf_topk": td_ivf_topk,
@@ -2397,6 +2425,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(start % 512 AS BIGINT) AS offset_in_seq,
                    CAST((start + n_tokens - 1) // 512 - start // 512 + 1 AS BIGINT) AS n_seqs
             FROM packed
+        """,
+        # Replays operators/urlnorm.canonical_url rule by rule; the
+        # regexes are the module's own constants (common Java/RE2
+        # subset, no replacement backreferences).
+        "q_url_canon": r"""
+            WITH urls AS (
+                SELECT doc_id,
+                    CASE CAST(doc_id % 5 AS INT)
+                      WHEN 0 THEN 'HTTP://Example.COM:80/Path/' || CAST(doc_id AS VARCHAR) || '/?b=2&utm_source=x&a=1#frag'
+                      WHEN 1 THEN 'https://CDN.Example.org:443/assets?z=9&y=8&fbclid=abc123'
+                      WHEN 2 THEN 'https://example.com/shared/page/'
+                      WHEN 3 THEN 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.net/p?id=' || CAST(doc_id AS VARCHAR) || '&ref=home'
+                      ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
+                    END AS url
+                FROM documents
+            ), parts AS (
+                SELECT doc_id, url,
+                    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS authority,
+                    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS raw_path,
+                    list_sort(list_filter(
+                        string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)')
+                    )) AS params
+                FROM urls
+            ), built AS (
+                SELECT doc_id, url, scheme,
+                    CASE WHEN scheme = 'http' THEN regexp_replace(authority, ':80$', '')
+                         WHEN scheme = 'https' THEN regexp_replace(authority, ':443$', '')
+                         ELSE authority END AS host,
+                    CASE WHEN raw_path = '' THEN '/'
+                         WHEN length(raw_path) > 1 AND raw_path LIKE '%/' THEN substr(raw_path, 1, length(raw_path) - 1)
+                         ELSE raw_path END AS path,
+                    CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS query
+                FROM parts
+            )
+            SELECT doc_id,
+                   CASE WHEN scheme = '' THEN url
+                        ELSE scheme || '://' || host || path || query END AS canonical_url
+            FROM built
         """,
         "q_cosine_neardup": """
             WITH aug AS (

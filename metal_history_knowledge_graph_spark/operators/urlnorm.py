@@ -1,0 +1,98 @@
+"""URL canonicalization for crawl dedup.
+
+A crawl sees the same page under many spellings — case-varied hosts,
+explicit default ports, tracking query params, fragments, trailing
+slashes. Canonicalizing before the url-keyed stages (the chunk stage's
+``processed_urls`` seen-set, exact re-crawl dedup via
+``temporal.latest_snapshot``, per-domain rollups) is the standard
+first pass of every web pipeline (C4/CCNet/RefinedWeb).
+
+Rules applied (in order):
+
+1. scheme and host lowercased (path/query case is preserved —
+   paths are case-sensitive, hosts are not)
+2. default port stripped (``:80`` for http, ``:443`` for https)
+3. fragment dropped
+4. tracking query params dropped (``utm_*``, ``fbclid``, ``gclid``,
+   ``msclkid``, ``ref``)
+5. remaining query params sorted bytewise (param order is not
+   semantic)
+6. one trailing slash stripped from non-root paths; empty path → ``/``
+
+Strings without a ``scheme://`` prefix pass through unchanged (the
+caller decides how to treat relative/garbage rows).
+
+Scale shape: a single narrow ``Project`` of regexp/array expressions
+in whole-stage codegen — no UDF, no shuffle; at 100 TB it fuses into
+the scan that already reads the url column. Every expression is in
+the common Java-regex/RE2 subset and avoids replacement
+backreferences (``$1`` vs ``\\1`` differ across engines), so the
+DuckDB oracle (`__spark_entry__.q_url_canon`) replays the exact
+function."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: query params dropped before sorting — matched against the full
+#: ``key=value`` token (or a bare key).
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)"
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of ``url`` per the module rules — one native
+    expression tree."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    authority = F.lower(F.regexp_extract(url, _AUTHORITY_RE, 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(authority, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(authority, ":443$", ""))
+        .otherwise(authority)
+    )
+    raw_path = F.regexp_extract(url, _PATH_RE, 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(
+        F.when(
+            (F.length(raw_path) > 1) & raw_path.endswith("/"),
+            F.substring(raw_path, F.lit(1), F.length(raw_path) - 1),
+        ).otherwise(raw_path)
+    )
+    params = F.sort_array(
+        F.filter(
+            F.split(F.regexp_extract(url, _QUERY_RE, 1), "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    query = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(scheme == "", url).otherwise(
+        F.concat(scheme, F.lit("://"), host, path, query)
+    )
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    """Append the canonical form of ``url_col`` as ``out_col``."""
+    return df.withColumn(out_col, canonical_url(F.col(url_col)))
+
+
+def url_dup_groups(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Crawl-dedup rollup: canonical url → number of raw spellings
+    observed + a deterministic representative (min raw url). One
+    partial-agg-friendly aggregation; hot pages collapse map-side."""
+    return (
+        canonicalize_urls(df, url_col)
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.countDistinct(url_col).alias("n_spellings"),
+            F.min(url_col).alias("representative"),
+        )
+    )

@@ -1,0 +1,60 @@
+"""URL canonicalization (operators/urlnorm.py). Driver-scale value
+parity is q_url_canon in test_oracle_parity; these pin rule-by-rule
+semantics and the narrow plan shape."""
+
+from __future__ import annotations
+
+from metal_history_knowledge_graph_spark.operators.urlnorm import (
+    canonicalize_urls,
+    url_dup_groups,
+)
+
+
+CASES = [
+    # (raw, canonical)
+    ("HTTP://Example.COM:80/Path/x/?b=2&utm_source=x&a=1#frag",
+     "http://example.com/Path/x?a=1&b=2"),
+    ("https://CDN.Example.org:443/assets?z=9&y=8&fbclid=abc",
+     "https://cdn.example.org/assets?y=8&z=9"),
+    ("https://example.com/shared/page/", "https://example.com/shared/page"),
+    ("http://a.net/p?id=3&ref=home", "http://a.net/p?id=3"),
+    ("https://example.com", "https://example.com/"),       # empty path → /
+    ("https://example.com/", "https://example.com/"),      # root slash kept
+    ("http://h.io:8080/x", "http://h.io:8080/x"),          # non-default port kept
+    ("https://h.io:80/x", "https://h.io:80/x"),            # :80 is NOT https default
+    ("ftp://Host.com/A", "ftp://host.com/A"),              # unknown scheme: no port rule
+    ("http://h.io/x?utm_campaign=a&utm_medium=b", "http://h.io/x"),  # all params dropped
+    ("http://h.io/x?ref=1&reflect=2", "http://h.io/x?reflect=2"),    # 'ref' exact, 'reflect' kept
+    ("not a url 4", "not a url 4"),                        # passthrough
+    ("", ""),
+]
+
+
+def test_canonical_url_rules(spark):
+    df = spark.createDataFrame([(i, raw) for i, (raw, _) in enumerate(CASES)],
+                               "i long, url string")
+    got = {r["i"]: r["canonical_url"]
+           for r in canonicalize_urls(df).collect()}
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i] == want, f"{raw!r}: got {got[i]!r}, want {want!r}"
+
+
+def test_canonicalize_is_narrow(spark):
+    df = spark.createDataFrame([(1, "http://a.io/")], "i long, url string")
+    plan = canonicalize_urls(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_url_dup_groups(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate([
+            "http://E.com/a/?utm_source=x",
+            "HTTP://e.COM:80/a/",
+            "http://e.com/a",
+            "http://e.com/b",
+        ])], "i long, url string")
+    rows = {r["canonical_url"]: r for r in url_dup_groups(df).collect()}
+    a = rows["http://e.com/a"]
+    assert (a["n_raw"], a["n_spellings"]) == (3, 3)
+    assert a["representative"] == "HTTP://e.COM:80/a/"
+    assert rows["http://e.com/b"]["n_raw"] == 1

@@ -139,6 +139,37 @@ def stateful_running_counts(
     )
 
 
+def streaming_dedup(
+    rows: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: emit the first row per
+    key, dropping re-arrivals within the watermark horizon
+    (``dropDuplicatesWithinWatermark``).
+
+    This is the streaming analogue of the batch pipeline's exact-dedup
+    operators (``operators/dedup.exact_duplicates``,
+    ``triples.dedup_relationships``): the state store holds one entry
+    per key seen in the last ``watermark`` of event time and is evicted
+    as the watermark advances — unlike a plain streaming
+    ``dropDuplicates``, whose state grows without bound over an
+    unbounded crawl feed. Duplicates straddling a horizon boundary are
+    the (documented) miss; the batch exact-dedup downstream remains the
+    global guarantee, this operator keeps the *stream* volume bounded
+    at the source (re-crawls and mirror bursts arrive close together,
+    which is exactly the within-horizon case).
+
+    On a batch DataFrame it degrades to plain ``dropDuplicates`` —
+    same keys, no watermark needed — so batch/stream parity tests can
+    share one call."""
+    if rows.isStreaming:
+        return rows.withWatermark(ts_col, watermark) \
+            .dropDuplicatesWithinWatermark(key_cols)
+    return rows.dropDuplicates(key_cols)
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "10 minutes",

@@ -139,3 +139,58 @@ def test_seen_set_is_compact_url_table(spark, store, tmp_path):
     # idempotence via the compact table: replaying the same pages is a no-op
     assert ingest_batch(store, pages1, "seen", 1) == 0
     assert store.read("processed_urls").count() == 10
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark path: re-arrivals of a key within
+    the horizon are dropped across micro-batches; state is evicted as
+    the watermark advances (bounded-state contract)."""
+    from datetime import datetime
+
+    from metal_history_knowledge_graph_spark.streaming.incremental import (
+        streaming_dedup,
+    )
+
+    src = str(tmp_path / "dedup_src")
+    cp = str(tmp_path / "dedup_cp")
+    schema = "url string, ts timestamp"
+
+    def ts(minute):
+        return datetime(2024, 1, 1, 0, minute)
+
+    # batch file 1: a + duplicate of a + b; batch file 2 (later file →
+    # later micro-batch with maxFilesPerTrigger=1): duplicate of a
+    # again plus c
+    spark.createDataFrame(
+        [("a", ts(0)), ("a", ts(1)), ("b", ts(2))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [("a", ts(3)), ("c", ts(4))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_dedup(stream, ["url"], watermark="30 minutes")
+    emitted = []
+
+    def sink(batch_df, batch_id):
+        emitted.extend(r["url"] for r in batch_df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    assert sorted(emitted) == ["a", "b", "c"]  # each key exactly once
+
+
+def test_streaming_dedup_batch_parity(spark):
+    from metal_history_knowledge_graph_spark.streaming.incremental import (
+        streaming_dedup,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = streaming_dedup(events, ["event_type"], ts_col="ts")
+    assert out.count() == events.select("event_type").distinct().count()

@@ -69,6 +69,10 @@ def build_corpus(spark, n_pages: int, root: str, profile: str = "default") -> st
     from metal_history_knowledge_graph_spark.sources.corpus import generate_pages
 
     path = os.path.join(root, f"pages_{profile}{CORPUS_PARTITIONS}_p{n_pages}")
+    # a dir without Spark's _SUCCESS marker is a half-written corpus
+    # from an interrupted run — rebuild it, don't trust it
+    if os.path.isdir(path) and not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
     if not os.path.isdir(path):
         generate_pages(
             spark, n_pages, seed=42, profile=profile,

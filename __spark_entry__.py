@@ -465,6 +465,17 @@ def q_url_canon(spark, sf_dir):
     return canonicalize_urls(urls).select("doc_id", "canonical_url")
 
 
+def q_profile(spark, sf_dir):
+    """Single-pass table profile (operators/profile.py) in exact mode
+    over the documents table; the oracle replays every per-column
+    metric (rows, nulls, exact distinct, min/max as strings) in
+    DuckDB. At scale the same operator runs with HLL distincts in the
+    identical one-scan plan (exact=False default)."""
+    from metal_history_knowledge_graph_spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "documents"), exact=True)
+
+
 def q_cosine_neardup(spark, sf_dir):
     """Exact all-pairs embedding-cosine near-dup decision (the
     baseline the hyperplane-bucketed variant is recall-tested
@@ -1632,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_pack_stats": q_pack_stats,
         "q_url_canon": q_url_canon,
+        "q_profile": q_profile,
         "q_hybrid_rank": q_hybrid_rank,
         "q_ivf_fullprobe": q_ivf_fullprobe,
         "td_ivf_topk": td_ivf_topk,
@@ -2465,6 +2477,34 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN scheme = '' THEN url
                         ELSE scheme || '://' || host || path || query END AS canonical_url
             FROM built
+        """,
+        # Per-column replay of the one-scan profile (exact mode).
+        "q_profile": """
+            SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                   CAST(min(doc_id) AS VARCHAR) AS min_value,
+                   CAST(max(doc_id) AS VARCHAR) AS max_value FROM documents
+            UNION ALL
+            SELECT 'text', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(text) AS BIGINT),
+                   CAST(count(DISTINCT text) AS BIGINT),
+                   CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR) FROM documents
+            UNION ALL
+            SELECT 'lang', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(lang) AS BIGINT),
+                   CAST(count(DISTINCT lang) AS BIGINT),
+                   CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+            UNION ALL
+            SELECT 'source', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(source) AS BIGINT),
+                   CAST(count(DISTINCT source) AS BIGINT),
+                   CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+            UNION ALL
+            SELECT 'n_chars', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(n_chars) AS BIGINT),
+                   CAST(count(DISTINCT n_chars) AS BIGINT),
+                   CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
         """,
         "q_cosine_neardup": """
             WITH aug AS (

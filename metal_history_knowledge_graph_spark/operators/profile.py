@@ -1,0 +1,69 @@
+"""Single-pass table profiling: per-column row/null/distinct counts and
+min/max — the data-quality census a pipeline runs on every landed batch
+(the Deequ/Great-Expectations-style profile, and the reference's
+``verify counts`` step generalized from tables to columns).
+
+Scale shape: ONE scan. All per-column aggregates ride in a single
+``agg`` (count / count-nonnull / distinct / min / max per column), so
+Spark computes the whole profile in one partial-agg pass whose output
+is a single row — no per-column jobs, no shuffle of data rows, just
+the one-row combine. The wide single row is then unpivoted driver-side
+via ``stack`` into the (column, metric...) report shape.
+
+Distinct counts: ``exact=False`` (default) uses HyperLogLog
+(``approx_count_distinct``, rsd 5%) — the sketch is a regular
+aggregate, so the whole profile stays one partial-agg pass with no
+data shuffle (plan-gated in test_profile). ``exact=True`` uses true
+``countDistinct``; note multiple exact distincts make Catalyst plan an
+``Expand`` (the input is replicated once per distinct aggregate and
+shuffled) — fine at small/gate scales, which is why the driver oracle
+(`__spark_entry__.q_profile`) runs exact mode, but the sketch is the
+100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PROFILE_SCHEMA = (
+    "column string, n_rows long, n_null long, n_distinct long, "
+    "min_value string, max_value string"
+)
+
+
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, exact: bool = False
+) -> DataFrame:
+    """One row per profiled column: (column, n_rows, n_null,
+    n_distinct, min_value, max_value). min/max are rendered as strings
+    so one report covers heterogeneous column types (nulls for types
+    without an ordering, e.g. maps)."""
+    cols = columns if columns is not None else df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"__nn_{c}"))
+        aggs.append(
+            (F.countDistinct(col) if exact
+             else F.approx_count_distinct(col)).alias(f"__nd_{c}")
+        )
+        aggs.append(F.min(col).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(col).cast("string").alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+    # unpivot the single wide row: stack(n, 'col1', __nn_1, ... ) —
+    # pure expression work on one row
+    parts = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        "__n",
+        f"stack({len(cols)}, {parts}) as "
+        "(column, __nn, n_distinct, min_value, max_value)",
+    ).select(
+        "column",
+        F.col("__n").cast("long").alias("n_rows"),
+        (F.col("__n") - F.col("__nn")).cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value", "max_value",
+    )

@@ -120,7 +120,12 @@ def referential_integrity(entities: DataFrame, edges: DataFrame) -> DataFrame:
 def graph_consistency(entities: DataFrame, edges: DataFrame) -> DataFrame:
     """Graph-level checks expecting 0 rows
     (query_pattern_tester.py:515-612): album released before its band
-    formed; self-influence loops."""
+    formed; self-influence loops; circular (mutual) influence pairs.
+    The reference's remaining two checks are covered elsewhere: the
+    missing-year warnings live in :func:`validate_entities`
+    (missing_formed_year / missing_release_year), and its
+    born-after-formed check is vacuous here because birth_year is not
+    in the extraction schema (SURVEY §1.2 attribute scope)."""
     bands = entity_view(entities, "bands").select(
         F.col("canonical_id").alias("subj_id"), F.col("formed_year")
     )
@@ -152,7 +157,31 @@ def graph_consistency(entities: DataFrame, edges: DataFrame) -> DataFrame:
             F.lit("self_loop").alias("rule"),
         )
     )
-    return released_too_early.unionByName(self_loops)
+    # 'Circular influence relationships' (query_pattern_tester.py:546):
+    # b1 INFLUENCED_BY b2 AND b2 INFLUENCED_BY b1. Self-equi-join on
+    # the pred-filtered edge slice (vocabulary-sized both sides); the
+    # id inequality keeps one row per cycle pair.
+    infl = edges.filter(F.col("pred") == "INFLUENCED_BY").select(
+        "subj_id", "obj_id", "subj_name", "obj_name"
+    )
+    circular = (
+        infl.alias("a")
+        .join(
+            infl.alias("b"),
+            (F.col("a.subj_id") == F.col("b.obj_id"))
+            & (F.col("a.obj_id") == F.col("b.subj_id")),
+        )
+        .filter(F.col("a.subj_id") < F.col("a.obj_id"))
+        .select(
+            F.lit("edges").alias("entity_type"),
+            F.concat_ws(
+                " <~> ", F.col("a.subj_name"), F.col("a.obj_name")
+            ).alias("name"),
+            F.lit("error").alias("severity"),
+            F.lit("circular_influence").alias("rule"),
+        )
+    )
+    return released_too_early.unionByName(self_loops).unionByName(circular)
 
 
 def orphan_nodes(entities: DataFrame, edges: DataFrame) -> DataFrame:

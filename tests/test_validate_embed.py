@@ -66,6 +66,30 @@ def test_graph_consistency(graph):
     assert bad.count() == 0
 
 
+def test_graph_consistency_flags_circular_influence(spark, graph):
+    """The reference's 'Circular influence relationships' zero-row
+    check (query_pattern_tester.py:546): injecting a mutual
+    INFLUENCED_BY pair must surface exactly one error row for it."""
+    ents, edges = graph
+    cyc = spark.createDataFrame(
+        [(101, 202, "A", "B"), (202, 101, "B", "A")],
+        "subj_id long, obj_id long, subj_name string, obj_name string",
+    ).select(
+        "subj_id", "obj_id", "subj_name", "obj_name",
+        F.lit("INFLUENCED_BY").alias("pred"),
+        F.lit("bands").alias("subj_type"), F.lit("bands").alias("obj_type"),
+    )
+    augmented = edges.unionByName(cyc, allowMissingColumns=True)
+    hits = V.graph_consistency(ents, augmented).filter(
+        F.col("rule") == "circular_influence"
+    ).collect()
+    assert len(hits) == 1 and hits[0]["severity"] == "error"
+    # untouched graph stays clean
+    assert V.graph_consistency(ents, edges).filter(
+        F.col("rule") == "circular_influence"
+    ).count() == 0
+
+
 def test_embeddings_deterministic_and_normalized(spark, graph):
     ents, _ = graph
     vecs = E.embed_entities(ents, dim=32)

@@ -476,6 +476,46 @@ def q_profile(spark, sf_dir):
     return profile_table(_t(spark, sf_dir, "documents"), exact=True)
 
 
+_LSH_PLANES_PATH = "/tmp/kg_lsh_planes.parquet"
+
+
+def q_lsh_buckets(spark, sf_dir):
+    """Hyperplane-LSH bucket-assignment decision oracle (the same
+    export pattern as td_simhash_pairs): Spark EXPORTS the
+    deterministic hyperplane bank, builds the (table, bucket) index
+    with operators/simsearch.lsh_build, and returns the per-bucket
+    census; DuckDB replays the sign-bit assignment over the exported
+    planes with the identical left-to-right double summation
+    (list_reduce starting at 0.0 — bit-exact vs Spark's F.aggregate
+    fold) and must land on the same buckets. This upgrades the ANN
+    family's bucket decision from rows-only to oracle-checked; the
+    ranking itself remains bounded by q_cosine_topk."""
+    from metal_history_knowledge_graph_spark.operators.simsearch import (
+        hyperplanes_rows,
+        lsh_build,
+    )
+
+    embs = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    dim = len(embs.select("embedding").head()[0])
+    spark.createDataFrame(
+        hyperplanes_rows(dim, n_planes=8, num_tables=4),
+        "tbl int, plane_idx int, components array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(_LSH_PLANES_PATH)
+    index = lsh_build(embs, n_planes=8, num_tables=4)
+    return (
+        index.groupBy("table", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_id"))
+        .select(
+            F.col("table").cast("int").alias("tbl"),
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            "min_id",
+        )
+    )
+
+
 def q_cosine_neardup(spark, sf_dir):
     """Exact all-pairs embedding-cosine near-dup decision (the
     baseline the hyperplane-bucketed variant is recall-tested
@@ -1644,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_stats": q_pack_stats,
         "q_url_canon": q_url_canon,
         "q_profile": q_profile,
+        "q_lsh_buckets": q_lsh_buckets,
         "q_hybrid_rank": q_hybrid_rank,
         "q_ivf_fullprobe": q_ivf_fullprobe,
         "td_ivf_topk": td_ivf_topk,
@@ -2505,6 +2546,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) - count(n_chars) AS BIGINT),
                    CAST(count(DISTINCT n_chars) AS BIGINT),
                    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+        """,
+        # Replays the hyperplane sign-bucket assignment over the
+        # Spark-exported plane bank. list_reduce over a 0.0-prepended
+        # product list is the same left-to-right double fold as
+        # Spark's F.aggregate(zip_with(*, ...), 0.0, +) — bit-exact.
+        "q_lsh_buckets": f"""
+            WITH planes AS (
+                SELECT * FROM '{_LSH_PLANES_PATH}/*.parquet'
+            ), bits AS (
+                SELECT e.vec_id, p.tbl,
+                       CASE WHEN list_reduce(
+                              list_prepend(0.0, list_transform(
+                                  generate_series(1, len(p.components)),
+                                  i -> e.embedding[i]::DOUBLE * p.components[i])),
+                              (a, b) -> a + b) >= 0
+                            THEN 1 ELSE 0 END AS bit,
+                       p.plane_idx
+                FROM embeddings e, planes p
+            ), assigned AS (
+                SELECT vec_id, tbl,
+                       CAST(sum(bit * (1::BIGINT << (7 - plane_idx))) AS BIGINT) AS bucket
+                FROM bits GROUP BY vec_id, tbl
+            )
+            SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+                   min(vec_id) AS min_id
+            FROM assigned GROUP BY tbl, bucket
         """,
         "q_cosine_neardup": """
             WITH aug AS (

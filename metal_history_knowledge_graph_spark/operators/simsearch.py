@@ -97,6 +97,20 @@ def _hyperplanes(dim: int, n_planes: int, table: int) -> list[list[float]]:
     return planes
 
 
+def hyperplanes_rows(
+    dim: int, n_planes: int = 8, num_tables: int = 4
+) -> list[tuple[int, int, list[float]]]:
+    """The deterministic hyperplane bank as (table, plane_idx,
+    components) rows — exportable to parquet so a decision oracle can
+    replay the sign-bucket assignment over the same planes
+    (`__spark_entry__.q_lsh_buckets`)."""
+    return [
+        (t, i, plane)
+        for t in range(num_tables)
+        for i, plane in enumerate(_hyperplanes(dim, n_planes, t))
+    ]
+
+
 def _bucket_of(vec: list[float], planes: list[list[float]]) -> int:
     """Driver-side sign-bucket of a query vector (same bit order as
     ``_sign_bucket``)."""

@@ -40,21 +40,27 @@ def profile_table(
     so one report covers heterogeneous column types (nulls for types
     without an ordering, e.g. maps)."""
     cols = columns if columns is not None else df.columns
+    # internal aliases are index-based and the report name rides as an
+    # escaped string literal, so arbitrary column names (spaces, dots,
+    # quotes) cannot break the agg aliases or the stack expression
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        col = F.col(c)
-        aggs.append(F.count(col).alias(f"__nn_{c}"))
+    for j, c in enumerate(cols):
+        # backtick-quote so dots in a name are not parsed as nesting
+        col = df["`{}`".format(c.replace("`", "``"))]
+        aggs.append(F.count(col).alias(f"__nn_{j}"))
         aggs.append(
             (F.countDistinct(col) if exact
-             else F.approx_count_distinct(col)).alias(f"__nd_{c}")
+             else F.approx_count_distinct(col)).alias(f"__nd_{j}")
         )
-        aggs.append(F.min(col).cast("string").alias(f"__min_{c}"))
-        aggs.append(F.max(col).cast("string").alias(f"__max_{c}"))
+        aggs.append(F.min(col).cast("string").alias(f"__min_{j}"))
+        aggs.append(F.max(col).cast("string").alias(f"__max_{j}"))
     wide = df.agg(*aggs)
-    # unpivot the single wide row: stack(n, 'col1', __nn_1, ... ) —
+    # unpivot the single wide row: stack(n, 'col1', __nn_0, ...) —
     # pure expression work on one row
     parts = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}, __min_{c}, __max_{c}" for c in cols
+        "'{}', __nn_{j}, __nd_{j}, __min_{j}, __max_{j}".format(
+            c.replace("'", "''"), j=j)
+        for j, c in enumerate(cols)
     )
     return wide.selectExpr(
         "__n",

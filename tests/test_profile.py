@@ -39,3 +39,11 @@ def test_profile_is_one_scan(spark):
     # (SinglePartition), never a hash repartition of the data
     assert "hashpartitioning" not in plan
     assert plan.count("LocalTableScan") <= 1 or plan.count("Scan") <= 1
+
+
+def test_profile_exotic_column_names(spark):
+    df = spark.createDataFrame([(1, "x"), (2, None)]).toDF("a b", "it's.weird")
+    rows = {r["column"]: r for r in profile_table(df, exact=True).collect()}
+    assert set(rows) == {"a b", "it's.weird"}
+    assert rows["it's.weird"]["n_null"] == 1
+    assert rows["a b"]["n_distinct"] == 2

@@ -2493,16 +2493,22 @@ def oracle_sql() -> dict[str, str]:
                       ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
                     END AS url
                 FROM documents
-            ), parts AS (
+            ), rawparts AS (
                 SELECT doc_id, url,
                     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS authority,
+                    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth_raw,
                     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS raw_path,
                     list_sort(list_filter(
-                        string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                        string_split(regexp_extract(url, '^[^#?]*\?([^#]*)', 1), '&'),
                         x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)')
                     )) AS params
                 FROM urls
+            ), parts AS (
+                SELECT doc_id, url, scheme, raw_path, params,
+                    -- userinfo keeps its case; only host:port lowers
+                    regexp_extract(auth_raw, '^(.*@)', 1)
+                      || lower(regexp_extract(auth_raw, '^(?:.*@)?([^@]*)$', 1)) AS authority
+                FROM rawparts
             ), built AS (
                 SELECT doc_id, url, scheme,
                     CASE WHEN scheme = 'http' THEN regexp_replace(authority, ':80$', '')

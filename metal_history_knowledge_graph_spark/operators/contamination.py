@@ -75,29 +75,28 @@ def contamination(
 
     The benchmark's distinct gram set is broadcast — see the module
     docstring for why every heavy step stays on the corpus side as a
-    narrow pass."""
+    narrow pass. Truly ONE corpus scan: gram-less documents ride
+    through as a null-gram row (``explode_outer``) rather than being
+    recovered by a second scan + corpus-sized join-back."""
     bench_grams = (
         ngram_set(benchmark, key_col, text_col, n)
         .select("gram")
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    grams = ngram_set(docs, key_col, text_col, n)
-    per_doc = (
+    grams = docs.select(
+        key_col,
+        F.explode_outer(_distinct_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    return (
         grams.join(F.broadcast(bench_grams), "gram", "left")
         .groupBy(key_col)
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hit"),
+            # count(gram) skips the null row a gram-less doc carries
+            F.count("gram").cast("long").alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hit"),
         )
-    )
-    return (
-        docs.select(key_col)
-        .join(per_doc, key_col, "left")
         .select(
-            key_col,
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
-            (F.coalesce("n_hit", F.lit(0)) > 0).alias("contaminated"),
+            key_col, "n_grams", "n_hit", (F.col("n_hit") > 0).alias("contaminated")
         )
     )

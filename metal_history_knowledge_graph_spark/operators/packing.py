@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .sampling import hash_bucket
+from .sampling import assign_shards
 
 
 def pack_sequences(
@@ -53,10 +53,14 @@ def pack_sequences(
       inside that sequence
     * ``n_seqs``     — how many sequences the document spans
     """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     toks = F.greatest(F.col(tokens_col), F.lit(1)).cast("long")
-    out = df.withColumn(
-        "shard", (hash_bucket(F.col(key_col), seed) % n_shards).cast("int")
-    ).withColumn("_toks", toks)
+    # shard assignment is sampling.assign_shards — the ONE shard
+    # formula every resumable export shares
+    out = assign_shards(df, key_col, n_shards, seed).withColumn("_toks", toks)
     w = (
         Window.partitionBy("shard")
         .orderBy(key_col)
@@ -79,20 +83,31 @@ def pack_sequences(
     )
 
 
-def shard_manifest(packed: DataFrame) -> DataFrame:
+def shard_manifest(packed: DataFrame, tokens_col: str | None = None) -> DataFrame:
     """Per-shard export manifest over a :func:`pack_sequences` output:
-    document count, total tokens, and the number of full sequences the
-    shard yields — the bookkeeping a resumable exporter checks before
-    skipping a finished shard. One vocabulary-sized aggregation."""
-    return (
-        packed.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.max(F.col("seq_first") + F.col("n_seqs") - 1).alias("last_seq"),
+    document count, the number of sequences the shard's stream occupies
+    (``n_seqs`` — including the trailing partial sequence, i.e.
+    ``ceil(total_tokens / capacity)``), and, when ``tokens_col`` is
+    given (the same column :func:`pack_sequences` consumed, which it
+    passes through), the total token count. The bookkeeping a
+    resumable exporter checks before skipping a finished shard. One
+    vocabulary-sized aggregation."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(F.col("seq_first") + F.col("n_seqs") - 1).alias("last_seq"),
+    ]
+    if tokens_col is not None:
+        # the same >=1 clamp pack_sequences applies
+        aggs.append(
+            F.sum(F.greatest(F.col(tokens_col), F.lit(1)).cast("long"))
+            .alias("total_tokens")
         )
-        .select(
-            "shard",
-            F.col("n_docs").cast("long").alias("n_docs"),
-            (F.col("last_seq") + 1).cast("long").alias("n_seqs"),
-        )
-    )
+    out = packed.groupBy("shard").agg(*aggs)
+    cols = [
+        F.col("shard"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (F.col("last_seq") + 1).cast("long").alias("n_seqs"),
+    ]
+    if tokens_col is not None:
+        cols.append(F.col("total_tokens"))
+    return out.select(*cols)

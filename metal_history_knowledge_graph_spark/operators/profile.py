@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 
 PROFILE_SCHEMA = (
     "column string, n_rows long, n_null long, n_distinct long, "
@@ -40,6 +41,9 @@ def profile_table(
     so one report covers heterogeneous column types (nulls for types
     without an ordering, e.g. maps)."""
     cols = columns if columns is not None else df.columns
+    if not cols:
+        raise ValueError("no columns to profile")
+    types = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))
     # internal aliases are index-based and the report name rides as an
     # escaped string literal, so arbitrary column names (spaces, dots,
     # quotes) cannot break the agg aliases or the stack expression
@@ -48,6 +52,14 @@ def profile_table(
         # backtick-quote so dots in a name are not parsed as nesting
         col = df["`{}`".format(c.replace("`", "``"))]
         aggs.append(F.count(col).alias(f"__nn_{j}"))
+        if isinstance(types.get(c), MapType):
+            # maps are unorderable and un-distinct-able: the profile
+            # reports nulls for them instead of aborting the census
+            nul = F.lit(None)
+            aggs.append(nul.cast("long").alias(f"__nd_{j}"))
+            aggs.append(nul.cast("string").alias(f"__min_{j}"))
+            aggs.append(nul.cast("string").alias(f"__max_{j}"))
+            continue
         aggs.append(
             (F.countDistinct(col) if exact
              else F.approx_count_distinct(col)).alias(f"__nd_{j}")
@@ -56,10 +68,11 @@ def profile_table(
         aggs.append(F.max(col).cast("string").alias(f"__max_{j}"))
     wide = df.agg(*aggs)
     # unpivot the single wide row: stack(n, 'col1', __nn_0, ...) —
-    # pure expression work on one row
+    # pure expression work on one row. Escape backslashes then quotes:
+    # the default SQL parser processes \-escapes inside literals.
     parts = ", ".join(
         "'{}', __nn_{j}, __nd_{j}, __min_{j}, __max_{j}".format(
-            c.replace("'", "''"), j=j)
+            c.replace("\\", "\\\\").replace("'", "\\'"), j=j)
         for j, c in enumerate(cols)
     )
     return wide.selectExpr(

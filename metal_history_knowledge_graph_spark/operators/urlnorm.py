@@ -42,14 +42,26 @@ TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)"
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+#: anchored: the query starts at the FIRST '?' and only if no '#'
+#: precedes it — a '?' inside the fragment is fragment text, not a
+#: query ('http://x/p#sec?a=1' has no query).
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
+#: userinfo = everything up to the LAST '@' of the authority (greedy);
+#: it is case-sensitive and must survive the host lowercasing.
+_USERINFO_RE = r"^(.*@)"
+_HOSTPORT_RE = r"^(?:.*@)?([^@]*)$"
 
 
 def canonical_url(url: Column) -> Column:
     """Canonical form of ``url`` per the module rules — one native
     expression tree."""
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
-    authority = F.lower(F.regexp_extract(url, _AUTHORITY_RE, 1))
+    auth_raw = F.regexp_extract(url, _AUTHORITY_RE, 1)
+    # lowercase the host:port only; preserve userinfo case
+    authority = F.concat(
+        F.regexp_extract(auth_raw, _USERINFO_RE, 1),
+        F.lower(F.regexp_extract(auth_raw, _HOSTPORT_RE, 1)),
+    )
     host = (
         F.when(scheme == "http", F.regexp_replace(authority, ":80$", ""))
         .when(scheme == "https", F.regexp_replace(authority, ":443$", ""))

@@ -157,3 +157,36 @@ def test_pack_window_is_partitioned(spark):
     # global SinglePartition sort funnel
     assert "SinglePartition" not in plan
     assert "hashpartitioning(shard" in plan
+
+
+def test_pack_sequences_validates_params(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 4)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "n_tokens", capacity=0, n_shards=1)
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "n_tokens", capacity=8, n_shards=0)
+
+
+def test_shard_manifest_total_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, 4), (2, 8), (3, 5)], "doc_id long, n_tokens long")
+    packed = pack_sequences(df, "doc_id", "n_tokens", capacity=10, n_shards=1)
+    man = shard_manifest(packed, tokens_col="n_tokens").collect()[0]
+    assert (man["n_docs"], man["n_seqs"], man["total_tokens"]) == (3, 2, 17)
+
+
+def test_contamination_single_scan_no_join_back(spark):
+    """The per-doc report must come from ONE corpus scan (explode_outer
+    carries gram-less docs) — no second scan joined back."""
+    docs = _docs(spark, [(1, "a b c d e f", "s"), (2, "x", "s")])
+    bench = _docs(spark, [(9, "a b c d e", "b")])
+    out = contamination(docs, bench)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly one scan of the docs relation: its own generator; the
+    # broadcast side scans `bench` only
+    assert plan.count("Generate explode") <= 2  # docs outer + bench inner
+    assert "SortMergeJoin" not in plan
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[2] and rows[2]["n_grams"] == 0 and not rows[2]["contaminated"]

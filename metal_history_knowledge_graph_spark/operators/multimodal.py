@@ -108,3 +108,61 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -
     return media.filter("kind = 'video'").select(
         "media_id", "content", "duration_ms"
     ).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, content binary, mime string, "
+    "width int, height int, duration_ms int, resize string"
+)
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 256, target_h: int = 256
+) -> DataFrame:
+    """Image resize plumbing (1 row in → 1 row out, narrow). STUB: the
+    'resized' payload is a deterministic transform of the bytes sized
+    proportionally to target_area/source_area (floor 64 bytes), and the
+    width/height metadata are updated to the letterboxed fit (aspect
+    ratio preserved — the real integer math a resizer performs, tested
+    as such); a real implementation swaps the payload transform for
+    PIL/torchvision inside the same batch loop with the same schema.
+    Non-image rows pass through untouched with resize='passthrough';
+    images missing dimensions resize to exactly (target_w, target_h).
+    """
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                content = bytes(rec.content) if rec.content is not None else b""
+                row = dict(
+                    media_id=rec.media_id, kind=rec.kind, content=content,
+                    mime=rec.mime, width=rec.width, height=rec.height,
+                    duration_ms=rec.duration_ms, resize="passthrough",
+                )
+                if rec.kind == "image" and content:
+                    if rec.width and rec.height:
+                        # letterbox fit: one integer scale factor, ties
+                        # to the tighter axis
+                        scale_num = min(target_w * rec.height,
+                                        target_h * rec.width)
+                        new_w = scale_num // rec.height
+                        new_h = scale_num // rec.width
+                    else:
+                        new_w, new_h = target_w, target_h
+                    src_area = (rec.width or target_w) * (rec.height or target_h)
+                    new_len = max(64, (len(content) * new_w * new_h)
+                                  // max(src_area, 1))
+                    resized = (content * (new_len // max(len(content), 1) + 1))[:new_len]
+                    row.update(content=resized, width=int(new_w),
+                               height=int(new_h), resize="stub-letterbox")
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "mime",
+                               "width", "height", "duration_ms", "resize"],
+            )
+
+    return media.select(
+        "media_id", "kind", "content", "mime", "width", "height", "duration_ms"
+    ).mapInPandas(run, schema=RESIZED_SCHEMA)

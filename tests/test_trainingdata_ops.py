@@ -243,6 +243,25 @@ def test_media_features(media):
     assert again[1] == by_id[1].features
 
 
+def test_resize_images(media):
+    out = {r.media_id: r for r in M.resize_images(media, 256, 256).collect()}
+    # 64x64 image: letterbox fit of 256x256 -> exactly 256x256, payload
+    # scaled by area ratio (150 bytes * 16 = 2400)
+    assert (out[1].width, out[1].height, out[1].resize) == (256, 256, "stub-letterbox")
+    assert len(out[1].content) == len(b"\x89PNG fake bytes" * 10) * (256 * 256) // (64 * 64)
+    # aspect preserved on non-square targets
+    wide = {r.media_id: r for r in M.resize_images(media, 512, 256).collect()}
+    assert (wide[1].width, wide[1].height) == (256, 256)  # square src fits the tight axis
+    # video/non-image rows pass through byte-identical
+    assert out[3].resize == "passthrough"
+    assert bytes(out[3].content) == b"\x00\x00ftyp fake video" * 100
+    # empty payload cannot be resized -> passthrough
+    assert out[4].resize == "passthrough"
+    # determinism
+    again = {r.media_id: bytes(r.content) for r in M.resize_images(media, 256, 256).collect()}
+    assert again[1] == bytes(out[1].content)
+
+
 def test_frame_sampling(media):
     frames = M.sample_frames(media, every_ms=1000, max_frames=8).collect()
     assert {f.media_id for f in frames} == {3}

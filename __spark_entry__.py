@@ -1917,12 +1917,12 @@ def oracle_sql() -> dict[str, str]:
         # decision (hash_bucket = first 8 md5 hex chars mod 1e6)
         "q_hash_sample": """
             SELECT doc_id, lang, source, n_chars FROM documents
-            WHERE CAST(('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+            WHERE CAST(('0x' || substr(md5('samp:7|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
                        % 1000000 AS BIGINT) < 250000
         """,
         "q_stratified_sample": """
             SELECT doc_id, lang FROM documents
-            WHERE CAST(('0x' || substr(md5('3|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+            WHERE CAST(('0x' || substr(md5('strat:3|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
                        % 1000000 AS BIGINT) <
                   CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 800000
                             WHEN 'fr' THEN 100000 ELSE 0 END
@@ -1941,7 +1941,7 @@ def oracle_sql() -> dict[str, str]:
                       FROM j)
             SELECT d.doc_id, d.source
             FROM documents d JOIN rates USING (source)
-            WHERE CAST(('0x' || substr(md5('5|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+            WHERE CAST(('0x' || substr(md5('strat:5|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
                        % 1000000 AS BIGINT)
                   < CAST(floor(r * 1000000) AS BIGINT)
         """,
@@ -2393,7 +2393,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY entity_type ORDER BY entity_type
         """,
         "q_shard_stats": """
-            SELECT CAST(('0x' || substr(md5('2|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+            SELECT CAST(('0x' || substr(md5('shard:2|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
                         % 1000000 % 8 AS INT) AS shard,
                    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
                    min(doc_id) AS min_doc, max(doc_id) AS max_doc
@@ -2461,7 +2461,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pack_stats": """
             WITH toks AS (
                 SELECT doc_id,
-                       CAST(CAST(('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                       CAST(CAST(('0x' || substr(md5('shard:0|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
                             % 1000000 % 8 AS INT) AS shard,
                        greatest(len(string_split(text, ' ')), 1) AS n_tokens
                 FROM documents

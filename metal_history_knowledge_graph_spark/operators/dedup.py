@@ -78,13 +78,20 @@ def ngram_jaccard_pairs(
     """Exact Jaccard-similar pairs via inverted index:
     shingle→docs postings, co-occurrence counts, |A∩B| / (|A|+|B|−|A∩B|).
     ``max_doc_freq`` drops ubiquitous shingles (stop-shingles) — both a
-    precision aid and the shuffle-skew guard."""
+    precision aid and the shuffle-skew guard.
+
+    Jaccard is computed over the POST-FILTER (rare) shingle sets on
+    both sides of the fraction: sizes and intersection use the same
+    universe, so two identical documents score 1.0 no matter how many
+    of their shingles the stop-shingle cap removed. (Sizing the
+    denominator from the unfiltered sets while intersecting only rare
+    shingles — an earlier formulation — systematically underestimated
+    similarity on boilerplate-heavy corpora and could miss exact
+    duplicates.)"""
     docs = df.select(
         F.col(id_col).alias("doc"), _word_shingles(text_col, n).alias("shingles")
-    ).withColumn("set_size", F.size("shingles"))
-    postings = docs.select(
-        "doc", "set_size", F.explode("shingles").alias("shingle")
     )
+    postings = docs.select("doc", F.explode("shingles").alias("shingle"))
     rare = (
         postings.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -92,15 +99,23 @@ def ngram_jaccard_pairs(
         .select("shingle")
     )
     postings = postings.join(rare, "shingle")
+    # per-doc size of the RARE shingle set (doc-keyed, vocabulary of
+    # documents — AQE picks the join strategy)
+    sizes = postings.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
     co = (
         postings.alias("a")
         .join(postings.alias("b"), "shingle")
         .filter(F.col("a.doc") < F.col("b.doc"))
         .groupBy(
             F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
-            F.col("a.set_size").alias("size_a"), F.col("b.set_size").alias("size_b"),
         )
         .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    co = (
+        co.join(sizes.withColumnRenamed("doc", "doc_a")
+                .withColumnRenamed("set_size", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b")
+              .withColumnRenamed("set_size", "size_b"), "doc_b")
     )
     return (
         co.withColumn(
@@ -125,6 +140,13 @@ def minhash_lsh_pairs(
     (native xxhash64 with per-row permutation seeds) → band buckets →
     bucket self-join → exact-Jaccard verify. The banded join only
     shuffles (band, bucket-hash) keys, never the full cross product."""
+    if num_hashes % bands != 0:
+        # a non-dividing band count would silently drop the trailing
+        # num_hashes % bands signature entries from bucketing — recall
+        # of a smaller scheme at the cost of the larger one
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     docs = df.select(
         F.col(id_col).alias("doc"), _word_shingles(text_col, n).alias("shingles")

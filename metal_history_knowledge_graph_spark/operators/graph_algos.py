@@ -24,12 +24,18 @@ def _undirected_pairs(edges: DataFrame):
     )
 
 
-def graph_components(edges: DataFrame, driver_edge_limit: int = 2_000_000) -> DataFrame:
+def graph_components(
+    edges: DataFrame, driver_edge_limit: int = 2_000_000, max_iter: int = 25
+) -> DataFrame:
     """(node_id, component_id) for every node that has an edge.
 
     Entity-graph edges are vocabulary-sized (distinct facts), so the
     driver union-find path applies at any realistic scale; falls back
-    to distributed label propagation above ``driver_edge_limit``."""
+    to distributed label propagation above ``driver_edge_limit``.
+    ``max_iter`` bounds the propagation rounds (a min label travels
+    one hop per round, so it must cover the widest component's
+    diameter); non-convergence RAISES rather than silently returning a
+    real component split into several ids."""
     und = _undirected_pairs(edges)
     # one action: limit+1 collect both decides the path and (driver
     # case) yields the complete edge list without re-running lineage
@@ -59,7 +65,8 @@ def graph_components(edges: DataFrame, driver_edge_limit: int = 2_000_000) -> Da
     sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = sym.select(F.col("a").alias("node_id")).distinct() \
         .withColumn("component_id", F.col("node_id")).localCheckpoint(eager=True)
-    for _ in range(25):
+    changed = 1
+    for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("node_id", "a"), "a")
             .groupBy(F.col("b").alias("node_id"))
@@ -82,6 +89,12 @@ def graph_components(edges: DataFrame, driver_edge_limit: int = 2_000_000) -> Da
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iter} rounds "
+            "(a component's diameter exceeds max_iter) — re-run with a "
+            "larger max_iter"
+        )
     return labels
 
 
@@ -232,12 +245,15 @@ def betweenness_sampled(
         .orderBy(F.desc("betweenness"), "node_id")
 
 
-def _betweenness_distributed(und: DataFrame, n_sources: int, max_hops: int) -> DataFrame:
-    """Distributed sampled betweenness: multi-source frontier-join BFS
-    keyed by source, min-parent tree, iterative parent-chain walk.
-    Every step is a bounded join over (src, node) keys; nothing is
-    collected to the driver."""
-    spark = und.sparkSession
+def _multi_source_bfs(und: DataFrame, n_sources: int, max_hops: int):
+    """Shared multi-source frontier-join BFS (used by the distributed
+    betweenness sampler AND the path-length distribution — one
+    implementation so the two samplers cannot drift): symmetrize the
+    undirected pair list, take the ``n_sources`` smallest node ids as
+    the deterministic source sample, and advance all sources together
+    keyed by (bfs_src, node). Returns (sym, visited) where visited =
+    (bfs_src, node, dist). n_sources·|V| state upper bound, no driver
+    collect; localCheckpoint truncates per-round lineage."""
     sym = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
@@ -247,7 +263,6 @@ def _betweenness_distributed(und: DataFrame, n_sources: int, max_hops: int) -> D
         .select(F.col("node").alias("bfs_src"))
         .localCheckpoint(eager=True)
     )
-    # visited(bfs_src, node, dist) — all sampled sources advance together
     visited = sources.select("bfs_src", F.col("bfs_src").alias("node"),
                              F.lit(0).alias("dist"))
     frontier = visited
@@ -263,6 +278,16 @@ def _betweenness_distributed(und: DataFrame, n_sources: int, max_hops: int) -> D
         frontier = nxt
         if frontier.limit(1).count() == 0:
             break
+    return sym, visited
+
+
+def _betweenness_distributed(und: DataFrame, n_sources: int, max_hops: int) -> DataFrame:
+    """Distributed sampled betweenness: the shared multi-source BFS
+    (:func:`_multi_source_bfs`), min-parent tree, iterative
+    parent-chain walk. Every step is a bounded join over (src, node)
+    keys; nothing is collected to the driver."""
+    spark = und.sparkSession
+    sym, visited = _multi_source_bfs(und, n_sources, max_hops)
     # parent(v) = min neighbor at dist-1 (the well-defined tree)
     nonroot = visited.filter(F.col("dist") > 0)
     parents = (
@@ -433,31 +458,7 @@ def path_length_distribution(
     keyed by (bfs_src, node) — n_sources·|V| state upper bound, no
     driver collect."""
     und = _undirected_pairs(edges)
-    sym = und.unionByName(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
-    sources = (
-        sym.select(F.col("a").alias("node")).distinct()
-        .orderBy("node").limit(n_sources)
-        .select(F.col("node").alias("bfs_src"))
-        .localCheckpoint(eager=True)
-    )
-    visited = sources.select(
-        "bfs_src", F.col("bfs_src").alias("node"), F.lit(0).alias("dist")
-    )
-    frontier = visited
-    for d in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(sym, frontier["node"] == sym["a"])
-            .select("bfs_src", F.col("b").alias("node"))
-            .distinct()
-            .join(visited.select("bfs_src", "node"), ["bfs_src", "node"], "left_anti")
-            .withColumn("dist", F.lit(d))
-        )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
-        if frontier.limit(1).count() == 0:
-            break
+    _sym, visited = _multi_source_bfs(und, n_sources, max_hops)
     return (
         visited.filter(F.col("node") > F.col("bfs_src"))
         .groupBy(F.col("dist").cast("long").alias("hops"))

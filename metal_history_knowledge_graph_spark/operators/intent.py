@@ -136,9 +136,12 @@ def intent_route(
     if intent == "find_by_genre":
         out = Q.band_genres(edges)
         if extracted:
-            g = extracted.strip()
+            # genre names are canonical_names that keep first-seen
+            # surface casing ('Thrash Metal') while parse_intent
+            # lowercases the query — compare case-insensitively
+            g = extracted.strip().lower()
             out = out.filter(
-                F.exists("genres", lambda x: x.contains(F.lit(g)))
+                F.exists("genres", lambda x: F.lower(x).contains(F.lit(g)))
             )
         return out
     if intent == "find_influence":
@@ -160,17 +163,21 @@ def intent_route(
             return Q.band_members(edges, band)
         return None
     if intent == "find_by_attribute" and extracted:
-        years = re.findall(r"\d{4}", extracted)
-        decade = re.fullmatch(r"(\d{2})s", extracted.strip())
         bands = Q.entity_view(entities, "bands").filter(
             F.col("formed_year").isNotNull()
         )
+        # the decade form must be tested FIRST: '1980s' is a decade
+        # (1980–1989), not the exact year 1980 that a bare \d{4}
+        # findall would claim
+        decade = re.fullmatch(r"(\d{2}|\d{4})s", extracted.strip())
+        if decade:
+            d = decade.group(1)
+            lo = 1900 + int(d) if len(d) == 2 else int(d) // 10 * 10
+            return bands.filter(F.col("formed_year").between(lo, lo + 9)) \
+                .select("canonical_name", "formed_year").orderBy("canonical_name")
+        years = re.findall(r"\d{4}", extracted)
         if years:
             return bands.filter(F.col("formed_year") == int(years[0])) \
-                .select("canonical_name", "formed_year").orderBy("canonical_name")
-        if decade:
-            lo = 1900 + int(decade.group(1))
-            return bands.filter(F.col("formed_year").between(lo, lo + 9)) \
                 .select("canonical_name", "formed_year").orderBy("canonical_name")
     return None
 

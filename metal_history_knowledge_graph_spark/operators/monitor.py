@@ -104,12 +104,21 @@ def monitor_search_latency(
 
 def monitor_graph_growth(
     store: TableStore, thresholds: dict = DEFAULT_THRESHOLDS,
+    entities: DataFrame | None = None, edges: DataFrame | None = None,
 ) -> tuple[dict, list[str]]:
     """Entity/edge counts + growth vs the previous history snapshot
     (quality_monitor.py:229-297). One aggregation per table — no
-    per-entity-type query loop."""
-    n_entities = store.read("entities").count() if store.exists("entities") else 0
-    n_edges = store.read("edges").count() if store.exists("edges") else 0
+    per-entity-type query loop. Pass already-loaded ``entities`` /
+    ``edges`` DataFrames (as ``run_all_monitors`` does) to avoid
+    re-reading the tables a monitoring run already holds."""
+    if entities is not None:
+        n_entities = entities.count()
+    else:
+        n_entities = store.read("entities").count() if store.exists("entities") else 0
+    if edges is not None:
+        n_edges = edges.count()
+    else:
+        n_edges = store.read("edges").count() if store.exists("edges") else 0
     growth = None
     alerts = []
     if store.exists(HISTORY_TABLE):
@@ -149,7 +158,7 @@ def run_all_monitors(
         spark, entities, embed_entities(entities), thresholds=thresholds
     )
     alerts += a
-    growth, a = monitor_graph_growth(store, thresholds)
+    growth, a = monitor_graph_growth(store, thresholds, entities=entities, edges=edges)
     alerts += a
 
     row = spark.createDataFrame(

@@ -34,12 +34,21 @@ from pyspark.sql import Column, DataFrame, functions as F
 BUCKETS = 1_000_000
 
 
-def hash_bucket(key: Column, seed: int = 0) -> Column:
+def hash_bucket(key: Column, seed: int = 0, domain: str = "") -> Column:
     """Deterministic bucket in ``[0, BUCKETS)`` from the first 8 hex
-    chars of ``md5(seed || key)`` — 32 hash bits, uniform, and exactly
-    reproducible in ANSI SQL (DuckDB: ``('0x' ||
-    substr(md5(...),1,8))::UBIGINT % 1000000``)."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(str(seed) + "|"), key.cast("string"))), 1, 8), 16, 10)
+    chars of ``md5(domain || seed || '|' || key)`` — 32 hash bits,
+    uniform, and exactly reproducible in ANSI SQL (DuckDB: ``('0x' ||
+    substr(md5(...),1,8))::UBIGINT % 1000000``).
+
+    ``domain`` separates OPERATORS, not runs: each sampling operator
+    hashes in its own domain so composed operators are statistically
+    independent even at the same seed. Without it, sampling the output
+    of ``train_test_split`` at the same seed would be perfectly
+    correlated (the test side occupies exactly the low buckets, so a
+    5% sample of the train side returns zero rows), and
+    ``assign_shards`` after ``hash_sample`` would concentrate the
+    sample into the low shards."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{domain}{seed}|"), key.cast("string"))), 1, 8), 16, 10)
     return h.cast("bigint") % BUCKETS
 
 
@@ -52,7 +61,7 @@ def hash_sample(df: DataFrame, key_col: str, rate: float, seed: int = 0) -> Data
     oracle agree row-for-row. ``rate`` is truncated to 1e-6 resolution.
     """
     cutoff = int(rate * BUCKETS)
-    return df.where(hash_bucket(F.col(key_col), seed) < cutoff)
+    return df.where(hash_bucket(F.col(key_col), seed, domain="samp:") < cutoff)
 
 
 def stratified_sample(
@@ -80,7 +89,7 @@ def stratified_sample(
         cond = F.col(strata_col) == stratum
         cutoff = F.when(cond, c) if cutoff is None else cutoff.when(cond, c)
     cutoff = F.lit(int(default_rate * BUCKETS)) if cutoff is None else cutoff.otherwise(int(default_rate * BUCKETS))
-    return df.where(hash_bucket(F.col(key_col), seed) < cutoff)
+    return df.where(hash_bucket(F.col(key_col), seed, domain="strat:") < cutoff)
 
 
 def mixing_rates(
@@ -97,7 +106,16 @@ def mixing_rates(
     dict.
     """
     total_w = sum(targets.values())
+    if total_w <= 0:
+        raise ValueError(f"targets must carry positive total weight, got {targets}")
     shares = {s: w / total_w for s, w in targets.items()}
+    missing = [s for s, share in shares.items() if share > 0 and not counts.get(s)]
+    if missing:
+        # a demanded source with zero supply makes the mixture
+        # infeasible — raising beats silently emptying a 100 TB mix
+        raise ValueError(
+            f"target sources absent from the input (typo?): {sorted(missing)}"
+        )
     # Feasible output size: min over sources of count/share.
     limit = min(counts.get(s, 0) / share for s, share in shares.items() if share > 0)
     return {
@@ -142,7 +160,7 @@ def train_test_split(
     intra-document near-duplicates. Both sides are narrow filters over
     the same scan."""
     cutoff = int(test_frac * BUCKETS)
-    b = hash_bucket(F.col(key_col), seed)
+    b = hash_bucket(F.col(key_col), seed, domain="split:")
     return df.where(b >= cutoff), df.where(b < cutoff)
 
 
@@ -162,5 +180,6 @@ def assign_shards(
     self-contained directory per shard with no extra shuffle beyond
     the write's own partitioning."""
     return df.withColumn(
-        "shard", (hash_bucket(F.col(key_col), seed) % n_shards).cast("int")
+        "shard",
+        (hash_bucket(F.col(key_col), seed, domain="shard:") % n_shards).cast("int"),
     )

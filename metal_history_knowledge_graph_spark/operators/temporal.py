@@ -99,8 +99,16 @@ def asof_join(
     (inclusive), or nulls if none exists — DuckDB ``ASOF LEFT JOIN``
     semantics.
 
-    Right rows are first deduplicated to one per ``(key, ts)`` (keeping
-    the greatest ``id_col``) so the match is well-defined under ts ties.
+    Both sides must carry ``id_col`` (it is also the left side's
+    deterministic within-ts tie-break in the window order). Right rows
+    are first deduplicated to one per ``(key, ts)`` (keeping the
+    greatest ``id_col``) so the match is well-defined under ts ties.
+    Right rows with a NULL ``ts_col`` are dropped — ``l.ts >= NULL`` is
+    never true in the ASOF rule, but Spark's default nulls-first window
+    ordering would otherwise sort them to the partition start and carry
+    their payload into every row. Left rows with a NULL ``ts_col`` also
+    sort first and therefore match nothing (null payload), matching the
+    oracle.
     Implementation: tag rights side=0 / lefts side=1, union, and carry
     the latest right payload forward with one partitioned window ordered
     by ``(ts, side)`` — rights sort before lefts at equal ts, which is
@@ -112,7 +120,8 @@ def asof_join(
         *[F.col(c).alias(f"_asof_{c}") for c in right_payload],
     )
     r = (
-        right.groupBy(key_col, ts_col)
+        right.filter(F.col(ts_col).isNotNull())
+        .groupBy(key_col, ts_col)
         .agg(F.max(F.struct(id_col, *right_payload)).alias("_r"))
         .select(key_col, ts_col, F.col(f"_r.{id_col}").alias(id_col),
                 *[F.col(f"_r.{c}").alias(c) for c in right_payload])

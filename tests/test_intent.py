@@ -83,6 +83,38 @@ def test_intent_route_location_and_attribute(graph):
     rows = attr.collect()
     assert rows
     assert all(r.formed_year == 1968 for r in rows)
+    # '1980s' is the 1980-1989 DECADE, never the exact year 1980
+    dec = intent_route(entities, edges, "find_by_attribute", "1980s",
+                       query="bands from the 1980s")
+    dec_rows = dec.collect()
+    assert dec_rows
+    assert all(1980 <= r.formed_year <= 1989 for r in dec_rows)
+    assert any(r.formed_year != 1980 for r in dec_rows)
+    # two-digit decade form still works
+    dec2 = {(r.canonical_name, r.formed_year)
+            for r in intent_route(entities, edges, "find_by_attribute",
+                                  "80s", query="80s bands").collect()}
+    assert dec2 == {(r.canonical_name, r.formed_year) for r in dec_rows}
+
+
+def test_intent_route_genre_case_insensitive(graph):
+    """Genre names keep first-seen surface casing ('Thrash Metal'
+    upstream of a title-cased corpus); the lowercased query must still
+    match."""
+    from pyspark.sql import functions as F
+
+    entities, edges = graph
+    spark = edges.sparkSession
+    cased = edges.unionByName(spark.createDataFrame(
+        [(901, 902, "Casey Band", "Thrash Metal", "PLAYS_GENRE",
+          "bands", "subgenres")],
+        "subj_id long, obj_id long, subj_name string, obj_name string, "
+        "pred string, subj_type string, obj_type string",
+    ), allowMissingColumns=True)
+    df = intent_route(entities, cased, "find_by_genre", "thrash",
+                      query="thrash metal bands")
+    bands = {r.band for r in df.collect()}
+    assert "Casey Band" in bands
 
 
 def test_intent_search_enhanced(graph):

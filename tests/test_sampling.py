@@ -77,8 +77,13 @@ def test_mixing_rates_math():
     # feasible total = 1000/0.75 = 1333.3 -> b keeps 333.3/1000
     assert rates["a"] == 1.0
     assert abs(rates["b"] - 1 / 3) < 1e-9
-    # absent source -> 0.0, never a division error
-    assert mixing_rates({"a": 10}, {"a": 1, "missing": 1})["missing"] == 0.0
+    # absent source makes the mixture infeasible: every other rate
+    # would silently drop to 0.0 — the contract is an explicit error
+    import pytest
+    with pytest.raises(ValueError, match="missing"):
+        mixing_rates({"a": 10}, {"a": 1, "missing": 1})
+    with pytest.raises(ValueError):
+        mixing_rates({"a": 10}, {})
 
 
 def test_mix_sources_proportions(docs):
@@ -121,3 +126,21 @@ def test_assign_shards(docs):
     b = {(r.doc_id, r.shard)
          for r in assign_shards(docs.repartition(13), "doc_id", 8, seed=2).collect()}
     assert a == b
+
+
+def test_composed_operators_are_independent(docs):
+    """Domain-separated hashes: sampling the output of a split (same
+    seed) must behave like an independent draw, never a correlated
+    all-or-nothing; shard assignment over a thin sample must still
+    touch most shards."""
+    from metal_history_knowledge_graph_spark.operators.sampling import assign_shards
+
+    train, test = train_test_split(docs, "doc_id", 0.5, seed=0)
+    kept = hash_sample(train, "doc_id", 0.3, seed=0).count()
+    n_train = train.count()
+    assert 0.15 * n_train < kept < 0.45 * n_train  # not 0, not all
+
+    thin = hash_sample(docs, "doc_id", 0.2, seed=0)
+    shards = {r.shard for r in assign_shards(thin, "doc_id", 16, seed=0)
+              .select("shard").distinct().collect()}
+    assert len(shards) >= 12  # spread across shards, not the low few

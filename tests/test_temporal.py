@@ -167,3 +167,21 @@ def test_repetition_stats_extremes(spark):
     assert not out[2].keep  # fails the diversity floor
     assert out[3].unique_word_bp == 10000 and out[3].dup_bigram_bp == 0
     assert out[3].mean_word_len_x100 == (100 * 22) // 6  # Σlen = 3+3+5+4+4+3
+
+
+def test_asof_join_ignores_null_timestamps(spark):
+    """A right row with NULL ts must never match (l.ts >= NULL is never
+    true in the ASOF rule — and nulls-first window ordering must not
+    smuggle its payload to the partition start); a left row with NULL
+    ts matches nothing."""
+    from metal_history_knowledge_graph_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10, 1), ("k", None, 2)], "key string, ts long, eid long")
+    right = spark.createDataFrame(
+        [("k", None, 100, "poison"), ("k", 5, 200, "real")],
+        "key string, ts long, eid long, val string")
+    out = {r["eid"]: r for r in asof_join(
+        left, right, "key", "ts", "eid", ["val"]).collect()}
+    assert (out[1]["matched_eid"], out[1]["matched_val"]) == (200, "real")
+    assert out[2]["matched_eid"] is None and out[2]["matched_val"] is None

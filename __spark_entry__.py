@@ -516,6 +516,46 @@ def q_lsh_buckets(spark, sf_dir):
     )
 
 
+def q_training_export(spark, sf_dir):
+    """The COMPOSED training-export pipeline (plans/export.py):
+    Gopher quality gate → PII redaction → exact dedup over redacted
+    text → n-gram decontamination → leakage-safe split → shard + pack,
+    end to end, with the whole decision chain replayed exactly in one
+    DuckDB query. Input is the documents table deterministically
+    augmented with PII (as q_pii_redact) plus injected exact
+    duplicates (ids +100000 cloning doc_id < 25) so the dedup gate has
+    work; benchmark = the doc_id % 29 == 0 slice of the originals."""
+    from metal_history_knowledge_graph_spark.plans.export import training_export
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                         F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" call 555-123-"),
+                         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    benchmark = aug.filter(F.col("doc_id") % 29 == 0)
+    dups = aug.unionByName(
+        aug.filter(F.col("doc_id") < 25).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return training_export(
+        dups, benchmark, capacity=512, n_shards=8, test_frac=0.1,
+        seed=0, ngram_n=5,
+    )
+
+
 def q_cosine_neardup(spark, sf_dir):
     """Exact all-pairs embedding-cosine near-dup decision (the
     baseline the hyperplane-bucketed variant is recall-tested
@@ -1685,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_canon": q_url_canon,
         "q_profile": q_profile,
         "q_lsh_buckets": q_lsh_buckets,
+        "q_training_export": q_training_export,
         "q_hybrid_rank": q_hybrid_rank,
         "q_ivf_fullprobe": q_ivf_fullprobe,
         "td_ivf_topk": td_ivf_topk,
@@ -2578,6 +2619,115 @@ def oracle_sql() -> dict[str, str]:
             SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS n_vecs,
                    min(vec_id) AS min_id
             FROM assigned GROUP BY tbl, bucket
+        """,
+        # The COMPOSED export pipeline replayed end to end: every CTE
+        # is the already-verified fragment of its stage's own oracle
+        # (gopher gates, redaction chain, fingerprint dedup, gram
+        # overlap, split/shard hashes, packing window), chained.
+        "q_training_export": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0 THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+                       AS text
+                FROM documents
+            ), dups AS (
+                SELECT doc_id, text FROM aug
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text FROM aug WHERE doc_id < 25
+            ), toksrc AS (
+                SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+                FROM dups
+            ), st AS (
+                SELECT doc_id, text, w, len(w) AS n_words,
+                       CASE WHEN len(w) >= 2 THEN
+                           list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])
+                       ELSE [] END AS bg
+                FROM toksrc
+            ), gate AS (
+                SELECT doc_id, text,
+                       n_words >= 30
+                       AND (CASE WHEN n_words > 0 THEN (10000 * len(list_distinct(w))) // n_words ELSE 0 END) >= 2000
+                       AND (CASE WHEN coalesce(list_sum(list_transform(bg, g -> length(g))), 0) > 0
+                            THEN (10000 * coalesce(list_sum(list_transform(bg,
+                                     g -> CASE WHEN len(list_filter(bg, x -> x = g)) > 1 THEN length(g) ELSE 0 END)), 0))
+                                 // list_sum(list_transform(bg, g -> length(g)))
+                            ELSE 0 END) <= 2500
+                       AND (CASE WHEN n_words > 0
+                            THEN (100 * coalesce(list_sum(list_transform(w, x -> length(x))), 0)) // n_words
+                            ELSE 0 END) BETWEEN 300 AND 1000
+                       AS keep_quality
+                FROM st
+            ), s1 AS (
+                SELECT doc_id, text, keep_quality,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                       regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+                FROM gate
+            ), s2 AS (
+                SELECT doc_id, text, keep_quality, n_email,
+                       CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+                       regexp_replace(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t
+                FROM s1
+            ), s3 AS (
+                SELECT doc_id, text, keep_quality, n_email, n_phone,
+                       CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                       regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+                FROM s2
+            ), red AS (
+                SELECT doc_id, keep_quality,
+                       n_email + n_phone + n_ipv4 AS n_pii,
+                       md5(regexp_replace(lower(trim(t)), '\s+', ' ', 'g')) AS fp,
+                       CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
+                FROM s3
+            ), canon AS (
+                SELECT fp, min(doc_id) AS canonical_key FROM red WHERE keep_quality GROUP BY fp
+            ), words5 AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM dups
+            ), grams AS (
+                SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 4), ' ') AS g
+                FROM words5, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS u(i)
+            ), bench AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0 AND doc_id < 100000
+            ), cont AS (
+                SELECT grams.doc_id,
+                       sum(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+                FROM grams LEFT JOIN bench USING (g) GROUP BY grams.doc_id
+            ), sided AS (
+                SELECT r.doc_id, r.keep_quality, r.n_pii, r.n_tokens,
+                       r.keep_quality AND r.doc_id = c.canonical_key AS is_canonical,
+                       coalesce(ct.contaminated, false) AS contaminated,
+                       CASE WHEN r.keep_quality AND r.doc_id = c.canonical_key
+                                 AND NOT coalesce(ct.contaminated, false) THEN
+                           CASE WHEN CAST(('0x' || substr(md5('split:0|' || CAST(r.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                                     % 1000000 < 100000
+                                THEN 'test' ELSE 'train' END
+                       END AS side
+                FROM red r
+                LEFT JOIN canon c ON r.fp = c.fp
+                LEFT JOIN cont ct ON r.doc_id = ct.doc_id
+            ), packpos AS (
+                SELECT doc_id,
+                       CAST(CAST(('0x' || substr(md5('shard:0|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                            % 1000000 % 8 AS INT) AS shard,
+                       greatest(n_tokens, 1) AS nt
+                FROM sided WHERE side = 'train'
+            ), packed AS (
+                SELECT doc_id, shard, nt,
+                       coalesce(sum(nt) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS start
+                FROM packpos
+            )
+            SELECT s.doc_id, s.keep_quality, CAST(s.n_pii AS BIGINT) AS n_pii,
+                   s.is_canonical, s.contaminated, s.side,
+                   p.shard,
+                   CAST(p.start // 512 AS BIGINT) AS seq_first,
+                   CAST(p.start % 512 AS BIGINT) AS offset_in_seq,
+                   CAST((p.start + p.nt - 1) // 512 - p.start // 512 + 1 AS BIGINT) AS n_seqs
+            FROM sided s LEFT JOIN packed p USING (doc_id)
         """,
         "q_cosine_neardup": """
             WITH aug AS (

@@ -129,11 +129,34 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = df.withColumn("_w", toks).withColumn("n_words", F.size("_w"))
     nw = F.col("n_words")
     uniq = F.size(F.array_distinct("_w"))
-    top = F.array_max(
-        F.transform(
-            F.array_distinct("_w"),
-            lambda u: F.size(F.filter(F.col("_w"), lambda x: x == u)),
-        )
+    # Most-frequent-word count and duplicate-bigram chars as SINGLE-PASS
+    # run-length folds over SORTED arrays — O(n log n), never a nested
+    # filter-inside-lambda. The naive shape (count each element's
+    # occurrences with filter(arr) inside a per-element lambda over the
+    # same arr) is O(n²) in principle, and in practice far worse:
+    # Catalyst inlines the array-producing expression into every lambda
+    # reference, so each of n elements re-derives the split/transform
+    # chain — measured ~100 ms/row on 100-word docs (~500 s for one
+    # sf0.1 partition) vs ~1 ms/row for this fold. Values identical.
+    top = F.aggregate(
+        F.array_sort("_w"),
+        F.named_struct(
+            F.lit("prev"), F.lit(None).cast("string"),
+            F.lit("run"), F.lit(0).cast("long"),
+            F.lit("best"), F.lit(0).cast("long"),
+        ),
+        lambda acc, x: F.named_struct(
+            F.lit("prev"), x,
+            F.lit("run"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            F.lit("best"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long")),
+            ),
+        ),
+        lambda acc: acc["best"],
     )
     bigrams = F.when(
         nw >= 2,
@@ -143,11 +166,27 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
     ).otherwise(F.expr("array()").cast("array<string>"))
     t = t.withColumn("_bg", bigrams)
+    # per distinct bigram g with count c > 1 the original definition
+    # contributes c·len(g); the sorted fold adds 2·len on the run's
+    # second element and len on each further one — same total
     dup_chars = F.aggregate(
-        F.col("_bg"), F.lit(0).cast("long"),
-        lambda acc, g: acc + F.when(
-            F.size(F.filter(F.col("_bg"), lambda x: x == g)) > 1, F.length(g)
-        ).otherwise(F.lit(0)).cast("long"),
+        F.array_sort("_bg"),
+        F.named_struct(
+            F.lit("prev"), F.lit(None).cast("string"),
+            F.lit("run"), F.lit(0).cast("long"),
+            F.lit("total"), F.lit(0).cast("long"),
+        ),
+        lambda acc, g: F.named_struct(
+            F.lit("prev"), g,
+            F.lit("run"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            F.lit("total"),
+            acc["total"] + F.when(
+                g == acc["prev"],
+                F.when(acc["run"] == 1, 2 * F.length(g)).otherwise(F.length(g)),
+            ).otherwise(F.lit(0)).cast("long"),
+        ),
+        lambda acc: acc["total"],
     )
     tot_chars = F.aggregate(
         F.col("_bg"), F.lit(0).cast("long"),

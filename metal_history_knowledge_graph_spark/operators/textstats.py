@@ -158,11 +158,14 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         lambda acc: acc["best"],
     )
+    # zip_with over two slices references _w a constant number of
+    # times; the index-based transform (element_at(_w, i) per i) would
+    # re-derive the inlined split chain once per bigram
     bigrams = F.when(
         nw >= 2,
         F.expr(
-            "transform(sequence(0, size(_w) - 2), "
-            "i -> concat(element_at(_w, i + 1), ' ', element_at(_w, i + 2)))"
+            "zip_with(slice(_w, 1, size(_w) - 1), slice(_w, 2, size(_w) - 1), "
+            "(a, b) -> concat(a, ' ', b))"
         ),
     ).otherwise(F.expr("array()").cast("array<string>"))
     t = t.withColumn("_bg", bigrams)

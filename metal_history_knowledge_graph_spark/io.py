@@ -83,8 +83,19 @@ class TableStore:
             w = w.partitionBy(*partition_by)
         w.parquet(self._path(name))
 
-    def merge_upsert(self, df: DataFrame, name: str, keys: list[str]) -> None:
-        """Set-oriented upsert: incoming rows win on key collision."""
+    def merge_upsert(
+        self, df: DataFrame, name: str, keys: list[str],
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Set-oriented upsert: incoming rows win on key collision.
+
+        ``partition_by`` must repeat the table's partition scheme in
+        parquet mode — the rewrite would otherwise silently flatten a
+        partitioned layout and kill downstream partition pruning
+        (Iceberg keeps its partition spec on its own). NULL keys match
+        null-safely (``<=>``), the same rule as the Iceberg MERGE — a
+        NULL-key row updates in place rather than duplicating on every
+        upsert."""
         if self.iceberg:
             view = f"_updates_{uuid.uuid4().hex[:8]}"
             df.createOrReplaceTempView(view)
@@ -96,14 +107,19 @@ class TableStore:
             )
             return
         if not self.exists(name):
-            self.write(df, name)
+            self.write(df, name, partition_by=partition_by)
             return
         existing = self.read(name)
-        kept = existing.join(df.select(*keys).distinct(), on=keys, how="left_anti")
+        incoming = df.select(*keys).distinct()
+        cond = None
+        for k in keys:
+            c = existing[k].eqNullSafe(incoming[k])
+            cond = c if cond is None else cond & c
+        kept = existing.join(incoming, on=cond, how="left_anti")
         merged = kept.unionByName(df, allowMissingColumns=True)
         # Materialize before overwriting the directory we read from.
         out = merged.localCheckpoint(eager=True)
-        self.write(out, name)
+        self.write(out, name, partition_by=partition_by)
 
     # -- table maintenance -------------------------------------------------
     def file_stats(self, name: str) -> dict:
@@ -190,8 +206,18 @@ class TableStore:
                 if not pb:
                     continue
                 rel = os.path.relpath(dirpath, root)
+                # dir names carry URL-escaped values ('new%20wave') and
+                # __HIVE_DEFAULT_PARTITION__ for NULL — decode them or
+                # the sizing join misses those partitions and compacts
+                # them into one arbitrarily-oversized file
+                from urllib.parse import unquote
+
                 key = tuple(
-                    seg.split("=", 1)[1] for seg in rel.split(os.sep) if "=" in seg
+                    None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+                    for raw in (
+                        seg.split("=", 1)[1]
+                        for seg in rel.split(os.sep) if "=" in seg
+                    )
                 )
                 part_bytes[key] = part_bytes.get(key, 0) + pb
             targets = [
@@ -206,14 +232,19 @@ class TableStore:
             keyed = df
             for c in partition_by:
                 keyed = keyed.withColumn(f"_k_{c}", F.col(c).cast("string"))
-            joined = keyed.join(
-                F.broadcast(
-                    tdf.select(
-                        *[F.col(c).alias(f"_k_{c}") for c in partition_by], "_nf"
-                    )
-                ),
-                [f"_k_{c}" for c in partition_by],
-                "left",
+            tsel = F.broadcast(
+                tdf.select(
+                    *[F.col(c).alias(f"_t_{c}") for c in partition_by], "_nf"
+                )
+            )
+            cond = None
+            for c in partition_by:
+                # null-safe: a NULL partition value must still find its
+                # decoded __HIVE_DEFAULT_PARTITION__ sizing row
+                eq = keyed[f"_k_{c}"].eqNullSafe(tsel[f"_t_{c}"])
+                cond = eq if cond is None else cond & eq
+            joined = keyed.join(tsel, cond, "left").drop(
+                *[f"_t_{c}" for c in partition_by]
             )
             salted = joined.withColumn(
                 "_salt",

@@ -97,6 +97,19 @@ def _hyperplanes(dim: int, n_planes: int, table: int) -> list[list[float]]:
     return planes
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector width from the first row — with a CLEAR error on an
+    empty table or a NULL first vector instead of an opaque
+    NoneType traceback inside an index build."""
+    row = df.select(vec_col).head()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer embedding dim: table is empty or first "
+            f"'{vec_col}' is NULL"
+        )
+    return len(row[0])
+
+
 def hyperplanes_rows(
     dim: int, n_planes: int = 8, num_tables: int = 4
 ) -> list[tuple[int, int, list[float]]]:
@@ -139,7 +152,7 @@ def lsh_build(
     deterministic hyperplanes as the ad-hoc path, so
     ``lsh_topk_indexed`` over this index returns exactly what
     ``lsh_topk`` computes with full scans."""
-    dim = len(df.select(vec_col).head()[0])
+    dim = _infer_dim(df, vec_col)
     parts = []
     for t in range(num_tables):
         planes = _hyperplanes(dim, n_planes, t)
@@ -322,7 +335,11 @@ def similar_items(
     (vector_search.py:228-275)."""
     row = df.filter(F.col(id_col) == item_id).select(vec_col).head()
     if row is None:
-        return df.sparkSession.createDataFrame([], f"{id_col} long, cosine double")
+        # empty schema must carry the ACTUAL id type (string ids would
+        # otherwise union-fail against the found path's results)
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, cosine double")
     query = [float(v) for v in row[0]]
     return cosine_topk(
         df.filter(F.col(id_col) != item_id), query, k=k,
@@ -366,7 +383,7 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: bucket by hyperplane signs,
     pair within buckets only, verify exact cosine ≥ threshold."""
-    dim = len(df.select(vec_col).head()[0])
+    dim = _infer_dim(df, vec_col)
     planes = _hyperplanes(dim, n_planes, 0)
     normed = with_l2_normalized(df, vec_col).withColumn(
         "bucket", _sign_bucket("unit_vec", planes)

@@ -105,11 +105,15 @@ def salted_join(
 
 
 def salted_count_distinct(
-    df: DataFrame, keys: list[str], value_col: str, n_salts: int = 32,
+    df: DataFrame, keys: list[str], value_col: str,
     out_col: str = "n_distinct",
 ) -> DataFrame:
     """Exact distinct count per key without a single-reducer hot spot:
-    dedupe on (key, value) first (partial-agg friendly), then count."""
+    dedupe on (key, value) first, then count. No explicit salt column
+    is needed — the (key, value) distinct IS the spread (hot keys fan
+    out across reducers by value, and the map-side partial aggregation
+    collapses repeats before the shuffle); the follow-up count per key
+    receives at most |distinct values| rows per key."""
     return (
         df.select(*keys, value_col)
         .distinct()

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.queries import entity_view
+from ..plans.queries import entity_view, mutual_edges
 
 #: year sanity ranges (entity_validation.py:100-131).
 BAND_YEAR_RANGE = (1960, 2026)
@@ -78,7 +78,10 @@ def validate_entities(entities: DataFrame) -> DataFrame:
 
     genres = entity_view(entities, "subgenres")
     issues.append(_issues(genres, "subgenres", [
-        ("warning", "unknown_subgenre", ~F.col("canonical_name").isin(KNOWN_SUBGENRES)),
+        # name_norm, not canonical_name: canonical names keep first-seen
+        # surface casing ('Thrash Metal') while the known list is
+        # lowercase
+        ("warning", "unknown_subgenre", ~F.col("name_norm").isin(KNOWN_SUBGENRES)),
     ]))
 
     # duplicate canonical names within a type (should be impossible
@@ -158,28 +161,13 @@ def graph_consistency(entities: DataFrame, edges: DataFrame) -> DataFrame:
         )
     )
     # 'Circular influence relationships' (query_pattern_tester.py:546):
-    # b1 INFLUENCED_BY b2 AND b2 INFLUENCED_BY b1. Self-equi-join on
-    # the pred-filtered edge slice (vocabulary-sized both sides); the
-    # id inequality keeps one row per cycle pair.
-    infl = edges.filter(F.col("pred") == "INFLUENCED_BY").select(
-        "subj_id", "obj_id", "subj_name", "obj_name"
-    )
-    circular = (
-        infl.alias("a")
-        .join(
-            infl.alias("b"),
-            (F.col("a.subj_id") == F.col("b.obj_id"))
-            & (F.col("a.obj_id") == F.col("b.subj_id")),
-        )
-        .filter(F.col("a.subj_id") < F.col("a.obj_id"))
-        .select(
-            F.lit("edges").alias("entity_type"),
-            F.concat_ws(
-                " <~> ", F.col("a.subj_name"), F.col("a.obj_name")
-            ).alias("name"),
-            F.lit("error").alias("severity"),
-            F.lit("circular_influence").alias("rule"),
-        )
+    # the mutual-edge detector from the query catalog, projected into a
+    # report row — ONE implementation of the 2-cycle join
+    circular = mutual_edges(edges, pred="INFLUENCED_BY").select(
+        F.lit("edges").alias("entity_type"),
+        F.concat_ws(" <~> ", "a", "b").alias("name"),
+        F.lit("error").alias("severity"),
+        F.lit("circular_influence").alias("rule"),
     )
     return released_too_early.unionByName(self_loops).unionByName(circular)
 

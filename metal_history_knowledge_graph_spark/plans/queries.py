@@ -215,35 +215,37 @@ def influence_chains(
     edges: DataFrame, min_hops: int = 2, max_hops: int = 3,
     pred: str = "INFLUENCED_BY",
 ) -> DataFrame:
-    """pred*2..3 unrolled (query_pattern_tester.py:49-56); ``pred``
-    also serves the reference's EVOLVED_INTO*1..3 tester pattern."""
+    """pred*min..max unrolled (query_pattern_tester.py:49-56 is the
+    *2..3 default); ``pred`` also serves the reference's
+    EVOLVED_INTO*1..3 tester pattern (min_hops=1)."""
     inf = edges.filter(F.col("pred") == pred).select(
         F.col("subj_id").alias("a"), F.col("subj_name").alias("a_name"),
         F.col("obj_id").alias("b"), F.col("obj_name").alias("b_name"),
     )
-    hop2 = (
-        inf.alias("x")
-        .join(inf.alias("y"), F.col("x.b") == F.col("y.a"))
-        .select(
-            F.col("x.a").alias("src"), F.col("x.a_name").alias("src_name"),
-            F.col("y.b").alias("dst"), F.col("y.b_name").alias("dst_name"),
-            F.lit(2).alias("hops"),
-        )
-        .filter(F.col("src") != F.col("dst"))
-    )
-    out = hop2
-    if max_hops >= 3:
-        hop3 = (
-            hop2.alias("h")
+    cur = inf.select(
+        F.col("a").alias("src"), F.col("a_name").alias("src_name"),
+        F.col("b").alias("dst"), F.col("b_name").alias("dst_name"),
+        F.lit(1).alias("hops"),
+    ).filter(F.col("src") != F.col("dst"))
+    levels = {1: cur}
+    for h in range(2, max_hops + 1):
+        cur = (
+            cur.alias("h")
             .join(inf.alias("z"), F.col("h.dst") == F.col("z.a"))
             .select(
                 F.col("h.src").alias("src"), F.col("h.src_name").alias("src_name"),
                 F.col("z.b").alias("dst"), F.col("z.b_name").alias("dst_name"),
-                F.lit(3).alias("hops"),
+                F.lit(h).alias("hops"),
             )
             .filter(F.col("src") != F.col("dst"))
         )
-        out = out.unionByName(hop3)
+        levels[h] = cur
+    selected = [lv for h, lv in levels.items() if min_hops <= h <= max_hops]
+    if not selected:
+        raise ValueError(f"empty hop range: min_hops={min_hops}, max_hops={max_hops}")
+    out = selected[0]
+    for lv in selected[1:]:
+        out = out.unionByName(lv)
     return out.distinct()
 
 

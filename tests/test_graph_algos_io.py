@@ -263,3 +263,47 @@ def test_optimize_store(spark, store):
     assert sorted(d for d in os.listdir(root) if "=" in d) == [
         "entity_type=bands", "entity_type=people",
     ]
+
+
+def test_merge_upsert_preserves_partition_layout(spark, store, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "x", 1), (2, "y", 2)], "k long, p string, v long")
+    store.write(df, "part_t", partition_by=["p"])
+    store.merge_upsert(
+        spark.createDataFrame([(1, "x", 9), (3, "z", 3)], "k long, p string, v long"),
+        "part_t", keys=["k"], partition_by=["p"],
+    )
+    root = store._path("part_t")
+    assert any(d.startswith("p=") for d in os.listdir(root)), "hive layout lost"
+    rows = {r.k: (r.p, r.v) for r in store.read("part_t").collect()}
+    assert rows == {1: ("x", 9), 2: ("y", 2), 3: ("z", 3)}
+
+
+def test_merge_upsert_null_keys_match_null_safely(spark, store):
+    df = spark.createDataFrame([(None, 1), (5, 2)], "k long, v long")
+    store.merge_upsert(df, "null_t", keys=["k"])
+    store.merge_upsert(
+        spark.createDataFrame([(None, 9)], "k long, v long"), "null_t", keys=["k"]
+    )
+    rows = [(r.k, r.v) for r in store.read("null_t").collect()]
+    # the NULL-key row updates in place (Iceberg <=> parity), never duplicates
+    assert sorted(rows, key=str) == sorted([(5, 2), (None, 9)], key=str)
+
+
+def test_compact_sizes_escaped_and_null_partitions(spark, store):
+    # values that hive-escape in dir names ('new wave' -> 'new%20wave')
+    # and a NULL partition must still be found by the sizing join
+    df = spark.createDataFrame(
+        [(i, "new wave" if i % 2 == 0 else None) for i in range(100)],
+        "k long, p string",
+    ).repartition(8)
+    store.write(df, "esc_t", partition_by=["p"])
+    out = store.compact("esc_t", target_file_bytes=10**9, partition_by=["p"])
+    assert out["files_after"] <= out["files_before"]
+    rows = store.read("esc_t")
+    assert rows.count() == 100
+    assert rows.filter("p IS NULL").count() == 50
+    assert rows.filter("p = 'new wave'").count() == 50

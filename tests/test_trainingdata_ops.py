@@ -296,3 +296,19 @@ def test_lsh_indexed_equals_adhoc_and_prunes(spark, embs, tmp_path):
     assert "PartitionFilters: [" in plan
     assert f"= {qb})" in plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "DataFilters: []" in plan
+
+
+def test_similar_items_miss_keeps_id_type(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], "name string, embedding array<double>")
+    out = S.similar_items(df, "zzz", id_col="name")
+    assert out.schema["name"].dataType.simpleString() == "string"
+    assert out.count() == 0
+
+
+def test_index_builds_fail_clearly_on_empty_or_null(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        S.lsh_build(empty)

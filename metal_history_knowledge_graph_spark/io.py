@@ -47,6 +47,25 @@ class TableStore:
         p = self._path(name)
         return os.path.isdir(p) and bool(os.listdir(p))
 
+    def _detect_partition_cols(self, name: str) -> list[str]:
+        """Partition columns of a parquet table inferred from its hive
+        dir layout (``col=val/…``) — the guard that keeps
+        ``merge_upsert``/``compact`` from silently flattening a
+        partitioned table (and killing downstream partition pruning)
+        when the caller forgets ``partition_by``."""
+        cols: list[str] = []
+        p = self._path(name)
+        while os.path.isdir(p):
+            subs = sorted(
+                d for d in os.listdir(p)
+                if "=" in d and os.path.isdir(os.path.join(p, d))
+            )
+            if not subs:
+                break
+            cols.append(subs[0].split("=", 1)[0])
+            p = os.path.join(p, subs[0])
+        return cols
+
     # -- primitives ---------------------------------------------------------
     def read(self, name: str) -> DataFrame:
         if self.iceberg:
@@ -89,13 +108,24 @@ class TableStore:
     ) -> None:
         """Set-oriented upsert: incoming rows win on key collision.
 
-        ``partition_by`` must repeat the table's partition scheme in
-        parquet mode — the rewrite would otherwise silently flatten a
-        partitioned layout and kill downstream partition pruning
+        ``partition_by`` should repeat the table's partition scheme in
+        parquet mode; when omitted it is INFERRED from the existing
+        hive dir layout rather than silently flattening the table
         (Iceberg keeps its partition spec on its own). NULL keys match
         null-safely (``<=>``), the same rule as the Iceberg MERGE — a
         NULL-key row updates in place rather than duplicating on every
-        upsert."""
+        upsert.
+
+        Scale shape (parquet mode): the merged plan reads the CURRENT
+        table files and writes to a staging sibling; the swap happens
+        only after the job completes, so no driver/executor
+        materialization (the old eager ``localCheckpoint``) is needed.
+        When every partition column is also a key column — the usual
+        layout, e.g. edges partitioned by ``pred`` with ``pred`` in
+        the edge key — key equality implies partition equality, so
+        collisions can only live in partitions the batch touches:
+        only THOSE leaf partition dirs are rewritten and swapped;
+        untouched partitions are never read or written."""
         if self.iceberg:
             view = f"_updates_{uuid.uuid4().hex[:8]}"
             df.createOrReplaceTempView(view)
@@ -109,6 +139,11 @@ class TableStore:
         if not self.exists(name):
             self.write(df, name, partition_by=partition_by)
             return
+        if partition_by is None:
+            partition_by = self._detect_partition_cols(name) or None
+        if partition_by and set(partition_by) <= set(keys):
+            self._merge_upsert_pruned(df, name, keys, partition_by)
+            return
         existing = self.read(name)
         incoming = df.select(*keys).distinct()
         cond = None
@@ -117,9 +152,59 @@ class TableStore:
             cond = c if cond is None else cond & c
         kept = existing.join(incoming, on=cond, how="left_anti")
         merged = kept.unionByName(df, allowMissingColumns=True)
-        # Materialize before overwriting the directory we read from.
-        out = merged.localCheckpoint(eager=True)
-        self.write(out, name, partition_by=partition_by)
+        # write() stages into a tmp sibling and swaps after the job —
+        # the plan reads the current files, which stay intact until
+        # the rename, so the full-table rewrite needs no checkpoint.
+        self.write(merged, name, partition_by=partition_by)
+
+    def _merge_upsert_pruned(
+        self, df: DataFrame, name: str, keys: list[str],
+        partition_by: list[str],
+    ) -> None:
+        """Partition-pruned parquet upsert (``partition_by ⊆ keys``):
+        anti-join only within the touched partitions, rewrite only
+        their leaf dirs, atomically swap each one."""
+        from pyspark.sql import functions as F
+
+        final = self._path(name)
+        existing = self.read(name)
+        # literal predicate from the touched-partition list (one row
+        # per touched partition tuple — driver-small) → STATIC
+        # partition pruning on the existing-table scan, visible as
+        # PartitionFilters in the plan (a semi-join would only prune
+        # at runtime via DPP)
+        touched_rows = df.select(*partition_by).distinct().collect()
+        pcond = None
+        for r in touched_rows:
+            this = None
+            for c in partition_by:
+                eq = existing[c].eqNullSafe(F.lit(r[c]))
+                this = eq if this is None else this & eq
+            pcond = this if pcond is None else pcond | this
+        in_touched = existing.filter(pcond)
+        incoming = df.select(*keys).distinct()
+        kcond = None
+        for k in keys:
+            eq = in_touched[k].eqNullSafe(incoming[k])
+            kcond = eq if kcond is None else kcond & eq
+        kept = in_touched.join(incoming, on=kcond, how="left_anti")
+        merged = kept.unionByName(df, allowMissingColumns=True)
+
+        staging = final + ".stage-" + uuid.uuid4().hex[:8]
+        merged.write.mode("overwrite").partitionBy(*partition_by).parquet(staging)
+        # swap each staged leaf partition dir into the table root
+        depth = len(partition_by)
+        for dirpath, dirs, _files in os.walk(staging):
+            rel = os.path.relpath(dirpath, staging)
+            segs = [] if rel == "." else rel.split(os.sep)
+            if len(segs) == depth and all("=" in s for s in segs):
+                dest = os.path.join(final, *segs)
+                if os.path.isdir(dest):
+                    shutil.rmtree(dest)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.rename(dirpath, dest)
+                dirs[:] = []  # don't descend into the moved dir
+        shutil.rmtree(staging)
 
     # -- table maintenance -------------------------------------------------
     def file_stats(self, name: str) -> dict:
@@ -185,6 +270,9 @@ class TableStore:
         if before["n_files"] == 0:
             return {"files_before": 0, "files_after": 0, "total_bytes": 0}
         df = self.read(name)
+        if partition_by is None:
+            # never silently flatten a hive-partitioned table
+            partition_by = self._detect_partition_cols(name) or None
 
         if not partition_by:
             n_out = max(1, -(-before["total_bytes"] // target_file_bytes))
@@ -193,7 +281,9 @@ class TableStore:
                     .sortWithinPartitions(*sort_cols)
             else:
                 out = df.repartition(n_out)
-            self.write(out.localCheckpoint(eager=True), name)
+            # write() stages to a tmp sibling and swaps post-job; the
+            # plan reads the current files, so no checkpoint needed
+            self.write(out, name)
         else:
             # Per-partition targets from the hive dir layout (col=val/...).
             root = self._path(name)
@@ -259,7 +349,7 @@ class TableStore:
             )
             if sort_cols:
                 out = out.sortWithinPartitions(*sort_cols)
-            self.write(out.localCheckpoint(eager=True), name, partition_by=partition_by)
+            self.write(out, name, partition_by=partition_by)
         after = self.file_stats(name)
         return {
             "files_before": before["n_files"],

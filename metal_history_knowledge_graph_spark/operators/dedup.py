@@ -87,7 +87,16 @@ def ngram_jaccard_pairs(
     denominator from the unfiltered sets while intersecting only rare
     shingles — an earlier formulation — systematically underestimated
     similarity on boilerplate-heavy corpora and could miss exact
-    duplicates.)"""
+    duplicates.)
+
+    Documents whose EVERY shingle exceeds ``max_doc_freq`` (pure
+    boilerplate replicated > max_doc_freq times) drop out of the
+    postings entirely — the inverted index cannot pair them. Exact
+    duplicates among those are recovered by a fingerprint fallback:
+    the all-filtered docs (a left-anti against the postings — tiny by
+    construction, each one is a ≥ max_doc_freq-replicated text) are
+    paired on the normalized-text fingerprint with jaccard = 1.0, so
+    the identical-docs-score-1.0 guarantee holds unconditionally."""
     docs = df.select(
         F.col(id_col).alias("doc"), _word_shingles(text_col, n).alias("shingles")
     )
@@ -117,7 +126,7 @@ def ngram_jaccard_pairs(
         .join(sizes.withColumnRenamed("doc", "doc_b")
               .withColumnRenamed("set_size", "size_b"), "doc_b")
     )
-    return (
+    scored = (
         co.withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 4),
@@ -125,6 +134,25 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # Fingerprint fallback: docs with NO rare shingles left (every
+    # shingle was capped) can't appear in the inverted index; pair the
+    # byte-identical (normalized) ones among them directly. The
+    # anti-join input is vocabulary-sized at worst, and all-filtered
+    # docs are rare by definition (each requires > max_doc_freq
+    # replications of every one of its shingles).
+    fps = with_fingerprint(df.select(F.col(id_col).alias("doc"),
+                                     F.col(text_col)), text_col)
+    dropped = fps.join(sizes, "doc", "left_anti").select("doc", "fingerprint")
+    fallback = (
+        dropped.alias("a")
+        .join(dropped.alias("b"), "fingerprint")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return scored.unionByName(fallback)
 
 
 def minhash_lsh_pairs(

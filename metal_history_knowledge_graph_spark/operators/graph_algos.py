@@ -37,11 +37,15 @@ def graph_components(
     diameter); non-convergence RAISES rather than silently returning a
     real component split into several ids."""
     und = _undirected_pairs(edges)
-    # one action: limit+1 collect both decides the path and (driver
-    # case) yields the complete edge list without re-running lineage
-    probe = und.limit(driver_edge_limit + 1).collect()
-    if len(probe) <= driver_edge_limit:
-        rows = probe
+    # limit+1 COUNT decides the path — _undirected_pairs is a cheap
+    # projection here, so re-running it for the driver-case collect
+    # costs less than collecting (and discarding) up to limit+1 rows
+    # of a distributed-path graph into the driver heap. (The
+    # collect-probe variant lives in canonicalize.connected_components,
+    # where the edge lineage is LSH+UDF work worth not recomputing.)
+    n_pairs = und.limit(driver_edge_limit + 1).count()
+    if n_pairs <= driver_edge_limit:
+        rows = und.collect()
         parent: dict = {}
 
         def find(x):
@@ -204,9 +208,11 @@ def betweenness_sampled(
     plans/queries.shortest_path_length pattern, batched over all
     sampled sources at once) — no unguarded ``collect``."""
     und = _undirected_pairs(edges)
-    rows = und.limit(driver_edge_limit + 1).collect()
-    if len(rows) > driver_edge_limit:
+    # count-probe (see graph_components): never collect rows we might
+    # immediately discard on the go-distributed branch
+    if und.limit(driver_edge_limit + 1).count() > driver_edge_limit:
         return _betweenness_distributed(und, n_sources, max_hops)
+    rows = und.collect()
     adj: dict[int, list[int]] = {}
     for r in rows:
         adj.setdefault(r.a, []).append(r.b)

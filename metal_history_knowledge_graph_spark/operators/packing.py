@@ -57,7 +57,20 @@ def pack_sequences(
         raise ValueError(f"capacity must be >= 1, got {capacity}")
     if n_shards <= 0:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    toks = F.greatest(F.col(tokens_col), F.lit(1)).cast("long")
+    # clamp zeros to 1 (documented), but FAIL FAST on negative counts —
+    # they signal corrupt input, and silently clamping them would skew
+    # the offsets of every later document in the shard
+    toks = (
+        F.when(
+            F.col(tokens_col) < 0,
+            F.raise_error(F.concat(
+                F.lit(f"pack_sequences: negative {tokens_col} for {key_col}="),
+                F.col(key_col).cast("string"),
+            )),
+        )
+        .otherwise(F.greatest(F.col(tokens_col), F.lit(1)))
+        .cast("long")
+    )
     # shard assignment is sampling.assign_shards — the ONE shard
     # formula every resumable export shares
     out = assign_shards(df, key_col, n_shards, seed).withColumn("_toks", toks)

@@ -28,11 +28,19 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int = 32, col_name: str = "_salt") -> DataFrame:
-    """Deterministic salt derived from the row's own content is NOT
-    wanted here — a uniform pseudo-random spread is. ``spark_partition_id``
-    is free, already uniform over input, and deterministic for a fixed
-    partitioning; mod it into the salt domain."""
-    return df.withColumn(col_name, F.pmod(F.spark_partition_id(), F.lit(n_salts)))
+    """Uniform per-row salt, deterministic for a fixed input
+    partitioning. Derived from ``xxhash64(monotonically_increasing_id)``
+    — NOT from ``spark_partition_id`` alone: if the input arrives
+    already hash-partitioned by the very keys being salted (e.g.
+    straight out of an upstream groupBy on them), every row of a hot
+    key shares one partition, a partition-id salt collapses to a
+    single value, and the skew treatment silently does nothing. The
+    row-sequence hash spreads a hot key across all ``n_salts`` values
+    regardless of how the input is partitioned."""
+    return df.withColumn(
+        col_name,
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)),
+    )
 
 
 def salted_agg(

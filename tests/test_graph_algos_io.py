@@ -307,3 +307,65 @@ def test_compact_sizes_escaped_and_null_partitions(spark, store):
     assert rows.count() == 100
     assert rows.filter("p IS NULL").count() == 50
     assert rows.filter("p = 'new wave'").count() == 50
+
+
+def test_merge_upsert_pruned_rewrites_only_touched_partition(spark, store):
+    """partition_by ⊆ keys → the pruned path must leave untouched
+    partitions' files byte-identical on disk (same paths, same
+    mtime/inode), not rewrite the whole table."""
+    import os
+
+    df = spark.createDataFrame(
+        [("x", 1, 10), ("x", 2, 20), ("y", 1, 30), ("y", 2, 40)],
+        "p string, k long, v long",
+    )
+    store.write(df, "pruned_t", partition_by=["p"])
+    ydir = os.path.join(store._path("pruned_t"), "p=y")
+    before = {
+        f: (os.stat(os.path.join(ydir, f)).st_ino,
+            os.stat(os.path.join(ydir, f)).st_mtime_ns)
+        for f in os.listdir(ydir) if f.endswith(".parquet")
+    }
+    store.merge_upsert(
+        spark.createDataFrame([("x", 2, 99), ("x", 3, 77)], "p string, k long, v long"),
+        "pruned_t", keys=["p", "k"], partition_by=["p"],
+    )
+    after = {
+        f: (os.stat(os.path.join(ydir, f)).st_ino,
+            os.stat(os.path.join(ydir, f)).st_mtime_ns)
+        for f in os.listdir(ydir) if f.endswith(".parquet")
+    }
+    assert after == before, "untouched partition p=y was rewritten"
+    rows = {(r.p, r.k): r.v for r in store.read("pruned_t").collect()}
+    assert rows == {("x", 1): 10, ("x", 2): 99, ("x", 3): 77,
+                    ("y", 1): 30, ("y", 2): 40}
+
+
+def test_merge_upsert_infers_partition_layout(spark, store):
+    """Omitting partition_by on a hive-partitioned table must infer the
+    layout from the col=val dirs instead of silently flattening it."""
+    import os
+
+    df = spark.createDataFrame([(1, "x", 1), (2, "y", 2)], "k long, p string, v long")
+    store.write(df, "infer_t", partition_by=["p"])
+    store.merge_upsert(
+        spark.createDataFrame([(1, "x", 9)], "k long, p string, v long"),
+        "infer_t", keys=["k"],  # no partition_by on purpose
+    )
+    root = store._path("infer_t")
+    assert any(d.startswith("p=") for d in os.listdir(root)), "layout flattened"
+    rows = {r.k: (r.p, r.v) for r in store.read("infer_t").collect()}
+    assert rows == {1: ("x", 9), 2: ("y", 2)}
+
+
+def test_compact_infers_partition_layout(spark, store):
+    import os
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(40)], "k long, p string"
+    ).repartition(4)
+    store.write(df, "cinfer_t", partition_by=["p"])
+    store.compact("cinfer_t", target_file_bytes=10**9)  # no partition_by
+    root = store._path("cinfer_t")
+    assert any(d.startswith("p=") for d in os.listdir(root)), "layout flattened"
+    assert store.read("cinfer_t").count() == 40

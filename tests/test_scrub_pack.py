@@ -190,3 +190,19 @@ def test_contamination_single_scan_no_join_back(spark):
     assert "SortMergeJoin" not in plan
     rows = {r["doc_id"]: r for r in out.collect()}
     assert rows[2] and rows[2]["n_grams"] == 0 and not rows[2]["contaminated"]
+
+
+def test_pack_sequences_negative_tokens_fail_fast(spark):
+    """Negative token counts signal corrupt input: raise (per-row
+    raise_error in the clamp expression), never silently clamp — a
+    masked negative would skew every later document's offset."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 4), (2, -3)], "doc_id long, n_tokens long")
+    packed = pack_sequences(df, "doc_id", "n_tokens", capacity=8, n_shards=1)
+    with pytest.raises(Exception, match="negative n_tokens"):
+        packed.collect()
+    # zero still clamps to 1 (documented behaviour unchanged)
+    ok = spark.createDataFrame([(1, 0)], "doc_id long, n_tokens long")
+    row = pack_sequences(ok, "doc_id", "n_tokens", capacity=8, n_shards=1).collect()[0]
+    assert row.n_seqs == 1

@@ -121,3 +121,22 @@ def test_salted_join_left_keeps_unmatched(spark):
         .select("k", "v", "label")
     assert salted.count() == plain.count() == 1000
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_with_salt_spreads_hot_key_even_when_prepartitioned_by_key(spark):
+    """A hot key arriving already hash-partitioned BY THE KEY (one
+    partition holds all its rows) must still receive many distinct
+    salt values — a spark_partition_id-derived salt would collapse to
+    one and silently disable the skew treatment."""
+    from pyspark.sql import functions as F
+
+    from metal_history_knowledge_graph_spark.operators.skew import with_salt
+
+    hot = spark.range(0, 5000).select(F.lit("HOT").alias("k"), F.col("id").alias("v"))
+    prepart = hot.repartition(16, "k")  # all rows of k=HOT in ONE partition
+    n = (
+        with_salt(prepart, n_salts=8)
+        .groupBy("k").agg(F.countDistinct("_salt").alias("n"))
+        .collect()[0].n
+    )
+    assert n == 8

@@ -312,3 +312,24 @@ def test_index_builds_fail_clearly_on_empty_or_null(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         S.lsh_build(empty)
+
+
+def test_ngram_jaccard_fingerprint_fallback_pairs_all_filtered_dups(spark):
+    """Docs whose EVERY shingle exceeds max_doc_freq drop out of the
+    inverted index; exact duplicates among them must still pair (at
+    jaccard 1.0) via the fingerprint fallback."""
+    boiler = "the same boilerplate text repeated on every page here"
+    rows = [(i, boiler) for i in range(5)]  # 5 identical docs
+    rows += [(10, "a unique document about spark engines"),
+             (11, "a unique document about spark engines")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (p.doc_a, p.doc_b): p.jaccard
+        for p in D.ngram_jaccard_pairs(docs, threshold=0.8, max_doc_freq=2).collect()
+    }
+    # all C(5,2)=10 boilerplate pairs recovered by the fallback at 1.0
+    for a in range(5):
+        for b in range(a + 1, 5):
+            assert pairs.get((a, b)) == 1.0
+    # the unfiltered exact pair still comes from the inverted index
+    assert pairs.get((10, 11)) == 1.0

@@ -38,13 +38,18 @@ DEFAULT_THRESHOLDS = {
     "search_latency_max_ms": 100.0,
     "db_growth_min_percent": 0.01,
     "error_rate_max_percent": 5.0,
+    # retrieval quality gate (mean reciprocal rank @10 over the
+    # labeled query set; benchmark_search.py's quality metrics)
+    "search_mrr_min": 0.3,
 }
 
 HISTORY_TABLE = "monitor_history"
 HISTORY_SCHEMA = (
     "ts string, n_entities long, n_edges long, f1 double, "
     "search_latency_mean_ms double, search_latency_max_ms double, "
-    "growth_percent double"
+    "growth_percent double, "
+    "search_mean_precision double, search_mean_recall double, "
+    "search_mrr double"
 )
 
 
@@ -102,6 +107,34 @@ def monitor_search_latency(
     return metrics, alerts
 
 
+def monitor_search_quality(
+    spark, entities: DataFrame, entity_vectors: DataFrame,
+    relevance: dict[str, list[str]],
+    k: int = 10,
+    thresholds: dict = DEFAULT_THRESHOLDS,
+) -> tuple[dict, list[str]]:
+    """Mean precision/recall/MRR@k over a labeled query set
+    (benchmark_search.py:97-148), alert when MRR drops below the
+    threshold. One broadcast batch_topk pass + one aggregation —
+    no per-query loop, so the labeled set can be large."""
+    from .search_quality import search_quality_benchmark
+
+    row = search_quality_benchmark(
+        spark, entities, entity_vectors, relevance, k=k
+    ).collect()[0]
+    metrics = {
+        "search_mean_precision": row.mean_precision,
+        "search_mean_recall": row.mean_recall,
+        "search_mrr": row.mrr,
+        "queries_evaluated": row.n_queries,
+    }
+    alerts = []
+    min_mrr = thresholds.get("search_mrr_min", 0.0)
+    if row.mrr is not None and row.mrr < min_mrr:
+        alerts.append(f"search MRR low: {row.mrr:.3f} < {min_mrr}")
+    return metrics, alerts
+
+
 def monitor_graph_growth(
     store: TableStore, thresholds: dict = DEFAULT_THRESHOLDS,
     entities: DataFrame | None = None, edges: DataFrame | None = None,
@@ -139,25 +172,34 @@ def monitor_graph_growth(
 def run_all_monitors(
     spark, store: TableStore, truth: DataFrame | None = None,
     thresholds: dict = DEFAULT_THRESHOLDS,
+    relevance: dict[str, list[str]] | None = None,
 ) -> tuple[DataFrame, list[str]]:
     """All monitors; appends one metrics row to ``monitor_history`` and
     returns (metrics_df, alerts) — the reference's run_all_monitors +
-    metrics_history persistence (quality_monitor.py:359-430)."""
+    metrics_history persistence (quality_monitor.py:359-430). Pass a
+    labeled ``relevance`` set (query text → expected entity names) to
+    include the retrieval-quality metrics (P/R/MRR@10) in the row."""
     from .embeddings import embed_entities
 
     alerts: list[str] = []
     entities = store.read("entities")
     edges = store.read("edges")
+    vectors = embed_entities(entities)
 
     f1 = None
     if truth is not None:
         prf, a = monitor_extraction_quality(edges, truth, entities, thresholds)
         f1 = prf["f1"]
         alerts += a
-    lat, a = monitor_search_latency(
-        spark, entities, embed_entities(entities), thresholds=thresholds
-    )
+    lat, a = monitor_search_latency(spark, entities, vectors, thresholds=thresholds)
     alerts += a
+    quality = {"search_mean_precision": None, "search_mean_recall": None,
+               "search_mrr": None}
+    if relevance:
+        quality, a = monitor_search_quality(
+            spark, entities, vectors, relevance, thresholds=thresholds
+        )
+        alerts += a
     growth, a = monitor_graph_growth(store, thresholds, entities=entities, edges=edges)
     alerts += a
 
@@ -167,6 +209,8 @@ def run_all_monitors(
             growth["n_entities"], growth["n_edges"], f1,
             lat["search_latency_mean_ms"], lat["search_latency_max_ms"],
             growth["growth_percent"],
+            quality["search_mean_precision"], quality["search_mean_recall"],
+            quality["search_mrr"],
         )],
         HISTORY_SCHEMA,
     )

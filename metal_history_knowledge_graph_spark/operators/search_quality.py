@@ -1,0 +1,127 @@
+"""Retrieval-quality benchmark: mean precision@k / recall@k / MRR@k
+over a labeled query set.
+
+Re-expresses the reference's search-quality benchmark
+(``scripts/search/benchmark_search.py:97-148`` — ``benchmark_quality``:
+per-query precision = relevant-found / returned, recall =
+relevant-found / expected, reciprocal rank of the FIRST relevant hit,
+then plain means) Spark-first:
+
+* rankings for ALL queries come from ONE ``batch_topk`` pass
+  (broadcast query set, window rank) instead of the reference's
+  per-query search loop;
+* the three metrics are one aggregation over the (ranking ⟕ labels)
+  join plus one vocabulary-sized mean — no driver iteration, so the
+  labeled set can itself be large.
+
+``q_search_quality`` in ``__spark_entry__`` replays the identical
+arithmetic in DuckDB end-to-end (clone-injected labels over the
+embeddings table), and ``monitor_search_quality`` appends the metrics
+to the ``monitor_history`` table next to the latency probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ranking_quality(
+    ranking: DataFrame,
+    labels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query retrieval metrics from a ranking table.
+
+    ``ranking``: (query_col, id_col, rank_col) with 1-based ranks —
+    e.g. ``simsearch.batch_topk`` output. ``labels``: (query_col,
+    id_col) relevant pairs, the ground truth. Returns one row per
+    LABELED query: ``n_returned``, ``n_relevant``, ``n_hits``,
+    ``precision`` (hits / returned, 0 when the engine returned
+    nothing), ``recall`` (hits / relevant), ``rr`` (1/rank of the
+    first relevant hit in the top-k, else 0.0 — the reference's
+    for/else loop, benchmark_search.py:131-139)."""
+    topk = ranking.filter(F.col(rank_col) <= k).select(
+        query_col, id_col, rank_col
+    )
+    lab = labels.select(query_col, id_col).distinct()
+    n_rel = lab.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_relevant"))
+    hits = topk.join(lab.withColumn("_hit", F.lit(1)), [query_col, id_col], "left")
+    per_q = hits.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_returned"),
+        F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits"),
+        F.min(F.when(F.col("_hit") == 1, F.col(rank_col))).alias("_first_rank"),
+    )
+    # labeled queries the engine returned nothing for still score 0
+    return (
+        n_rel.join(per_q, query_col, "left")
+        .select(
+            query_col,
+            F.coalesce("n_returned", F.lit(0)).cast("long").alias("n_returned"),
+            F.col("n_relevant").cast("long").alias("n_relevant"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.when(
+                F.coalesce("n_returned", F.lit(0)) > 0,
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_returned"),
+            ).otherwise(F.lit(0.0)).alias("precision"),
+            (F.coalesce("n_hits", F.lit(0)) / F.col("n_relevant")).alias("recall"),
+            F.coalesce(1.0 / F.col("_first_rank"), F.lit(0.0)).alias("rr"),
+        )
+    )
+
+
+def mean_ranking_quality(
+    ranking: DataFrame,
+    labels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc",
+    rank_col: str = "rank",
+    round_digits: int = 4,
+) -> DataFrame:
+    """One-row summary: ``mean_precision``, ``mean_recall``, ``mrr``,
+    ``n_queries`` — the reference's ``quality_metrics`` dict
+    (benchmark_search.py:141-146) as a DataFrame."""
+    per_q = ranking_quality(ranking, labels, k, query_col, id_col, rank_col)
+    return per_q.agg(
+        F.round(F.avg("precision"), round_digits).alias("mean_precision"),
+        F.round(F.avg("recall"), round_digits).alias("mean_recall"),
+        F.round(F.avg("rr"), round_digits).alias("mrr"),
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+    )
+
+
+def search_quality_benchmark(
+    spark,
+    entities: DataFrame,
+    entity_vectors: DataFrame,
+    relevance: dict[str, list[str]],
+    k: int = 10,
+) -> DataFrame:
+    """End-to-end quality benchmark against the entity store: embed the
+    labeled query texts (same hashing-trick expression as the search
+    path), rank with one broadcast ``batch_topk`` pass, match on
+    canonical names (the reference compares result names to the
+    expected-entity lists). Returns the one-row mean metrics."""
+    from .embeddings import embed_texts_df
+    from .simsearch import batch_topk
+
+    texts = list(relevance.keys())
+    queries = embed_texts_df(spark, texts).select(
+        F.col("qid").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ranking = batch_topk(
+        entity_vectors, queries, k=k, id_col="canonical_id"
+    ).join(
+        entities.select("canonical_id", "canonical_name"), "canonical_id"
+    ).select("query_id", "canonical_name", "rank")
+    labels = spark.createDataFrame(
+        [(i, name) for i, t in enumerate(texts) for name in relevance[t]],
+        "query_id int, canonical_name string",
+    )
+    return mean_ranking_quality(
+        ranking, labels, k=k, id_col="canonical_name"
+    )

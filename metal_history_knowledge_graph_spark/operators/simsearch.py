@@ -374,30 +374,104 @@ def batch_topk(
     )
 
 
+def lsh_tables_for_recall(
+    threshold: float, n_planes: int, target_recall: float = 0.95
+) -> int:
+    """Number of OR-amplified sign-hyperplane tables needed so a pair
+    at exactly ``cosine == threshold`` collides in ≥ 1 table with
+    probability ≥ ``target_recall``.
+
+    Per-plane agreement for a pair at angle θ is p = 1 − θ/π
+    (Charikar, STOC'02 — SimHash rounding); a full n_planes bucket
+    matches with p^n, and with T independent tables
+    recall = 1 − (1 − p^n)^T  ⇒  T = ⌈log(1−target) / log(1−p^n)⌉.
+    Pairs ABOVE the threshold collide with strictly higher
+    probability, so this T is a lower bound on their recall too."""
+    theta = math.acos(max(-1.0, min(1.0, threshold)))
+    p_bucket = (1.0 - theta / math.pi) ** n_planes
+    if p_bucket >= 1.0:
+        return 1
+    if p_bucket <= 0.0:
+        raise ValueError(f"bucket match probability is 0 at {n_planes=}")
+    return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_bucket)))
+
+
+def neardup_num_planes(n_docs: int, target_bucket_rows: int = 256) -> int:
+    """Bucket width that keeps EXPECTED sign-bucket occupancy at
+    ``target_bucket_rows``: 2^n_planes ≈ n_docs / target. 10⁹ docs →
+    22 planes (4M buckets); the within-bucket self-join is then
+    O(target²) per bucket instead of growing with corpus size."""
+    return max(4, math.ceil(math.log2(max(2.0, n_docs / target_bucket_rows))))
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 10,
+    n_planes: int | None = None,
+    num_tables: int | None = None,
+    target_recall: float = 0.95,
+    target_bucket_rows: int = 256,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs: bucket by hyperplane signs,
-    pair within buckets only, verify exact cosine ≥ threshold."""
+    """Embedding-cosine near-dup pairs at scale: multi-table
+    OR-amplified hyperplane banding with exact-cosine verification —
+    the ``minhash_lsh_pairs`` shape over sign buckets.
+
+    Two parameters control the scale/recall trade and both default to
+    principled values instead of fixed constants:
+
+    * ``n_planes`` — bucket width. Defaults to sizing the bucket count
+      2^n_planes so the EXPECTED bucket occupancy is
+      ``target_bucket_rows`` (one ``count()`` on the input): at 10⁹
+      docs that is ~22 planes / 4M buckets, keeping the within-bucket
+      self-join O(target²) per bucket rather than O((n/1024)²) as the
+      old fixed-1024-bucket single table did.
+    * ``num_tables`` — OR amplification. Defaults to
+      :func:`lsh_tables_for_recall` so a pair AT the threshold is
+      caught with ≥ ``target_recall`` probability (the old single
+      table caught a 0.95-cosine pair with only ~0.35 probability).
+
+    Every candidate pair is verified with the exact cosine, so
+    precision is 1.0 by construction; the banding only bounds recall.
+    Shuffle shape: (table, bucket) keys only — never a cross product.
+    """
     dim = _infer_dim(df, vec_col)
-    planes = _hyperplanes(dim, n_planes, 0)
-    normed = with_l2_normalized(df, vec_col).withColumn(
-        "bucket", _sign_bucket("unit_vec", planes)
-    ).select(F.col(id_col).alias("doc"), "bucket", "unit_vec")
-    pairs = (
-        normed.alias("a")
-        .join(normed.alias("b"), "bucket")
+    if n_planes is None:
+        n_planes = neardup_num_planes(df.count(), target_bucket_rows)
+    if num_tables is None:
+        num_tables = lsh_tables_for_recall(threshold, n_planes, target_recall)
+    normed = with_l2_normalized(df, vec_col).select(
+        F.col(id_col).alias("doc"), "unit_vec"
+    )
+    parts = []
+    for t in range(num_tables):
+        planes = _hyperplanes(dim, n_planes, t)
+        parts.append(
+            normed.select(
+                F.lit(t).alias("table"),
+                _sign_bucket("unit_vec", planes).alias("bucket"),
+                "doc", "unit_vec",
+            )
+        )
+    index = parts[0]
+    for p in parts[1:]:
+        index = index.unionByName(p)
+    # verify BEFORE the pair-dedup: the exact cosine is a narrow
+    # codegen expression (recomputed at worst num_tables× per true
+    # pair), while deduping first would shuffle both unit vectors per
+    # candidate — survivors are three scalar columns instead
+    return (
+        index.alias("a")
+        .join(index.alias("b"), ["table", "bucket"])
         .filter(F.col("a.doc") < F.col("b.doc"))
-        .withColumn("cosine", F.round(_dot(F.col("a.unit_vec"), F.col("b.unit_vec")), 6))
+        .withColumn(
+            "cosine", F.round(_dot(F.col("a.unit_vec"), F.col("b.unit_vec")), 6)
+        )
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"), "cosine")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return pairs
 
 
 def cosine_near_duplicates_exact(

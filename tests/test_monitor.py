@@ -66,3 +66,66 @@ def test_run_all_monitors_appends_history(spark, built):
     _, alerts2 = M.run_all_monitors(spark, built, truth, loose)
     assert built.read(M.HISTORY_TABLE).count() == n1 + 1
     assert any("growth stalled" in a for a in alerts2)
+
+
+def test_ranking_quality_hand_computed(spark):
+    """Pin the metric arithmetic (reference benchmark_search.py:97-148)
+    on a hand-computed fixture: hits/returned, hits/relevant, 1/rank of
+    first hit; labeled queries with no results (or no hits) score 0."""
+    from metal_history_knowledge_graph_spark.operators.search_quality import (
+        mean_ranking_quality,
+        ranking_quality,
+    )
+
+    ranking = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3),
+         (2, "d", 1), (2, "e", 2)],
+        "query_id int, doc string, rank int",
+    )
+    labels = spark.createDataFrame(
+        [(1, "b"), (1, "z"), (2, "x"), (3, "y")],
+        "query_id int, doc string",
+    )
+    per_q = {r.query_id: r for r in ranking_quality(ranking, labels).collect()}
+    assert per_q[1].n_hits == 1 and abs(per_q[1].precision - 1 / 3) < 1e-9
+    assert abs(per_q[1].recall - 0.5) < 1e-9 and abs(per_q[1].rr - 0.5) < 1e-9
+    assert per_q[2].n_hits == 0 and per_q[2].precision == 0.0 and per_q[2].rr == 0.0
+    assert per_q[3].n_returned == 0 and per_q[3].precision == 0.0
+    mean = mean_ranking_quality(ranking, labels).collect()[0]
+    assert abs(mean.mean_precision - round(1 / 9, 4)) < 1e-9
+    assert abs(mean.mean_recall - round(0.5 / 3, 4)) < 1e-9
+    assert abs(mean.mrr - round(0.5 / 3, 4)) < 1e-9
+    assert mean.n_queries == 3
+
+
+def test_search_quality_monitor_and_history(spark, built):
+    from metal_history_knowledge_graph_spark.operators.embeddings import (
+        embed_entities,
+    )
+
+    entities = built.read("entities")
+    relevance = {
+        "Black Sabbath": ["Black Sabbath"],
+        "Judas Priest": ["Judas Priest"],
+    }
+    metrics, alerts = M.monitor_search_quality(
+        spark, entities, embed_entities(entities), relevance,
+        thresholds={**M.DEFAULT_THRESHOLDS, "search_mrr_min": 0.0},
+    )
+    assert metrics["queries_evaluated"] == 2
+    # the query text IS the entity name -> the hashing-trick embedding
+    # must retrieve it within the top 10
+    assert metrics["search_mrr"] > 0.0
+    # impossible bar -> alert fires
+    _, alerts = M.monitor_search_quality(
+        spark, entities, embed_entities(entities), relevance,
+        thresholds={**M.DEFAULT_THRESHOLDS, "search_mrr_min": 1.1},
+    )
+    assert alerts and "MRR low" in alerts[0]
+    # wired into the history row next to latency
+    loose = {**M.DEFAULT_THRESHOLDS, "search_latency_max_ms": 1e9,
+             "search_mrr_min": 0.0}
+    row, _ = M.run_all_monitors(spark, built, relevance=relevance,
+                                thresholds=loose)
+    got = row.collect()[0]
+    assert got.search_mrr is not None and got.search_mean_recall is not None

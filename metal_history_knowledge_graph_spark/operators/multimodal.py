@@ -46,12 +46,23 @@ def decode_image_stub(content: bytes, dim: int = 16) -> list[float]:
     ]
 
 
-def extract_media_features(media: DataFrame, dim: int = 16) -> DataFrame:
+def extract_media_features(
+    media: DataFrame, dim: int = 16, decoder=None, decoder_name: str | None = None,
+) -> DataFrame:
     """binary → feature vectors, one Arrow batch at a time. Narrow (no
     shuffle); batch size is bounded by
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` so executor memory
-    holds ≤ batch_size × max_media_bytes at once."""
+    holds ≤ batch_size × max_media_bytes at once.
+
+    ``decoder`` is THE swap point: any ``(bytes, dim) -> list[float]``
+    callable (e.g. a real PIL/torchvision decode+embed) replaces the
+    stub without touching the distributed plan, schema, or batch shape
+    — pinned by test_trainingdata_ops's injected-decoder test. It is
+    serialized into the task closure, so it must be picklable."""
     import pandas as pd
+
+    decode = decoder or decode_image_stub
+    dname = decoder_name or ("stub-sha256" if decoder is None else "injected")
 
     def run(batches):
         for pdf in batches:
@@ -59,8 +70,8 @@ def extract_media_features(media: DataFrame, dim: int = 16) -> DataFrame:
             for rec in pdf.itertuples(index=False):
                 content = bytes(rec.content) if rec.content is not None else b""
                 try:
-                    feats = decode_image_stub(content, dim)
-                    decoder = "stub-sha256"
+                    feats = decode(content, dim)
+                    decoder = dname
                 except ValueError:
                     feats, decoder = None, "failed"
                 rows.append(dict(

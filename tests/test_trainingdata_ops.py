@@ -387,3 +387,36 @@ def test_embedding_neardup_recall_on_threshold_adjacent_pairs(spark):
     assert len(exact) >= 20, "fixture must produce threshold-adjacent pairs"
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.95, f"recall {recall:.3f} < 0.95 ({len(approx)}/{len(exact)})"
+
+
+def test_media_decoder_swap_point(spark, media):
+    """Injecting a real decoder via the `decoder` parameter must leave
+    the distributed plan (narrow mapInPandas, no Exchange) and the
+    output schema byte-identical to the stub run — the 'swap one
+    function' claim, pinned."""
+
+    def fake_decode(content: bytes, dim: int = 16) -> list:
+        if not content:
+            raise ValueError("empty media payload")
+        return [float(len(content) % 7)] * dim
+
+    stub = M.extract_media_features(media)
+    injected = M.extract_media_features(media, decoder=fake_decode,
+                                        decoder_name="fake-v1")
+    assert injected.schema == stub.schema
+    plan_s = stub._jdf.queryExecution().executedPlan().toString()
+    plan_i = injected._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_i
+    # identical operator tree shape (only the pickled lambda differs)
+    import re
+    strip = lambda p: re.sub(r"#\d+", "#", p)
+    assert strip(plan_i) == strip(plan_s)
+    rows = {r.media_id: r for r in injected.collect()}
+    # media_id 4 is the empty payload: both decoders raise -> 'failed'
+    assert rows[4].decoder == "failed" and rows[4].features is None
+    assert all(r.decoder == "fake-v1" for r in rows.values() if r.media_id != 4)
+    assert rows[1].features == [float(len(bytes(b"\x89PNG fake bytes" * 10)) % 7)] * 16
+    # metadata path (n_bytes, sha256) unchanged by the swap
+    stub_meta = {(r.media_id, r.n_bytes, r.sha256) for r in stub.collect()}
+    inj_meta = {(r.media_id, r.n_bytes, r.sha256) for r in injected.collect()}
+    assert stub_meta == inj_meta

@@ -477,6 +477,7 @@ def q_profile(spark, sf_dir):
 
 
 _LSH_PLANES_PATH = "/tmp/kg_lsh_planes.parquet"
+_LSH_TOPK_PLANES_PATH = "/tmp/kg_lsh_topk_planes.parquet"
 _NEARDUP_PLANES_PATH = "/tmp/kg_neardup_planes.parquet"
 _IVF_CENTROIDS_PATH = "/tmp/kg_ivf_centroids.parquet"
 _IVF_ASSIGN_PATH = "/tmp/kg_ivf_assign.parquet"
@@ -1636,27 +1637,66 @@ def td_simhash_pairs(spark, sf_dir):
 def td_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH approximate nearest neighbours over a PERSISTED
     (table, bucket)-partitioned index — each probe is a
-    partition-pruned point read, not a full scan (rows-only; the exact
-    baseline q_cosine_topk is oracle-checked; indexed == ad-hoc results
-    pinned by tests/test_trainingdata_ops.py)."""
+    partition-pruned point read, not a full scan. DECISION-ORACLED
+    (r3, was rows-only): the hyperplane bank is exported, and DuckDB
+    replays the index's bucket assignment, the per-table query-bucket
+    computation (bit-exact left-folds, the q_lsh_buckets/td_ivf_topk
+    pattern), the 6-probe candidate union, and the exact-cosine
+    re-rank. Indexed == ad-hoc results remain pinned by
+    tests/test_trainingdata_ops.py."""
     import shutil
 
     from metal_history_knowledge_graph_spark.operators.simsearch import (
+        _dot,
+        hyperplanes_rows,
         lsh_build,
-        lsh_topk_indexed,
+        with_l2_normalized,
     )
 
-    embs = _t(spark, sf_dir, "embeddings")
+    embs = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
     row = embs.filter(F.col("vec_id") == 0).head()
-    idx_path = f"/tmp/kg_lsh_index_{os.path.basename(os.path.abspath(sf_dir))}"
+    q = [float(v) for v in row.embedding]
+    dim = len(q)
+    spark.createDataFrame(
+        hyperplanes_rows(dim, n_planes=8, num_tables=6),
+        "tbl int, plane_idx int, components array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(_LSH_TOPK_PLANES_PATH)
+    # double-cast index (the r2 cache held raw-float buckets — keyed
+    # separately so the oracle replays the exact doubles on disk)
+    idx_path = f"/tmp/kg_lsh_index_d_{os.path.basename(os.path.abspath(sf_dir))}"
     if not os.path.isdir(idx_path):
         tmp = idx_path + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         lsh_build(embs, num_tables=6).write.partitionBy("table", "bucket").parquet(tmp)
         os.rename(tmp, idx_path)
     index = spark.read.parquet(idx_path)
-    return lsh_topk_indexed(
-        index, [float(v) for v in row.embedding], k=10, num_probes=6
+    # lsh_topk_indexed's probe decision, with 4dp rounding BEFORE the
+    # ordering (oracle-stable tie-break, the q_cosine_topk convention)
+    import math
+
+    qn = math.sqrt(sum(v * v for v in q)) or 1.0
+    qunit = [v / qn for v in q]
+    from metal_history_knowledge_graph_spark.operators.simsearch import (
+        _bucket_of,
+        _hyperplanes,
+    )
+
+    cond = None
+    for t in range(6):
+        qb = _bucket_of(qunit, _hyperplanes(dim, 8, t))
+        this = (F.col("table") == t) & (F.col("bucket") == qb)
+        cond = this if cond is None else (cond | this)
+    cand = index.filter(cond).dropDuplicates(["vec_id"])
+    qarr = F.array(*[F.lit(v) for v in qunit])
+    scored = with_l2_normalized(cand).withColumn(
+        "cosine", F.round(_dot(F.col("unit_vec"), qarr), 4)
+    )
+    return (
+        scored.select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
     )
 
 
@@ -2824,6 +2864,59 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_reduce(list_prepend(0.0, list_transform(
                       generate_series(1, len(x.u)), i -> x.u[i] * y.u[i])),
                       (a, b) -> a + b), 6) >= 0.25
+        """,
+        # LSH-index ANN decision replay: the index's bucket assignment
+        # AND the per-table query buckets recomputed from the exported
+        # plane bank (bit-exact left-folds), 6-probe candidate union,
+        # exact-cosine re-rank at 4dp.
+        "td_lsh_topk": f"""
+            WITH q AS (
+                SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+            ), qn AS (
+                SELECT qv, list_transform(qv, x -> x / sqrt(list_reduce(
+                           list_prepend(0.0, list_transform(qv, y -> y * y)),
+                           (a, b) -> a + b))) AS qu
+                FROM q
+            ), planes AS (
+                SELECT * FROM '{_LSH_TOPK_PLANES_PATH}/*.parquet'
+            ), vbits AS (
+                SELECT e.vec_id, p.tbl, p.plane_idx,
+                       CASE WHEN list_reduce(
+                              list_prepend(0.0, list_transform(
+                                  generate_series(1, len(p.components)),
+                                  i -> e.embedding[i]::DOUBLE * p.components[i])),
+                              (a, b) -> a + b) >= 0
+                            THEN 1 ELSE 0 END AS bit
+                FROM embeddings e, planes p
+            ), vbuckets AS (
+                SELECT vec_id, tbl,
+                       CAST(sum(bit * (1::BIGINT << (7 - plane_idx))) AS BIGINT) AS bucket
+                FROM vbits GROUP BY vec_id, tbl
+            ), qbits AS (
+                SELECT p.tbl, p.plane_idx,
+                       CASE WHEN list_reduce(
+                              list_prepend(0.0, list_transform(
+                                  generate_series(1, len(p.components)),
+                                  i -> qn.qu[i] * p.components[i])),
+                              (a, b) -> a + b) >= 0
+                            THEN 1 ELSE 0 END AS bit
+                FROM planes p, qn
+            ), qbuckets AS (
+                SELECT tbl,
+                       CAST(sum(bit * (1::BIGINT << (7 - plane_idx))) AS BIGINT) AS bucket
+                FROM qbits GROUP BY tbl
+            ), cand AS (
+                SELECT DISTINCT v.vec_id
+                FROM vbuckets v
+                JOIN qbuckets qb ON v.tbl = qb.tbl AND v.bucket = qb.bucket
+            )
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS cosine
+            FROM embeddings e
+            JOIN cand USING (vec_id)
+            CROSS JOIN q
+            ORDER BY cosine DESC, e.vec_id
+            LIMIT 10
         """,
         # Retrieval-quality metrics replayed end to end: clone
         # injection, per-query cosine ranking, P/R/MRR arithmetic

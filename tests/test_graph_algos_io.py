@@ -369,3 +369,21 @@ def test_compact_infers_partition_layout(spark, store):
     root = store._path("cinfer_t")
     assert any(d.startswith("p=") for d in os.listdir(root)), "layout flattened"
     assert store.read("cinfer_t").count() == 40
+
+
+def test_merge_upsert_pruned_multilevel_partitions(spark, store):
+    """Depth-2 hive layout (a=…/b=…): the staged leaf-dir swap must
+    handle nested partition dirs and keep key semantics."""
+    df = spark.createDataFrame(
+        [("x", 1, 1, 10), ("x", 2, 2, 20), ("y", 1, 3, 30)],
+        "a string, b long, k long, v long",
+    )
+    store.write(df, "ml_t", partition_by=["a", "b"])
+    store.merge_upsert(
+        spark.createDataFrame([("x", 1, 1, 99), ("z", 9, 4, 40)],
+                              "a string, b long, k long, v long"),
+        "ml_t", keys=["a", "b", "k"], partition_by=["a", "b"],
+    )
+    rows = {(r.a, r.b, r.k): r.v for r in store.read("ml_t").collect()}
+    assert rows == {("x", 1, 1): 99, ("x", 2, 2): 20,
+                    ("y", 1, 3): 30, ("z", 9, 4): 40}

@@ -420,3 +420,16 @@ def test_media_decoder_swap_point(spark, media):
     stub_meta = {(r.media_id, r.n_bytes, r.sha256) for r in stub.collect()}
     inj_meta = {(r.media_id, r.n_bytes, r.sha256) for r in injected.collect()}
     assert stub_meta == inj_meta
+
+
+def test_embedding_neardup_plan_is_bucketed_join(spark, embs):
+    """Scale-shape gate: the OR-banded near-dup must join on
+    (table, bucket) hash keys — never a cartesian product — and the
+    pair-dedup must run on the post-verify scalar columns."""
+    plan = (
+        S.embedding_near_duplicates(embs, threshold=0.9, n_planes=6, num_tables=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("table") >= 1 and "bucket" in plan

@@ -174,6 +174,8 @@ class TableStore:
         # PartitionFilters in the plan (a semi-join would only prune
         # at runtime via DPP)
         touched_rows = df.select(*partition_by).distinct().collect()
+        if not touched_rows:
+            return  # empty batch: nothing to merge, nothing to rewrite
         pcond = None
         for r in touched_rows:
             this = None

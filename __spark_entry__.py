@@ -1801,10 +1801,13 @@ def kg_intent_search(spark, sf_dir):
 
 
 def kg_monitor(spark, sf_dir):
-    """Quality monitors (extraction F1 / search latency / graph growth)
-    with metrics-history append (rows-only; reference
-    quality_monitor.py:25-430). Sandbox latency threshold is loosened —
-    Spark fixed overhead, not Kuzu point-lookup scale."""
+    """Quality monitors (extraction F1 / search latency / graph growth
+    / retrieval P-R-MRR@10 over a labeled query set) with
+    metrics-history append (rows-only; reference
+    quality_monitor.py:25-430 + benchmark_search.py:97-148). Sandbox
+    latency threshold is loosened — Spark fixed overhead, not Kuzu
+    point-lookup scale. The metric ARITHMETIC is exact-oracled by
+    q_search_quality; this row shows it wired into the real store."""
     from metal_history_knowledge_graph_spark.operators.monitor import (
         DEFAULT_THRESHOLDS,
         run_all_monitors,
@@ -1814,11 +1817,18 @@ def kg_monitor(spark, sf_dir):
     store = _kg_store(spark, sf_dir)
     n_pages = 300 if "0.01" in os.path.basename(os.path.abspath(sf_dir)) else 120
     truth = generate_truth(spark, n_pages, seed=42)
+    relevance = {
+        "Black Sabbath": ["Black Sabbath"],
+        "Judas Priest": ["Judas Priest"],
+        "heavy metal birmingham": ["Black Sabbath", "Birmingham"],
+    }
     row, _alerts = run_all_monitors(
         spark, store, truth,
-        {**DEFAULT_THRESHOLDS, "search_latency_max_ms": 60_000.0},
+        {**DEFAULT_THRESHOLDS, "search_latency_max_ms": 60_000.0,
+         "search_mrr_min": 0.0},
+        relevance=relevance,
     )
-    return row.select("n_entities", "n_edges", "f1")
+    return row.select("n_entities", "n_edges", "f1", "search_mrr")
 
 
 def kg_quality(spark, sf_dir):

@@ -287,15 +287,37 @@ def ivf_build(
             for c in range(len(centroids))
         ]
 
+    # final pass IS the incremental-assignment operator, so a batch
+    # quantized later (ivf_assign_new) lands in identical lists
+    return centroids, ivf_assign_new(df, centroids, vec_col)
+
+
+def ivf_assign_new(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign NEW vectors to an EXISTING centroid table — the index
+    maintenance path for a growing corpus: never re-run k-means per
+    crawl batch; quantize the batch against the frozen coarse
+    quantizer and append to the cluster-partitioned table (at scale:
+    ``TableStore.merge_upsert(batch, keys=[cluster, id], partition_by=
+    [cluster])`` rewrites only the touched cluster partitions).
+
+    One narrow map with broadcast centroids (n_centroids × dim
+    literals), zero shuffle; the assignment rule is EXACTLY
+    ``ivf_build``'s final pass (argmax dot over unit vectors, ties →
+    smallest centroid index), so a batch assigned incrementally lands
+    in the same lists as a monolithic rebuild over frozen centroids —
+    pinned by test_trainingdata_ops."""
     cent_arr = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
     dots = F.transform(cent_arr, lambda c: _dot(F.col("unit_vec"), c))
     best = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
-    assigned = (
+    return (
         with_l2_normalized(df, vec_col)
         .withColumn("cluster", best)
         .drop("unit_vec")
     )
-    return centroids, assigned
 
 
 def ivf_topk(

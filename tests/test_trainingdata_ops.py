@@ -433,3 +433,30 @@ def test_embedding_neardup_plan_is_bucketed_join(spark, embs):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("table") >= 1 and "bucket" in plan
+
+
+def test_ivf_assign_new_matches_build_and_serves_probes(spark, embs):
+    """Index maintenance: a new batch quantized against the FROZEN
+    centroids (ivf_assign_new) must land exactly where ivf_build's own
+    final pass puts the same rows, and the union index must serve
+    probes that find the appended vectors."""
+    centroids, assigned = S.ivf_build(embs, n_centroids=8, n_iters=2)
+    # 1. build's assignment == the incremental operator on the same rows
+    again = S.ivf_assign_new(embs, centroids)
+    assert assigned.select("vec_id", "cluster").orderBy("vec_id").collect() == \
+           again.select("vec_id", "cluster").orderBy("vec_id").collect()
+    # 2. append a clone batch: same vectors -> same clusters as originals
+    batch = embs.limit(5).select(
+        (F.col("vec_id") + 90000).alias("vec_id"), "embedding", "label"
+    )
+    new_assigned = S.ivf_assign_new(batch, centroids)
+    orig = {r.vec_id: r.cluster
+            for r in assigned.filter(F.col("vec_id") < 5).collect()}
+    appended = {r.vec_id - 90000: r.cluster for r in new_assigned.collect()}
+    assert appended == {k: orig[k] for k in appended}
+    # 3. probes over the merged index find the appended clone at cosine 1.0
+    union = assigned.unionByName(new_assigned)
+    row = embs.filter(F.col("vec_id") == 2).head()
+    top = S.ivf_topk(union, centroids, [float(v) for v in row.embedding],
+                     k=3, nprobe=2).collect()
+    assert {r.vec_id for r in top} >= {2, 90002}

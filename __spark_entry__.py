@@ -1272,6 +1272,47 @@ def q_source_stats(spark, sf_dir):
     )
 
 
+def q_dup_spans(spark, sf_dir):
+    """Cross-document duplicated-span statistics (operators/spans.
+    duplicate_span_stats): overlapping 3-word windows, inverted-index
+    doc frequency, per-doc duplicated-position fraction + keep gate —
+    the exact-substring-dedup signal of Lee et al. 2022. Runs the
+    hashed-key scale path; the DuckDB oracle replays with the raw span
+    strings (decision-identical short of a 64-bit hash collision)."""
+    from metal_history_knowledge_graph_spark.operators.spans import (
+        duplicate_span_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        duplicate_span_stats(docs, n=3, min_docs=2, max_dup_bp=5000)
+        .select("doc_id", "n_windows", "dup_windows", "dup_bp", "keep")
+        .orderBy("doc_id")
+    )
+
+
+def q_boilerplate(spark, sf_dir):
+    """RefinedWeb-style boilerplate-segment removal (operators/spans.
+    remove_boilerplate_segments): non-overlapping 4-word blocks whose
+    doc frequency ≥ 3 are dropped everywhere and the text reassembled
+    in order; verifies counts AND the sha256 of every cleaned text."""
+    from metal_history_knowledge_graph_spark.operators.spans import (
+        remove_boilerplate_segments,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        remove_boilerplate_segments(docs, n=4, min_docs=3)
+        .select(
+            "doc_id",
+            "n_segments",
+            "removed_segments",
+            F.sha2(F.col("clean_text"), 256).alias("clean_sha"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull a typed field out of the JSON
     props column (native get_json_object — JVM-side, no UDF) and
@@ -1935,6 +1976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed, new this round (parity-pinned)
         "q_neardup_bands": q_neardup_bands,
         "td_lsh_topk": td_lsh_topk,
+        "q_dup_spans": q_dup_spans,
+        "q_boilerplate": q_boilerplate,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -3225,6 +3268,71 @@ def oracle_sql() -> dict[str, str]:
                     AND dup_bigram_bp <= 2500
                     AND mean_word_len_x100 BETWEEN 300 AND 1000) AS keep
             FROM stats ORDER BY doc_id
+        """,
+        "q_dup_spans": f"""
+            WITH base AS (SELECT doc_id, {toks} AS w FROM documents),
+            win AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) >= 3 THEN
+                           list_transform(generate_series(1, len(w) - 2),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       ELSE [] END AS wins
+                FROM base),
+            ex AS (SELECT doc_id, unnest(wins) AS span FROM win),
+            per AS (SELECT doc_id, span, count(*) AS occ
+                    FROM ex GROUP BY 1, 2),
+            freq AS (SELECT span, count(*) AS df_docs FROM per GROUP BY 1),
+            dup AS (SELECT p.doc_id, sum(p.occ) AS dup_windows
+                    FROM per p JOIN freq f USING (span)
+                    WHERE f.df_docs >= 2 GROUP BY 1)
+            SELECT b.doc_id,
+                   CAST(greatest(0, len(b.w) - 2) AS BIGINT) AS n_windows,
+                   CAST(coalesce(d.dup_windows, 0) AS BIGINT) AS dup_windows,
+                   CAST(CASE WHEN len(b.w) >= 3
+                        THEN (10000 * coalesce(d.dup_windows, 0))
+                             // (len(b.w) - 2)
+                        ELSE 0 END AS BIGINT) AS dup_bp,
+                   (CASE WHEN len(b.w) >= 3
+                         THEN (10000 * coalesce(d.dup_windows, 0))
+                              // (len(b.w) - 2)
+                         ELSE 0 END) <= 5000 AS keep
+            FROM base b LEFT JOIN dup d USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "q_boilerplate": f"""
+            WITH base AS (SELECT doc_id, {toks} AS w FROM documents),
+            seg AS (SELECT doc_id,
+                    list_transform(
+                        generate_series(1, CAST(ceil(len(w)/4.0) AS BIGINT)),
+                        b -> struct_pack(pos := b,
+                             seg := array_to_string(
+                                 w[(b-1)*4+1 : least(len(w), b*4)], ' ')))
+                        AS segs
+                    FROM base),
+            ex0 AS (SELECT doc_id, unnest(segs) AS s FROM seg),
+            ex AS (SELECT doc_id, s.seg AS seg, s.pos AS pos FROM ex0),
+            freq AS (SELECT seg, count(DISTINCT doc_id) AS dfd
+                     FROM ex GROUP BY 1),
+            kept AS (SELECT e.doc_id, e.seg, e.pos
+                     FROM ex e LEFT JOIN freq f
+                       ON e.seg = f.seg AND f.dfd >= 3
+                     WHERE f.seg IS NULL),
+            rebuilt AS (SELECT doc_id,
+                               count(*) AS n_kept,
+                               string_agg(seg, ' ' ORDER BY pos) AS clean_text
+                        FROM kept GROUP BY 1),
+            totals AS (SELECT doc_id, count(*) AS n_segments
+                       FROM ex GROUP BY 1)
+            SELECT b.doc_id,
+                   CAST(coalesce(t.n_segments, 0) AS BIGINT) AS n_segments,
+                   CAST(coalesce(t.n_segments, 0)
+                        - coalesce(r.n_kept, 0) AS BIGINT)
+                       AS removed_segments,
+                   sha256(coalesce(r.clean_text, '')) AS clean_sha
+            FROM base b
+            LEFT JOIN totals t USING (doc_id)
+            LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY doc_id
         """,
         "q_source_stats": r"""
             SELECT source, count(*) AS n_docs,

@@ -1,0 +1,235 @@
+"""Span-level cross-document deduplication.
+
+Two operators mirroring the two prominent web-pipeline passes that the
+document-level dedup family (operators/dedup.py) does not cover:
+
+- :func:`duplicate_span_stats` — overlapping word *n*-gram windows with
+  a doc-frequency inverted index: the per-document duplicated-window
+  fraction used by exact-substring training-data dedup (Lee et al.
+  2022, "Deduplicating Training Data Makes Language Models Better"),
+  plus a keep gate.
+- :func:`remove_boilerplate_segments` — non-overlapping segments
+  (lines when the corpus has a delimiter, fixed word blocks otherwise)
+  whose doc frequency reaches ``min_docs`` are dropped and the text is
+  reassembled in order: the RefinedWeb / CCNet line-dedup pass.
+
+Scale shape (both): explode → aggregate per (doc, span-key) →
+doc-frequency per key (partial-agg friendly: input rows are already
+distinct per (doc, key), so the frequency agg is a plain count) →
+hash-join back on the key. Shuffles carry an 8-byte ``xxhash64`` key,
+not the raw span text (``key="string"`` exists for oracle replay and
+collision pins; the hashed and string paths are decision-identical
+short of a 64-bit collision). No driver-side collection anywhere; at
+10⁹ documents every stage is a standard inverted-index shuffle whose
+reducer keys are span hashes — the hottest key is a globally repeated
+span, whose per-key state is one count, not a row list, so skew cannot
+OOM a reducer.
+
+All logic is native Spark SQL expressions (whole-stage codegen — the
+window/segment builders are ``transform``/``sequence``/``slice`` HOF
+chains, no Python). Exact DuckDB oracles replay both operators in the
+driver gate (q_dup_spans, q_boilerplate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import _tokens
+
+
+def _word_windows(text_col: str, n: int) -> Column:
+    """Overlapping ``n``-word windows (stride 1) as space-joined
+    strings; docs shorter than ``n`` words yield an empty array."""
+    toks = _tokens(F.col(text_col))
+    n_win = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _word_blocks(text_col: str, n: int) -> Column:
+    """Non-overlapping ``n``-word blocks as ``struct(pos, seg)`` —
+    position is kept so the cleaned text reassembles in order."""
+    toks = _tokens(F.col(text_col))
+    n_blocks = F.ceil(F.size(toks) / F.lit(float(n))).cast("int")
+    return F.when(
+        n_blocks >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_blocks),
+            lambda b: F.struct(
+                b.alias("pos"),
+                F.array_join(F.slice(toks, (b - 1) * n + 1, n), " ").alias("seg"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,seg:string>>"))
+
+
+def _line_segments(text_col: str, delimiter: str) -> Column:
+    """Delimiter-split segments (the literal line-dedup case) as
+    ``struct(pos, seg)``; blank segments are kept so reassembly is
+    position-faithful."""
+    parts = F.split(F.col(text_col), delimiter, -1)
+    return F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.struct(i.alias("pos"), F.element_at(parts, i).alias("seg")),
+    )
+
+
+def _span_key(span: Column, key: str) -> Column:
+    if key == "hash":
+        return F.xxhash64(span)
+    if key == "string":
+        return span
+    raise ValueError(f"key must be 'hash' or 'string', got {key!r}")
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_docs: int = 2,
+    max_dup_bp: int = 5000,
+    key: str = "hash",
+) -> DataFrame:
+    """Per-document duplicated-window statistics.
+
+    A window (overlapping ``n``-word span, stride 1) is *duplicated*
+    when the span occurs in at least ``min_docs`` distinct documents.
+    Output per input row: ``n_windows`` (total window positions),
+    ``dup_windows`` (positions whose span is duplicated — occurrences,
+    not distinct spans, matching the span-fraction measure of Lee et
+    al. 2022 §4), ``dup_bp`` (basis points of duplicated positions)
+    and ``keep`` (``dup_bp <= max_dup_bp``).
+
+    Plan: one explode, one (doc, key) partial-aggregate, one count per
+    key, one hash-join back — every shuffle keyed by the 8-byte span
+    hash. Spans repeated across millions of docs aggregate to a single
+    count per key (no per-key row lists), so global boilerplate cannot
+    skew-OOM a reducer.
+    """
+    spans = df.select(
+        F.col(id_col), F.explode(_word_windows(text_col, n)).alias("_span")
+    ).select(id_col, _span_key(F.col("_span"), key).alias("_k"))
+    # occurrences of each span per doc; rows now distinct per (doc, key)
+    per = spans.groupBy(id_col, "_k").agg(F.count(F.lit(1)).alias("_occ"))
+    freq = per.groupBy("_k").agg(F.count(F.lit(1)).alias("_df_docs"))
+    dup = (
+        per.join(freq.filter(F.col("_df_docs") >= min_docs), "_k")
+        .groupBy(id_col)
+        .agg(F.sum("_occ").alias("dup_windows"))
+    )
+    n_win = F.greatest(
+        F.lit(0), F.size(_tokens(F.col(text_col))) - F.lit(n - 1)
+    ).cast("long")
+    return (
+        df.withColumn("n_windows", n_win)
+        .join(dup, id_col, "left")
+        .withColumn("dup_windows", F.coalesce(F.col("dup_windows"), F.lit(0)))
+        .withColumn(
+            "dup_bp",
+            F.when(
+                F.col("n_windows") > 0,
+                (10000 * F.col("dup_windows")).cast("long")
+                / F.col("n_windows"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn("keep", F.col("dup_bp") <= max_dup_bp)
+    )
+
+
+def remove_boilerplate_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    min_docs: int = 3,
+    delimiter: str | None = None,
+    key: str = "hash",
+) -> DataFrame:
+    """Drop segments that repeat across ``min_docs`` documents and
+    reassemble the text (RefinedWeb line-dedup; CCNet paragraph hash).
+
+    Segments are ``delimiter``-split lines when ``delimiter`` is given,
+    else non-overlapping ``n``-word blocks (for corpora without line
+    structure). Every occurrence of a boilerplate segment is removed —
+    including from the doc that "owns" it — and the remainder is
+    rejoined in original order. Docs whose segments are all
+    boilerplate stay in the output with empty ``clean_text``.
+
+    Output: input row + ``n_segments``, ``removed_segments``,
+    ``clean_text``.
+
+    Plan: explode with position → distinct (doc, key) doc-frequency →
+    broadcast-unfriendly-safe hash-join of the (vocabulary-sized)
+    boilerplate key set back onto the exploded segments → ordered
+    array reassembly (``sort_array(collect_list(struct(pos, seg)))``,
+    partial-agg friendly; one shuffle keyed by ``id_col``).
+    """
+    seg_col = (
+        _line_segments(text_col, delimiter)
+        if delimiter is not None
+        else _word_blocks(text_col, n)
+    )
+    segs = df.select(F.col(id_col), F.explode(seg_col).alias("_s")).select(
+        id_col,
+        F.col("_s.pos").alias("_pos"),
+        F.col("_s.seg").alias("_seg"),
+    ).withColumn("_k", _span_key(F.col("_seg"), key))
+    freq = (
+        segs.select(id_col, "_k")
+        .distinct()
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_df_docs"))
+    )
+    boiler = freq.filter(F.col("_df_docs") >= min_docs).select("_k")
+    kept = segs.join(boiler, "_k", "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("_pos"), F.col("_seg")))
+                    ),
+                    lambda s: s["_seg"],
+                ),
+                " " if delimiter is None else _plain_delim(delimiter),
+            ).alias("clean_text"),
+        )
+    )
+    totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segments"))
+    return (
+        df.join(totals, id_col, "left")
+        .withColumn("n_segments", F.coalesce(F.col("n_segments"), F.lit(0)))
+        .join(rebuilt, id_col, "left")
+        .withColumn(
+            "removed_segments",
+            (F.col("n_segments") - F.coalesce(F.col("_n_kept"), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        .withColumn("n_segments", F.col("n_segments").cast("long"))
+        .withColumn("clean_text", F.coalesce(F.col("clean_text"), F.lit("")))
+        .drop("_n_kept")
+    )
+
+
+def _plain_delim(delimiter: str) -> str:
+    """Reassembly joiner for a delimiter *regex*: the common literal
+    cases pass through; genuinely regex-y delimiters reassemble with
+    their unescaped literal (documented limitation — the original
+    inter-segment bytes are not retained)."""
+    return (
+        delimiter.replace("\\n", "\n")
+        .replace("\\r", "\r")
+        .replace("\\t", "\t")
+        .replace("\\.", ".")
+    )

@@ -1,0 +1,146 @@
+"""Span-level cross-document dedup (operators/spans.py): duplicated-
+window statistics (exact-substring-dedup signal, Lee et al. 2022) and
+boilerplate-segment removal (RefinedWeb line-dedup). Semantics pinned
+on a crafted fixture; hash-vs-string key identity; removal fixed
+point; line-delimiter mode; plan gates (no Python in the hot path)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metal_history_knowledge_graph_spark.operators.spans import (
+    duplicate_span_stats,
+    remove_boilerplate_segments,
+)
+
+DOCS = [
+    # d0/d1 share the exact 5-word run "alpha beta gamma delta epsilon"
+    (0, "alpha beta gamma delta epsilon zz qq"),
+    (1, "yy alpha beta gamma delta epsilon ww"),
+    # d2 shares exactly one 3-gram ("one two three") with d4-d6
+    (2, "one two three four five six"),
+    # d3 short doc (< window size)
+    (3, "tiny doc"),
+    # d4/d5/d6 share a 4-word boilerplate block at block position 1
+    (4, "footer one two three unique4 a b c"),
+    (5, "footer one two three unique5 d e f"),
+    (6, "footer one two three unique6 g h i"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).cache()
+
+
+def _stats(df, **kw):
+    return {
+        r.doc_id: (r.n_windows, r.dup_windows, r.dup_bp, r.keep)
+        for r in duplicate_span_stats(df, **kw).collect()
+    }
+
+
+def test_dup_span_stats_semantics(docs):
+    s = _stats(docs, n=3, min_docs=2)
+    # d0: 5 windows, 3 duplicated ("alpha beta gamma", "beta gamma
+    # delta", "gamma delta epsilon" also appear in d1)
+    assert s[0] == (5, 3, 6000, False)
+    assert s[1] == (5, 3, 6000, False)
+    assert s[2] == (4, 1, 2500, True)
+    # shorter than the window → zero windows, trivially kept
+    assert s[3] == (0, 0, 0, True)
+    # d4-6 share "footer one two" / "one two three" (2 windows each)
+    assert s[4][0] == 6 and s[4][1] == 2
+
+
+def test_dup_span_occurrences_counted_per_position(spark):
+    # a doc repeating the shared span twice counts BOTH positions
+    df = spark.createDataFrame(
+        [(0, "a b c x a b c"), (1, "z a b c z")], ["doc_id", "text"]
+    )
+    s = _stats(df, n=3, min_docs=2)
+    assert s[0][1] == 2  # "a b c" at positions 1 and 5
+    assert s[1][1] == 1
+
+
+def test_dup_span_hash_vs_string_identical(docs):
+    assert _stats(docs, key="hash") == _stats(docs, key="string")
+
+
+def test_dup_span_min_docs_above_corpus_is_empty(docs):
+    s = _stats(docs, n=3, min_docs=99)
+    assert all(v[1] == 0 and v[3] for v in s.values())
+
+
+def _removed(df, **kw):
+    return {
+        r.doc_id: (r.n_segments, r.removed_segments, r.clean_text)
+        for r in remove_boilerplate_segments(df, **kw).collect()
+    }
+
+
+def test_boilerplate_block_removal(docs):
+    out = _removed(docs, n=4, min_docs=3)
+    # d4-6: first 4-word block "footer one two three" df=3 → removed
+    assert out[4] == (2, 1, "unique4 a b c")
+    assert out[5] == (2, 1, "unique5 d e f")
+    assert out[6] == (2, 1, "unique6 g h i")
+    # d0/d1 share no full 4-word BLOCK (alignment differs) → untouched
+    assert out[0] == (2, 0, "alpha beta gamma delta epsilon zz qq")
+    assert out[3] == (1, 0, "tiny doc")
+
+
+def test_boilerplate_all_segments_removed_keeps_row(spark):
+    df = spark.createDataFrame(
+        [(i, "spam spam spam spam") for i in range(3)], ["doc_id", "text"]
+    )
+    out = _removed(df, n=4, min_docs=3)
+    assert out == {i: (1, 1, "") for i in range(3)}
+
+
+def test_boilerplate_fixed_point_when_no_duplicates(docs):
+    # min_docs above corpus size → identity transform (normalized text)
+    out = _removed(docs, n=4, min_docs=99)
+    norm = {
+        r.doc_id: r.t
+        for r in docs.select(
+            "doc_id",
+            F.array_join(
+                F.split(F.lower(F.trim("text")), r"\s+"), " "
+            ).alias("t"),
+        ).collect()
+    }
+    assert {k: v[2] for k, v in out.items()} == norm
+    assert all(v[1] == 0 for v in out.values())
+
+
+def test_boilerplate_line_mode(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "KEEP ME\nCopyright Footer\nbody zero"),
+            (1, "body one\nCopyright Footer"),
+            (2, "Copyright Footer\nbody two"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = _removed(df, delimiter="\n", min_docs=2)
+    assert out[0] == (3, 1, "KEEP ME\nbody zero")
+    assert out[1] == (2, 1, "body one")
+    assert out[2] == (2, 1, "body two")
+
+
+def test_boilerplate_hash_vs_string_identical(docs):
+    assert _removed(docs, key="hash") == _removed(docs, key="string")
+
+
+def test_span_plans_stay_jvm_side(docs):
+    """No Python evaluation in either operator's plan (the window and
+    segment builders are HOF expression chains), and the frequency agg
+    is a partial-agg HashAggregate, not a row-list collect."""
+    for plan_df in (
+        duplicate_span_stats(docs),
+        remove_boilerplate_segments(docs),
+    ):
+        plan = plan_df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "HashAggregate" in plan

@@ -1313,6 +1313,29 @@ def q_boilerplate(spark, sf_dir):
     )
 
 
+def q_span_scrub(spark, sf_dir):
+    """Exact-substring-dedup remediation (operators/spans.
+    remove_duplicate_spans): every token covered by a 3-word span that
+    occurs in ≥ 2 docs is cut and the text reassembled — the span-cut
+    (not doc-drop) half of Lee et al. 2022. Verifies token accounting
+    AND the sha256 of every scrubbed text."""
+    from metal_history_knowledge_graph_spark.operators.spans import (
+        remove_duplicate_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        remove_duplicate_spans(docs, n=3, min_docs=2)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "removed_tokens",
+            F.sha2(F.col("clean_text"), 256).alias("clean_sha"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull a typed field out of the JSON
     props column (native get_json_object — JVM-side, no UDF) and
@@ -1978,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_lsh_topk": td_lsh_topk,
         "q_dup_spans": q_dup_spans,
         "q_boilerplate": q_boilerplate,
+        "q_span_scrub": q_span_scrub,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -3297,6 +3321,48 @@ def oracle_sql() -> dict[str, str]:
                               // (len(b.w) - 2)
                          ELSE 0 END) <= 5000 AS keep
             FROM base b LEFT JOIN dup d USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "q_span_scrub": f"""
+            WITH base AS (SELECT doc_id, {toks} AS w FROM documents),
+            win AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) >= 3 THEN
+                           list_transform(generate_series(1, len(w) - 2),
+                               i -> struct_pack(s := i,
+                                    sp := w[i] || ' ' || w[i+1]
+                                          || ' ' || w[i+2]))
+                       ELSE [] END AS wins
+                FROM base),
+            ex0 AS (SELECT doc_id, unnest(wins) AS x FROM win),
+            ex AS (SELECT doc_id, x.s AS s, x.sp AS sp FROM ex0),
+            freq AS (SELECT sp, count(DISTINCT doc_id) AS dfd
+                     FROM ex GROUP BY 1),
+            dups AS (SELECT e.doc_id, e.s FROM ex e
+                     JOIN freq f ON e.sp = f.sp AND f.dfd >= 2),
+            cov AS (SELECT DISTINCT doc_id, j FROM (
+                        SELECT doc_id,
+                               unnest(generate_series(s, s + 2)) AS j
+                        FROM dups)),
+            tok0 AS (SELECT doc_id,
+                            unnest(list_transform(
+                                generate_series(1, len(w)),
+                                j -> struct_pack(j := j, tok := w[j]))) AS t
+                     FROM base),
+            tok AS (SELECT doc_id, t.j AS j, t.tok AS tok FROM tok0),
+            kept AS (SELECT t.doc_id, t.j, t.tok FROM tok t
+                     LEFT JOIN cov c
+                       ON t.doc_id = c.doc_id AND t.j = c.j
+                     WHERE c.doc_id IS NULL),
+            rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+                               string_agg(tok, ' ' ORDER BY j) AS clean
+                        FROM kept GROUP BY 1)
+            SELECT b.doc_id,
+                   CAST(len(b.w) AS BIGINT) AS n_tokens,
+                   CAST(len(b.w) - coalesce(r.n_kept, 0) AS BIGINT)
+                       AS removed_tokens,
+                   sha256(coalesce(r.clean, '')) AS clean_sha
+            FROM base b LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY doc_id
         """,
         "q_boilerplate": f"""

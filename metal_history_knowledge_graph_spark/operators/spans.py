@@ -222,6 +222,99 @@ def remove_boilerplate_segments(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_docs: int = 2,
+    key: str = "hash",
+) -> DataFrame:
+    """Remove every token covered by a cross-document duplicated span
+    — the remediation half of exact-substring dedup (Lee et al. 2022
+    cut the duplicated spans out of the corpus rather than dropping
+    documents).
+
+    A window (overlapping ``n``-word run) is duplicated when its span
+    occurs in ≥ ``min_docs`` distinct documents; all ``n`` token
+    positions under any duplicated window are removed and the
+    remaining tokens are rejoined in order. Docs left with no tokens
+    keep their row with empty ``clean_text``.
+
+    Output: input row + ``n_tokens``, ``removed_tokens``,
+    ``clean_text``.
+
+    Plan — linear and equi-join only (no range join, no per-doc
+    quadratic scan): posexplode windows → doc-frequency per span hash
+    → duplicated window starts → explode each start to its ``n``
+    covered positions (constant fan-out) → distinct → anti-join
+    against posexploded tokens → ordered reassembly via one
+    sorted-struct collect keyed by ``id_col``.
+    """
+    toks = _tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    wins = base.select(
+        id_col, F.posexplode(_word_windows_from_tokens("_toks", n))
+    ).select(id_col, F.col("pos").alias("_start"), F.col("col").alias("_span"))
+    wins = wins.withColumn("_k", _span_key(F.col("_span"), key)).drop("_span")
+    freq = (
+        wins.select(id_col, "_k")
+        .distinct()
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_df_docs"))
+    )
+    dup_starts = wins.join(
+        freq.filter(F.col("_df_docs") >= min_docs).select("_k"), "_k"
+    ).select(id_col, "_start")
+    covered = dup_starts.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("_start"), F.col("_start") + F.lit(n - 1))
+        ).alias("_j"),
+    ).distinct()
+    tokens = base.select(
+        id_col, F.posexplode(F.col("_toks"))
+    ).select(id_col, F.col("pos").alias("_j"), F.col("col").alias("_tok"))
+    kept = tokens.join(covered, [id_col, "_j"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("_j"), F.col("_tok")))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        df.withColumn("n_tokens", F.size(toks).cast("long"))
+        .join(rebuilt, id_col, "left")
+        .withColumn(
+            "removed_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        .withColumn("clean_text", F.coalesce(F.col("clean_text"), F.lit("")))
+        .drop("_n_kept")
+    )
+
+
+def _word_windows_from_tokens(tokens_col: str, n: int) -> Column:
+    """Overlapping ``n``-word windows over an existing token-array
+    column (empty array when shorter than ``n``); 0-based positions
+    via ``posexplode`` line up with token positions."""
+    toks = F.col(tokens_col)
+    n_win = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _plain_delim(delimiter: str) -> str:
     """Reassembly joiner for a delimiter *regex*: the common literal
     cases pass through; genuinely regex-y delimiters reassemble with

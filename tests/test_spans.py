@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from metal_history_knowledge_graph_spark.operators.spans import (
     duplicate_span_stats,
     remove_boilerplate_segments,
+    remove_duplicate_spans,
 )
 
 DOCS = [
@@ -132,6 +133,53 @@ def test_boilerplate_hash_vs_string_identical(docs):
     assert _removed(docs, key="hash") == _removed(docs, key="string")
 
 
+def _scrubbed(df, **kw):
+    return {
+        r.doc_id: (r.n_tokens, r.removed_tokens, r.clean_text)
+        for r in remove_duplicate_spans(df, **kw).collect()
+    }
+
+
+def test_span_scrub_cuts_exact_covered_tokens(docs):
+    out = _scrubbed(docs, n=3, min_docs=2)
+    # d0: windows 1-3 duplicated (shared 5-word run) → tokens 1-5 cut
+    assert out[0] == (7, 5, "zz qq")
+    assert out[1] == (7, 5, "yy ww")
+    # d2: one duplicated window "one two three" → 3 tokens cut
+    assert out[2] == (6, 3, "four five six")
+    # short doc: no windows, untouched
+    assert out[3] == (2, 0, "tiny doc")
+    # d4: "footer one two" + "one two three" dup → tokens 1-4 cut
+    assert out[4] == (8, 4, "unique4 a b c")
+
+
+def test_span_scrub_overlapping_spans_merge(spark):
+    # two overlapping duplicated windows must not double-remove
+    df = spark.createDataFrame(
+        [(0, "p q r s t END"), (1, "p q r s t OTHER")], ["doc_id", "text"]
+    )
+    out = _scrubbed(df, n=3, min_docs=2)
+    assert out[0] == (6, 5, "end")
+    assert out[1] == (6, 5, "other")
+
+
+def test_span_scrub_fully_duplicated_doc_keeps_row(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c")], ["doc_id", "text"]
+    )
+    out = _scrubbed(df, n=3, min_docs=2)
+    assert out == {0: (3, 3, ""), 1: (3, 3, "")}
+
+
+def test_span_scrub_fixed_point_when_no_duplicates(docs):
+    out = _scrubbed(docs, n=3, min_docs=99)
+    assert all(v[1] == 0 for v in out.values())
+
+
+def test_span_scrub_hash_vs_string_identical(docs):
+    assert _scrubbed(docs, key="hash") == _scrubbed(docs, key="string")
+
+
 def test_span_plans_stay_jvm_side(docs):
     """No Python evaluation in either operator's plan (the window and
     segment builders are HOF expression chains), and the frequency agg
@@ -139,6 +187,7 @@ def test_span_plans_stay_jvm_side(docs):
     for plan_df in (
         duplicate_span_stats(docs),
         remove_boilerplate_segments(docs),
+        remove_duplicate_spans(docs),
     ):
         plan = plan_df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan

@@ -1336,6 +1336,17 @@ def q_span_scrub(spark, sf_dir):
     )
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval (operators/bm25.bm25_topk): inverted
+    postings + Lucene-flavored idf, top-15 for a fixed query. Scores
+    rounded to 4 decimals before ordering (doc_id tie-break) so the
+    DuckDB replay orders identically."""
+    from metal_history_knowledge_graph_spark.operators.bm25 import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, "spark join fast", k=15)
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull a typed field out of the JSON
     props column (native get_json_object — JVM-side, no UDF) and
@@ -2002,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_spans": q_dup_spans,
         "q_boilerplate": q_boilerplate,
         "q_span_scrub": q_span_scrub,
+        "q_bm25_topk": q_bm25_topk,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -3322,6 +3334,33 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0 END) <= 5000 AS keep
             FROM base b LEFT JOIN dup d USING (doc_id)
             ORDER BY doc_id
+        """,
+        "q_bm25_topk": f"""
+            WITH base AS (SELECT doc_id, {toks} AS w FROM documents),
+            tok AS (SELECT doc_id, unnest(w) AS term FROM base),
+            post AS (SELECT term, doc_id, count(*) AS tf
+                     FROM tok GROUP BY 1, 2),
+            stats AS (SELECT doc_id, len(w) AS dl FROM base),
+            tot AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+                    FROM stats),
+            hits AS (SELECT * FROM post
+                     WHERE term IN ('spark', 'join', 'fast')),
+            dfq AS (SELECT term, count(*) AS df_t FROM hits GROUP BY 1),
+            scored AS (
+                SELECT h.doc_id,
+                       round(sum(
+                           ln(1 + (t.n_docs - d.df_t + 0.5)
+                                  / (d.df_t + 0.5))
+                           * (h.tf * 2.2)
+                           / (h.tf + 1.2 * (0.25 + 0.75 * s.dl
+                                            / t.avgdl))), 4) AS score
+                FROM hits h
+                JOIN dfq d USING (term)
+                JOIN stats s USING (doc_id)
+                CROSS JOIN tot t
+                GROUP BY 1)
+            SELECT doc_id, score FROM scored
+            ORDER BY score DESC, doc_id LIMIT 15
         """,
         "q_span_scrub": f"""
             WITH base AS (SELECT doc_id, {toks} AS w FROM documents),

@@ -1347,6 +1347,48 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, "spark join fast", k=15)
 
 
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (operators/fuse.py):
+    BM25 top-50 (keyword) + brute cosine top-50 (vector, query =
+    vec_id 0) fused with c=60 — rank-based, so the DuckDB replay is
+    exact (integer ranks; commutative 2-term reciprocal sum)."""
+    from metal_history_knowledge_graph_spark.operators.bm25 import bm25_topk
+    from metal_history_knowledge_graph_spark.operators.fuse import (
+        rrf_fuse,
+        with_rank,
+    )
+    from metal_history_knowledge_graph_spark.operators.simsearch import (
+        _dot,
+        with_l2_normalized,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = with_rank(bm25_topk(docs, "spark join fast", k=50), "score", "doc_id")
+
+    embs = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    row = embs.filter(F.col("vec_id") == 0).head()
+    import math
+
+    qn = math.sqrt(sum(v * v for v in row.embedding)) or 1.0
+    q = F.array(*[F.lit(float(v) / qn) for v in row.embedding])
+    cos = (
+        with_l2_normalized(embs)
+        .withColumn("cosine", F.round(_dot(F.col("unit_vec"), q), 4))
+        .select(F.col("vec_id").alias("doc_id"), "cosine")
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(50)
+    )
+    cos = with_rank(cos, "cosine", "doc_id")
+    return rrf_fuse(
+        [bm.select("doc_id", "rank"), cos.select("doc_id", "rank")],
+        id_col="doc_id",
+        k=15,
+        c=60,
+    )
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull a typed field out of the JSON
     props column (native get_json_object — JVM-side, no UDF) and
@@ -2014,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_boilerplate": q_boilerplate,
         "q_span_scrub": q_span_scrub,
         "q_bm25_topk": q_bm25_topk,
+        "q_rrf_fusion": q_rrf_fusion,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -3361,6 +3404,51 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1)
             SELECT doc_id, score FROM scored
             ORDER BY score DESC, doc_id LIMIT 15
+        """,
+        "q_rrf_fusion": f"""
+            WITH base AS (SELECT doc_id, {toks} AS w FROM documents),
+            tok AS (SELECT doc_id, unnest(w) AS term FROM base),
+            post AS (SELECT term, doc_id, count(*) AS tf
+                     FROM tok GROUP BY 1, 2),
+            stats AS (SELECT doc_id, len(w) AS dl FROM base),
+            tot AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+                    FROM stats),
+            hits AS (SELECT * FROM post
+                     WHERE term IN ('spark', 'join', 'fast')),
+            dfq AS (SELECT term, count(*) AS df_t FROM hits GROUP BY 1),
+            bm50 AS (
+                SELECT h.doc_id,
+                       round(sum(
+                           ln(1 + (t.n_docs - d.df_t + 0.5)
+                                  / (d.df_t + 0.5))
+                           * (h.tf * 2.2)
+                           / (h.tf + 1.2 * (0.25 + 0.75 * s.dl
+                                            / t.avgdl))), 4) AS score
+                FROM hits h
+                JOIN dfq d USING (term)
+                JOIN stats s USING (doc_id)
+                CROSS JOIN tot t
+                GROUP BY 1
+                ORDER BY score DESC, doc_id LIMIT 50),
+            bm AS (SELECT doc_id, row_number() OVER
+                       (ORDER BY score DESC, doc_id) AS rank FROM bm50),
+            cosq AS (SELECT embedding::DOUBLE[] AS qv
+                     FROM embeddings WHERE vec_id = 0),
+            cos50 AS (
+                SELECT vec_id AS doc_id,
+                       round(list_cosine_similarity(
+                           embedding::DOUBLE[], qv), 4) AS cosine
+                FROM embeddings, cosq
+                ORDER BY cosine DESC, vec_id LIMIT 50),
+            cr AS (SELECT doc_id, row_number() OVER
+                       (ORDER BY cosine DESC, doc_id) AS rank FROM cos50),
+            u AS (SELECT doc_id, 1.0 / (60 + rank) AS part FROM bm
+                  UNION ALL
+                  SELECT doc_id, 1.0 / (60 + rank) AS part FROM cr)
+            SELECT doc_id, round(sum(part), 6) AS rrf_score,
+                   count(*) AS n_lists
+            FROM u GROUP BY 1
+            ORDER BY rrf_score DESC, doc_id LIMIT 15
         """,
         "q_span_scrub": f"""
             WITH base AS (SELECT doc_id, {toks} AS w FROM documents),

@@ -1389,6 +1389,34 @@ def q_rrf_fusion(spark, sf_dir):
     )
 
 
+def q_bloom_probe(spark, sf_dir):
+    """Distributed Bloom membership pre-filter (operators/bloom.py):
+    build the sparse block table over src0 document texts, probe every
+    document, and report the Bloom decision next to exact membership
+    (false positives allowed, false negatives impossible). Build AND
+    probe replay bit-exactly in DuckDB (md5 positions, 32-bit blocks,
+    bit_or folds)."""
+    from metal_history_knowledge_graph_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    members = docs.filter(F.col("source") == "src0").select("text")
+    blocks = bloom_build(members, "text", m_bits=4096, k=5)
+    probed = bloom_probe(docs, blocks, "text", m_bits=4096, k=5)
+    member_texts = members.distinct().withColumn("is_member", F.lit(True))
+    return (
+        probed.join(F.broadcast(member_texts), "text", "left")
+        .select(
+            "doc_id",
+            "maybe_member",
+            F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull a typed field out of the JSON
     props column (native get_json_object — JVM-side, no UDF) and
@@ -2057,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_scrub": q_span_scrub,
         "q_bm25_topk": q_bm25_topk,
         "q_rrf_fusion": q_rrf_fusion,
+        "q_bloom_probe": q_bloom_probe,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -3404,6 +3433,39 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1)
             SELECT doc_id, score FROM scored
             ORDER BY score DESC, doc_id LIMIT 15
+        """,
+        "q_bloom_probe": """
+            WITH members AS (
+                SELECT DISTINCT text FROM documents WHERE source = 'src0'),
+            mpos AS (
+                SELECT CAST(('0x' || substr(md5('bloom:' || i || '|'
+                           || text), 1, 15))::UBIGINT % 4096 AS BIGINT)
+                           AS pos
+                FROM members, (SELECT unnest([0, 1, 2, 3, 4]) AS i)),
+            blocks AS (
+                SELECT pos // 32 AS block_id,
+                       bit_or((1::BIGINT) << CAST(pos % 32 AS INT)) AS bits
+                FROM mpos GROUP BY 1),
+            probe0 AS (SELECT DISTINCT text FROM documents),
+            ppos AS (
+                SELECT text,
+                       CAST(('0x' || substr(md5('bloom:' || i || '|'
+                           || text), 1, 15))::UBIGINT % 4096 AS BIGINT)
+                           AS pos
+                FROM probe0, (SELECT unnest([0, 1, 2, 3, 4]) AS i)),
+            hit AS (
+                SELECT p.text,
+                       sum(CASE WHEN (coalesce(b.bits, 0)
+                                >> CAST(p.pos % 32 AS INT)) & 1 = 1
+                                THEN 1 ELSE 0 END) AS n_set
+                FROM ppos p LEFT JOIN blocks b ON p.pos // 32 = b.block_id
+                GROUP BY 1)
+            SELECT d.doc_id,
+                   (h.n_set = 5) AS maybe_member,
+                   EXISTS (SELECT 1 FROM members m WHERE m.text = d.text)
+                       AS is_member
+            FROM documents d JOIN hit h ON d.text = h.text
+            ORDER BY d.doc_id
         """,
         "q_rrf_fusion": f"""
             WITH base AS (SELECT doc_id, {toks} AS w FROM documents),

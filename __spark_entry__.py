@@ -1417,6 +1417,33 @@ def q_bloom_probe(spark, sf_dir):
     )
 
 
+def q_cms_estimate(spark, sf_dir):
+    """Count-min sketch frequency estimation (operators/cms.py):
+    4×64 sketch over every token occurrence, estimates probed for the
+    full vocabulary next to exact counts — the deliberately tight
+    width forces real cell collisions so the min-fold (overcount-only
+    invariant) is exercised, and DuckDB replays build + probe
+    bit-exactly."""
+    from metal_history_knowledge_graph_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+    )
+    from metal_history_knowledge_graph_spark.operators.textstats import (
+        _tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_tokens(F.col("text"))).alias("term"))
+    sketch = cms_build(tok, "term", d=4, w=64)
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        cms_estimate(exact, sketch, "term", d=4, w=64)
+        .select("term", F.col("est_count").cast("long").alias("est_count"),
+                "exact_count")
+        .orderBy("term")
+    )
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull a typed field out of the JSON
     props column (native get_json_object — JVM-side, no UDF) and
@@ -2086,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_topk": q_bm25_topk,
         "q_rrf_fusion": q_rrf_fusion,
         "q_bloom_probe": q_bloom_probe,
+        "q_cms_estimate": q_cms_estimate,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -3433,6 +3461,34 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1)
             SELECT doc_id, score FROM scored
             ORDER BY score DESC, doc_id LIMIT 15
+        """,
+        "q_cms_estimate": f"""
+            WITH tok AS (
+                SELECT unnest({toks}) AS term FROM documents),
+            cells AS (
+                SELECT r.row,
+                       CAST(('0x' || substr(md5('cms:' || r.row || '|'
+                           || term), 1, 15))::UBIGINT % 64 AS BIGINT)
+                           AS col
+                FROM tok, (SELECT unnest([0, 1, 2, 3]) AS row) r),
+            sk AS (SELECT row, col, count(*) AS cnt
+                   FROM cells GROUP BY 1, 2),
+            vocab AS (SELECT DISTINCT term FROM tok),
+            probes AS (
+                SELECT term, r.row,
+                       CAST(('0x' || substr(md5('cms:' || r.row || '|'
+                           || term), 1, 15))::UBIGINT % 64 AS BIGINT)
+                           AS col
+                FROM vocab, (SELECT unnest([0, 1, 2, 3]) AS row) r),
+            est AS (
+                SELECT p.term, min(coalesce(s.cnt, 0)) AS est_count
+                FROM probes p LEFT JOIN sk s USING (row, col)
+                GROUP BY 1),
+            exact AS (SELECT term, count(*) AS exact_count
+                      FROM tok GROUP BY 1)
+            SELECT term, est_count, exact_count
+            FROM est JOIN exact USING (term)
+            ORDER BY term
         """,
         "q_bloom_probe": """
             WITH members AS (

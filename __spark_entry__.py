@@ -1444,6 +1444,31 @@ def q_cms_estimate(spark, sf_dir):
     )
 
 
+def q_webtext_prep(spark, sf_dir):
+    """Composed webtext corpus-prep chain (plans/webtext.webtext_prep):
+    boilerplate-segment removal → duplicate-span scrub → Gopher gate
+    over the scrubbed text → exact dedup among kept docs — the whole
+    RefinedWeb-ordered pipeline replayed end-to-end in ONE DuckDB
+    oracle (per-stage accounting + sha256 of the final text)."""
+    from metal_history_knowledge_graph_spark.plans.webtext import webtext_prep
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        webtext_prep(docs, gopher_kwargs={"min_words": 10})
+        .select(
+            "doc_id",
+            "n_segments",
+            "removed_segments",
+            "removed_tokens",
+            F.col("n_words").cast("long").alias("n_words"),
+            "keep_quality",
+            "is_canonical",
+            F.sha2(F.col("clean_text"), 256).alias("clean_sha"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull a typed field out of the JSON
     props column (native get_json_object — JVM-side, no UDF) and
@@ -2114,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rrf_fusion": q_rrf_fusion,
         "q_bloom_probe": q_bloom_probe,
         "q_cms_estimate": q_cms_estimate,
+        "q_webtext_prep": q_webtext_prep,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -3461,6 +3487,145 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1)
             SELECT doc_id, score FROM scored
             ORDER BY score DESC, doc_id LIMIT 15
+        """,
+        "q_webtext_prep": f"""
+            WITH base AS (SELECT doc_id, {toks} AS w FROM documents),
+            -- stage 1: boilerplate segments (4-word blocks, df >= 3)
+            seg AS (SELECT doc_id,
+                    list_transform(
+                        generate_series(1, CAST(ceil(len(w)/4.0) AS BIGINT)),
+                        b -> struct_pack(pos := b,
+                             seg := array_to_string(
+                                 w[(b-1)*4+1 : least(len(w), b*4)], ' ')))
+                        AS segs
+                    FROM base),
+            bex0 AS (SELECT doc_id, unnest(segs) AS s FROM seg),
+            bex AS (SELECT doc_id, s.seg AS seg, s.pos AS pos FROM bex0),
+            bfreq AS (SELECT seg, count(DISTINCT doc_id) AS dfd
+                      FROM bex GROUP BY 1),
+            bkept AS (SELECT e.doc_id, e.seg, e.pos FROM bex e
+                      LEFT JOIN bfreq f
+                        ON e.seg = f.seg AND f.dfd >= 3
+                      WHERE f.seg IS NULL),
+            brebuilt AS (SELECT doc_id, count(*) AS n_kept,
+                                string_agg(seg, ' ' ORDER BY pos) AS bp
+                         FROM bkept GROUP BY 1),
+            btotals AS (SELECT doc_id, count(*) AS n_segments
+                        FROM bex GROUP BY 1),
+            bp AS (SELECT b.doc_id,
+                          CAST(coalesce(t.n_segments, 0) AS BIGINT)
+                              AS n_segments,
+                          CAST(coalesce(t.n_segments, 0)
+                               - coalesce(r.n_kept, 0) AS BIGINT)
+                              AS removed_segments,
+                          coalesce(r.bp, '') AS bp_text
+                   FROM base b
+                   LEFT JOIN btotals t USING (doc_id)
+                   LEFT JOIN brebuilt r USING (doc_id)),
+            -- stage 2: duplicate-span scrub (3-word windows, df >= 2)
+            b2 AS (SELECT doc_id, n_segments, removed_segments,
+                          list_filter(regexp_split_to_array(
+                              lower(trim(bp_text)), '\\s+'),
+                              x -> length(x) > 0) AS w2
+                   FROM bp),
+            win2 AS (
+                SELECT doc_id,
+                       CASE WHEN len(w2) >= 3 THEN
+                           list_transform(generate_series(1, len(w2) - 2),
+                               i -> struct_pack(s := i,
+                                    sp := w2[i] || ' ' || w2[i+1]
+                                          || ' ' || w2[i+2]))
+                       ELSE [] END AS wins
+                FROM b2),
+            sex0 AS (SELECT doc_id, unnest(wins) AS x FROM win2),
+            sex AS (SELECT doc_id, x.s AS s, x.sp AS sp FROM sex0),
+            sfreq AS (SELECT sp, count(DISTINCT doc_id) AS dfd
+                      FROM sex GROUP BY 1),
+            sdups AS (SELECT e.doc_id, e.s FROM sex e
+                      JOIN sfreq f ON e.sp = f.sp AND f.dfd >= 2),
+            scov AS (SELECT DISTINCT doc_id, j FROM (
+                         SELECT doc_id,
+                                unnest(generate_series(s, s + 2)) AS j
+                         FROM sdups)),
+            stok0 AS (SELECT doc_id,
+                             unnest(list_transform(
+                                 generate_series(1, len(w2)),
+                                 j -> struct_pack(j := j, tok := w2[j])))
+                                 AS t
+                      FROM b2),
+            stok AS (SELECT doc_id, t.j AS j, t.tok AS tok FROM stok0),
+            skept AS (SELECT t.doc_id, t.j, t.tok FROM stok t
+                      LEFT JOIN scov c
+                        ON t.doc_id = c.doc_id AND t.j = c.j
+                      WHERE c.doc_id IS NULL),
+            srebuilt AS (SELECT doc_id, count(*) AS n_kept,
+                                string_agg(tok, ' ' ORDER BY j) AS clean
+                         FROM skept GROUP BY 1),
+            sc AS (SELECT b2.doc_id, n_segments, removed_segments,
+                          CAST(len(b2.w2) - coalesce(r.n_kept, 0) AS BIGINT)
+                              AS removed_tokens,
+                          coalesce(r.clean, '') AS clean
+                   FROM b2 LEFT JOIN srebuilt r USING (doc_id)),
+            -- stage 3: Gopher gate over the scrubbed text
+            g0 AS (SELECT doc_id,
+                          list_filter(regexp_split_to_array(
+                              lower(trim(clean)), '\\s+'),
+                              x -> length(x) > 0) AS w3
+                   FROM sc),
+            g1 AS (SELECT doc_id, w3, len(w3) AS n_words,
+                          CASE WHEN len(w3) >= 2 THEN
+                              list_transform(generate_series(1, len(w3) - 1),
+                                  i -> w3[i] || ' ' || w3[i + 1])
+                          ELSE [] END AS bg
+                   FROM g0),
+            g2 AS (SELECT doc_id, n_words,
+                          len(list_distinct(w3)) AS uniq,
+                          CAST(coalesce(list_sum(list_transform(bg,
+                              g -> CASE WHEN len(list_filter(bg,
+                                        x -> x = g)) > 1
+                                   THEN length(g) ELSE 0 END)), 0)
+                              AS BIGINT) AS dup_chars,
+                          CAST(coalesce(list_sum(list_transform(bg,
+                              g -> length(g))), 0) AS BIGINT) AS tot_chars,
+                          CAST(coalesce(list_sum(list_transform(w3,
+                              x -> length(x))), 0) AS BIGINT) AS sum_len
+                   FROM g1),
+            g3 AS (SELECT doc_id,
+                          CAST(n_words AS BIGINT) AS n_words,
+                          CAST(CASE WHEN n_words > 0
+                               THEN (10000 * uniq) // n_words ELSE 0 END
+                               AS BIGINT) AS unique_word_bp,
+                          CAST(CASE WHEN tot_chars > 0
+                               THEN (10000 * dup_chars) // tot_chars
+                               ELSE 0 END AS BIGINT) AS dup_bigram_bp,
+                          CAST(CASE WHEN n_words > 0
+                               THEN (100 * sum_len) // n_words ELSE 0 END
+                               AS BIGINT) AS mean_word_len_x100
+                   FROM g2),
+            g AS (SELECT doc_id, n_words,
+                         (n_words >= 10 AND unique_word_bp >= 2000
+                          AND dup_bigram_bp <= 2500
+                          AND mean_word_len_x100 BETWEEN 300 AND 1000)
+                             AS keep
+                  FROM g3),
+            -- stage 4: exact dedup among kept docs
+            fp AS (SELECT sc.doc_id,
+                          md5(regexp_replace(lower(trim(clean)),
+                              '\\s+', ' ', 'g')) AS fingerprint
+                   FROM sc),
+            canon AS (SELECT fingerprint, min(fp.doc_id) AS ck
+                      FROM fp JOIN g USING (doc_id)
+                      WHERE g.keep GROUP BY 1)
+            SELECT sc.doc_id, sc.n_segments, sc.removed_segments,
+                   sc.removed_tokens, g.n_words,
+                   g.keep AS keep_quality,
+                   (g.keep AND sc.doc_id = c.ck) AS is_canonical,
+                   sha256(sc.clean) AS clean_sha
+            FROM sc
+            JOIN g USING (doc_id)
+            JOIN fp USING (doc_id)
+            LEFT JOIN canon c USING (fingerprint)
+            ORDER BY sc.doc_id
         """,
         "q_cms_estimate": f"""
             WITH tok AS (

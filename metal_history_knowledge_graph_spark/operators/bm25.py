@@ -57,6 +57,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    reuse: bool = True,
 ) -> DataFrame:
     """Top-``k`` documents for ``query`` under BM25.
 
@@ -73,10 +74,18 @@ def bm25_topk(
             F.col(id_col), F.lit(0.0).alias("score")
         ).limit(0)
     postings, doc_stats = bm25_index(df, text_col, id_col)
+    if reuse:
+        # both feed two consumers (totals+join / dfreq+join); without
+        # the lazy checkpoint each consumer re-runs the explode lineage
+        # (repo two-consumer rule). At rest, store postings
+        # term-partitioned instead and pass reuse=False.
+        doc_stats = doc_stats.localCheckpoint(eager=False)
     totals = doc_stats.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     hits = postings.filter(F.col("term").isin(terms))
+    if reuse:
+        hits = hits.localCheckpoint(eager=False)
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     scored = (
         hits.join(F.broadcast(dfreq), "term")

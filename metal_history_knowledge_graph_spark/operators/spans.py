@@ -81,6 +81,17 @@ def _line_segments(text_col: str, delimiter: str) -> Column:
     )
 
 
+def _reuse(df: DataFrame, enabled: bool) -> DataFrame:
+    """Lazy localCheckpoint for an intermediate that feeds 2+
+    consumers: computed once at first action, reused after — without
+    it every consumer re-runs the explode lineage (the repo-wide
+    two-consumer rule; see plans/pipeline.py stage commits). Lazy so
+    operator construction stays action-free; disable (`reuse=False`)
+    when the caller materializes the intermediate itself (e.g. a
+    stored postings table)."""
+    return df.localCheckpoint(eager=False) if enabled else df
+
+
 def _span_key(span: Column, key: str) -> Column:
     if key == "hash":
         return F.xxhash64(span)
@@ -97,6 +108,7 @@ def duplicate_span_stats(
     min_docs: int = 2,
     max_dup_bp: int = 5000,
     key: str = "hash",
+    reuse: bool = False,
 ) -> DataFrame:
     """Per-document duplicated-window statistics.
 
@@ -118,7 +130,10 @@ def duplicate_span_stats(
         F.col(id_col), F.explode(_word_windows(text_col, n)).alias("_span")
     ).select(id_col, _span_key(F.col("_span"), key).alias("_k"))
     # occurrences of each span per doc; rows now distinct per (doc, key)
-    per = spans.groupBy(id_col, "_k").agg(F.count(F.lit(1)).alias("_occ"))
+    per = _reuse(
+        spans.groupBy(id_col, "_k").agg(F.count(F.lit(1)).alias("_occ")),
+        reuse,
+    )
     freq = per.groupBy("_k").agg(F.count(F.lit(1)).alias("_df_docs"))
     dup = (
         per.join(freq.filter(F.col("_df_docs") >= min_docs), "_k")
@@ -152,6 +167,7 @@ def remove_boilerplate_segments(
     min_docs: int = 3,
     delimiter: str | None = None,
     key: str = "hash",
+    reuse: bool = False,
 ) -> DataFrame:
     """Drop segments that repeat across ``min_docs`` documents and
     reassemble the text (RefinedWeb line-dedup; CCNet paragraph hash).
@@ -177,11 +193,14 @@ def remove_boilerplate_segments(
         if delimiter is not None
         else _word_blocks(text_col, n)
     )
-    segs = df.select(F.col(id_col), F.explode(seg_col).alias("_s")).select(
-        id_col,
-        F.col("_s.pos").alias("_pos"),
-        F.col("_s.seg").alias("_seg"),
-    ).withColumn("_k", _span_key(F.col("_seg"), key))
+    segs = _reuse(
+        df.select(F.col(id_col), F.explode(seg_col).alias("_s")).select(
+            id_col,
+            F.col("_s.pos").alias("_pos"),
+            F.col("_s.seg").alias("_seg"),
+        ).withColumn("_k", _span_key(F.col("_seg"), key)),
+        reuse,
+    )
     freq = (
         segs.select(id_col, "_k")
         .distinct()
@@ -229,6 +248,7 @@ def remove_duplicate_spans(
     n: int = 3,
     min_docs: int = 2,
     key: str = "hash",
+    reuse: bool = False,
 ) -> DataFrame:
     """Remove every token covered by a cross-document duplicated span
     — the remediation half of exact-substring dedup (Lee et al. 2022
@@ -252,11 +272,14 @@ def remove_duplicate_spans(
     sorted-struct collect keyed by ``id_col``.
     """
     toks = _tokens(F.col(text_col))
-    base = df.select(F.col(id_col), toks.alias("_toks"))
+    base = _reuse(df.select(F.col(id_col), toks.alias("_toks")), reuse)
     wins = base.select(
         id_col, F.posexplode(_word_windows_from_tokens("_toks", n))
     ).select(id_col, F.col("pos").alias("_start"), F.col("col").alias("_span"))
-    wins = wins.withColumn("_k", _span_key(F.col("_span"), key)).drop("_span")
+    wins = _reuse(
+        wins.withColumn("_k", _span_key(F.col("_span"), key)).drop("_span"),
+        reuse,
+    )
     freq = (
         wins.select(id_col, "_k")
         .distinct()

@@ -46,6 +46,7 @@ def webtext_prep(
     span_n: int = 3,
     span_min_docs: int = 2,
     gopher_kwargs: dict | None = None,
+    checkpoint_stages: bool = True,
 ) -> DataFrame:
     """Per-document decision table for the prep chain: one row per
     input document with every stage's accounting and verdict.
@@ -57,25 +58,38 @@ def webtext_prep(
     final scrubbed text; ``is_canonical`` is false for quality-dropped
     docs (they never reach dedup).
     """
-    bp = remove_boilerplate_segments(
-        docs, text_col=text_col, id_col=key_col,
-        n=boiler_n, min_docs=boiler_min_docs,
-    ).select(
-        key_col, "n_segments", "removed_segments",
-        F.col("clean_text").alias("_bp_text"),
+    # each stage output feeds several downstream consumers (the span
+    # operators fan their input into explode/totals/join branches) —
+    # lazy-checkpoint between stages or the composed lineage re-runs
+    # every upstream inverted-index pass per consumer (repo
+    # two-consumer rule); pass checkpoint_stages=False when committing
+    # each stage to storage instead (plans/pipeline.py commit_stage)
+    def _stage(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False) if checkpoint_stages else df
+
+    bp = _stage(
+        remove_boilerplate_segments(
+            docs, text_col=text_col, id_col=key_col,
+            n=boiler_n, min_docs=boiler_min_docs,
+        ).select(
+            key_col, "n_segments", "removed_segments",
+            F.col("clean_text").alias("_bp_text"),
+        )
     )
-    scrub = remove_duplicate_spans(
-        bp, text_col="_bp_text", id_col=key_col,
-        n=span_n, min_docs=span_min_docs,
-    ).select(
-        key_col, "n_segments", "removed_segments", "removed_tokens",
-        "clean_text",
+    scrub = _stage(
+        remove_duplicate_spans(
+            bp, text_col="_bp_text", id_col=key_col,
+            n=span_n, min_docs=span_min_docs,
+        ).select(
+            key_col, "n_segments", "removed_segments", "removed_tokens",
+            "clean_text",
+        )
     )
     stats = gopher_keep(
         with_repetition_stats(scrub, "clean_text"),
         **(gopher_kwargs or {}),
     )
-    printed = with_fingerprint(stats, text_col="clean_text")
+    printed = _stage(with_fingerprint(stats, text_col="clean_text"))
     canon = (
         printed.filter("keep")
         .groupBy("fingerprint")

@@ -84,6 +84,48 @@ def test_cms_partitioning_invariant(stream):
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
 
 
+def test_cms_streaming_incremental_merge(spark, tmp_path, stream):
+    """CMS maintained over a file stream via foreachBatch + cms_merge
+    equals the batch sketch over the union — the linear-sketch
+    property is what makes the operator streaming-native (per-batch
+    build, cell-wise merge, no reprocessing of history)."""
+    src = str(tmp_path / "cms_stream")
+    cp = str(tmp_path / "cms_cp")
+    half_a = stream.filter(F.col("key") < "k15")
+    half_b = stream.filter(F.col("key") >= "k15")
+    half_a.write.mode("append").parquet(src)
+
+    state = {"sketch": None}
+
+    def sink(batch_df, _bid):
+        s = cms_build(batch_df, "key", d=4, w=32)
+        state["sketch"] = (
+            s if state["sketch"] is None
+            else cms_merge(state["sketch"], s)
+        )
+        # materialize now: the next merge must not re-read this batch
+        state["sketch"] = state["sketch"].localCheckpoint(eager=True)
+
+    def run():
+        q = (
+            spark.readStream.schema("key string").parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()
+    half_b.write.mode("append").parquet(src)
+    run()
+
+    whole = cms_build(stream, "key", d=4, w=32)
+    assert {tuple(r) for r in state["sketch"].collect()} == {
+        tuple(r) for r in whole.collect()
+    }
+
+
 def test_cms_plan_jvm_side(stream):
     sketch = cms_build(stream, "key", d=3, w=16)
     plan = (

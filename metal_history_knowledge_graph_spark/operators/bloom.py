@@ -28,19 +28,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .sampling import md5_mod
+
 BLOCK_BITS = 32
 
 
 def _position(key: Column, i: int, m_bits: int) -> Column:
     """The i-th Bloom position for ``key`` in ``[0, m_bits)``."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"bloom:{i}|"), key.cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    return h % m_bits
+    return md5_mod(key, f"bloom:{i}|", m_bits)
 
 
 def _positions(key: Column, k: int, m_bits: int) -> Column:
@@ -54,7 +49,7 @@ def bloom_build(
     distinct values of ``key_col``. One explode (k rows per key) and
     one ``bit_or`` partial agg — map-side combine collapses each
     partition's blocks before the shuffle."""
-    pos = df.select(
+    pos = df.select(key_col).distinct().select(
         F.explode(_positions(F.col(key_col), k, m_bits)).alias("_pos")
     )
     return (
@@ -90,7 +85,7 @@ def bloom_probe(
     """
     probes = df.select(key_col).distinct().select(
         F.col(key_col).alias("_key"),
-        F.posexplode(_positions(F.col(key_col), k, m_bits)).alias("_i", "_pos"),
+        F.explode(_positions(F.col(key_col), k, m_bits)).alias("_pos"),
     )
     hit = (
         probes.withColumn(

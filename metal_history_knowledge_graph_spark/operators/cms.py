@@ -23,18 +23,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .sampling import md5_mod
+
 
 def _cms_col(key: Column, row: int, w: int) -> Column:
     """Column index of ``key`` in hash row ``row`` (md5-derived, 60
     hash bits, BIGINT-safe, exactly reproducible in ANSI SQL)."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"cms:{row}|"), key.cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    return h % w
+    return md5_mod(key, f"cms:{row}|", w)
+
+
+def _cells(key: Column, d: int, w: int) -> Column:
+    """The d ``struct(row, col)`` cells of ``key`` — the ONE place the
+    cell derivation lives; build and estimate must agree or every
+    estimate is silently wrong."""
+    return F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), _cms_col(key, i, w).alias("col"))
+            for i in range(d)
+        ]
+    )
 
 
 def cms_build(
@@ -43,19 +50,7 @@ def cms_build(
     """Build the sparse cell table ``(row, col, cnt)`` counting every
     input row's key (pre-aggregate duplicates upstream if the input
     carries a count column — see ``cms_build_weighted``)."""
-    cells = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        _cms_col(F.col(key_col), i, w).alias("col"),
-                    )
-                    for i in range(d)
-                ]
-            )
-        ).alias("_c")
-    )
+    cells = df.select(F.explode(_cells(F.col(key_col), d, w)).alias("_c"))
     return (
         cells.select("_c.row", "_c.col")
         .groupBy("row", "col")
@@ -74,17 +69,7 @@ def cms_build_weighted(
     per-shard word-count table already has; sums weights per cell."""
     cells = df.select(
         F.col(weight_col).alias("_w"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        _cms_col(F.col(key_col), i, w).alias("col"),
-                    )
-                    for i in range(d)
-                ]
-            )
-        ).alias("_c"),
+        F.explode(_cells(F.col(key_col), d, w)).alias("_c"),
     )
     return (
         cells.select("_c.row", "_c.col", "_w")
@@ -119,17 +104,7 @@ def cms_estimate(
     """
     probes = df.select(key_col).distinct().select(
         F.col(key_col).alias("_key"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        _cms_col(F.col(key_col), i, w).alias("col"),
-                    )
-                    for i in range(d)
-                ]
-            )
-        ).alias("_c"),
+        F.explode(_cells(F.col(key_col), d, w)).alias("_c"),
     ).select("_key", "_c.row", "_c.col")
     est = (
         probes.join(F.broadcast(sketch), ["row", "col"], "left")

@@ -34,6 +34,24 @@ from pyspark.sql import Column, DataFrame, functions as F
 BUCKETS = 1_000_000
 
 
+def md5_mod(key: Column, prefix: str, m: int, hex_chars: int = 15) -> Column:
+    """The repo's cross-engine deterministic hash: first ``hex_chars``
+    hex digits of ``md5(prefix || key)`` as a BIGINT, mod ``m`` —
+    exactly reproducible in ANSI SQL (DuckDB: ``('0x' ||
+    substr(md5(prefix || key), 1, hex_chars))::UBIGINT % m``).
+    ``hex_chars`` ≤ 15 keeps the value inside 60 bits (BIGINT-safe).
+    Shared by sampling buckets (8 hex), Bloom positions and count-min
+    columns (15 hex) so the Spark/DuckDB parity logic lives in one
+    place."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), key.cast("string"))),
+                    1, hex_chars),
+        16,
+        10,
+    ).cast("bigint")
+    return h % m
+
+
 def hash_bucket(key: Column, seed: int = 0, domain: str = "") -> Column:
     """Deterministic bucket in ``[0, BUCKETS)`` from the first 8 hex
     chars of ``md5(domain || seed || '|' || key)`` — 32 hash bits,
@@ -48,8 +66,7 @@ def hash_bucket(key: Column, seed: int = 0, domain: str = "") -> Column:
     5% sample of the train side returns zero rows), and
     ``assign_shards`` after ``hash_sample`` would concentrate the
     sample into the low shards."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{domain}{seed}|"), key.cast("string"))), 1, 8), 16, 10)
-    return h.cast("bigint") % BUCKETS
+    return md5_mod(key, f"{domain}{seed}|", BUCKETS, hex_chars=8)
 
 
 def hash_sample(df: DataFrame, key_col: str, rate: float, seed: int = 0) -> DataFrame:

@@ -41,16 +41,10 @@ from .textstats import _tokens
 
 def _word_windows(text_col: str, n: int) -> Column:
     """Overlapping ``n``-word windows (stride 1) as space-joined
-    strings; docs shorter than ``n`` words yield an empty array."""
-    toks = _tokens(F.col(text_col))
-    n_win = F.size(toks) - F.lit(n - 1)
-    return F.when(
-        n_win >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_win),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    strings; docs shorter than ``n`` words yield an empty array.
+    (Delegates to the token-array variant so window semantics live in
+    one place — see ``_word_windows_from_tokens``.)"""
+    return _word_windows_over(_tokens(F.col(text_col)), n)
 
 
 def _word_blocks(text_col: str, n: int) -> Column:
@@ -149,11 +143,13 @@ def duplicate_span_stats(
         .withColumn("dup_windows", F.coalesce(F.col("dup_windows"), F.lit(0)))
         .withColumn(
             "dup_bp",
-            F.when(
-                F.col("n_windows") > 0,
-                (10000 * F.col("dup_windows")).cast("long")
-                / F.col("n_windows"),
-            ).otherwise(F.lit(0)).cast("long"),
+            # integer `div` (not FP /): the repo's fixed-point
+            # convention, matching the DuckDB oracle's `//` exactly
+            F.expr(
+                "CASE WHEN n_windows > 0"
+                " THEN (10000 * dup_windows) div n_windows"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
         )
         .withColumn("keep", F.col("dup_bp") <= max_dup_bp)
     )
@@ -310,7 +306,12 @@ def remove_duplicate_spans(
         ).alias("clean_text"),
     )
     return (
-        df.withColumn("n_tokens", F.size(toks).cast("long"))
+        # greatest(0, ·): F.size(NULL) is -1 — a NULL-text row must
+        # account as 0 tokens, like the sibling operators
+        df.withColumn(
+            "n_tokens",
+            F.greatest(F.lit(0), F.size(toks)).cast("long"),
+        )
         .join(rebuilt, id_col, "left")
         .withColumn(
             "removed_tokens",
@@ -327,7 +328,11 @@ def _word_windows_from_tokens(tokens_col: str, n: int) -> Column:
     """Overlapping ``n``-word windows over an existing token-array
     column (empty array when shorter than ``n``); 0-based positions
     via ``posexplode`` line up with token positions."""
-    toks = F.col(tokens_col)
+    return _word_windows_over(F.col(tokens_col), n)
+
+
+def _word_windows_over(toks: Column, n: int) -> Column:
+    """The single window-builder both entry points share."""
     n_win = F.size(toks) - F.lit(n - 1)
     return F.when(
         n_win >= 1,

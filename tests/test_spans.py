@@ -176,6 +176,20 @@ def test_span_scrub_fixed_point_when_no_duplicates(docs):
     assert all(v[1] == 0 for v in out.values())
 
 
+def test_null_text_rows_account_as_zero(spark):
+    """NULL text (common in crawled corpora) must behave as an empty
+    doc in all three operators — no -1 counts from F.size(NULL)."""
+    df = spark.createDataFrame(
+        [(0, None), (1, "a b c d e f")], "doc_id int, text string"
+    )
+    s = _stats(df, n=3, min_docs=2)
+    assert s[0] == (0, 0, 0, True)
+    sc = _scrubbed(df, n=3, min_docs=2)
+    assert sc[0] == (0, 0, "")
+    b = _removed(df, n=4, min_docs=2)
+    assert b[0] == (0, 0, "")
+
+
 def test_span_scrub_hash_vs_string_identical(docs):
     assert _scrubbed(docs, key="hash") == _scrubbed(docs, key="string")
 

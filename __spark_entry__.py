@@ -1469,6 +1469,25 @@ def q_webtext_prep(spark, sf_dir):
     )
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-prep vocabulary coverage (operators/vocab.py): top-20
+    corpus vocabulary (frequency desc, lexicographic tie-break — fully
+    deterministic) and per-doc OOV accounting; the tight size forces a
+    real OOV tail so the coverage math is exercised."""
+    from metal_history_knowledge_graph_spark.operators.vocab import (
+        build_vocab,
+        vocab_coverage,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    v = build_vocab(docs, size=20)
+    return (
+        vocab_coverage(docs, v)
+        .select("doc_id", "n_tokens", "oov_tokens", "oov_bp")
+        .orderBy("doc_id")
+    )
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull a typed field out of the JSON
     props column (native get_json_object — JVM-side, no UDF) and
@@ -2140,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_probe": q_bloom_probe,
         "q_cms_estimate": q_cms_estimate,
         "q_webtext_prep": q_webtext_prep,
+        "q_vocab_coverage": q_vocab_coverage,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -3487,6 +3507,28 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1)
             SELECT doc_id, score FROM scored
             ORDER BY score DESC, doc_id LIMIT 15
+        """,
+        "q_vocab_coverage": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({toks}) AS term FROM documents),
+            counts AS (SELECT term, count(*) AS freq
+                       FROM tok GROUP BY 1),
+            vocab AS (SELECT term FROM counts
+                      ORDER BY freq DESC, term LIMIT 20),
+            per AS (
+                SELECT t.doc_id, count(*) AS n_tokens,
+                       sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                           AS oov
+                FROM tok t LEFT JOIN vocab v USING (term)
+                GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(p.oov, 0) AS BIGINT) AS oov_tokens,
+                   CAST(CASE WHEN coalesce(p.n_tokens, 0) > 0
+                        THEN (10000 * p.oov) // p.n_tokens
+                        ELSE 0 END AS BIGINT) AS oov_bp
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "q_webtext_prep": f"""
             WITH base AS (SELECT doc_id, {toks} AS w FROM documents),

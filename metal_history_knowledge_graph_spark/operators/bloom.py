@@ -66,6 +66,18 @@ def bloom_build(
     )
 
 
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Block-wise OR of two same-shape filters — Bloom filters over
+    the same (m_bits, k) are OR-mergeable, so per-shard builds combine
+    without touching the data (the streaming/incremental path; same
+    contract as cms.cms_merge)."""
+    return (
+        a.unionByName(b)
+        .groupBy("block_id")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+
+
 def bloom_probe(
     df: DataFrame,
     blocks: DataFrame,

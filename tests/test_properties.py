@@ -73,3 +73,64 @@ def test_pack_sequences_stream_invariants(spark):
         running[r["shard"]] = end_excl
     # conservation: every token accounted for exactly once
     assert sum(running.values()) == sum(t for _, t in rows)
+
+
+def _random_corpus(n_docs, seed, vocab=12, max_len=40):
+    """Word-salad corpus over a tiny vocabulary — guarantees plenty of
+    genuine cross-document span collisions."""
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    return [
+        (i, " ".join(rng.choices(words, k=rng.randint(0, max_len))))
+        for i in range(n_docs)
+    ]
+
+
+def test_span_scrub_subsequence_and_conservation(spark):
+    """remove_duplicate_spans: the scrubbed tokens are an order-
+    preserving subsequence of the normalized originals, and
+    kept + removed == n_tokens — over 200 random docs in one pass."""
+    from metal_history_knowledge_graph_spark.operators.spans import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        _random_corpus(200, seed=23), "doc_id int, text string"
+    )
+    out = remove_duplicate_spans(df, n=3, min_docs=2).collect()
+    assert len(out) == 200
+    for r in out:
+        orig = r.text.lower().split()
+        kept = r.clean_text.split() if r.clean_text else []
+        assert r.n_tokens == len(orig)
+        assert r.removed_tokens == len(orig) - len(kept)
+        it = iter(orig)
+        assert all(w in it for w in kept), f"doc {r.doc_id} not a subsequence"
+
+
+def test_boilerplate_removal_subsequence_and_bounds(spark):
+    """remove_boilerplate_segments: cleaned tokens are an order-
+    preserving subsequence; removed_segments ∈ [0, n_segments]; and
+    raising min_docs can only DECREASE the removed count."""
+    from metal_history_knowledge_graph_spark.operators.spans import (
+        remove_boilerplate_segments,
+    )
+
+    df = spark.createDataFrame(
+        _random_corpus(200, seed=31), "doc_id int, text string"
+    )
+    low = {
+        r.doc_id: r
+        for r in remove_boilerplate_segments(df, n=3, min_docs=2).collect()
+    }
+    high = {
+        r.doc_id: r
+        for r in remove_boilerplate_segments(df, n=3, min_docs=5).collect()
+    }
+    for d, r in low.items():
+        orig = r.text.lower().split()
+        kept = r.clean_text.split() if r.clean_text else []
+        assert 0 <= r.removed_segments <= r.n_segments
+        it = iter(orig)
+        assert all(w in it for w in kept)
+        assert high[d].removed_segments <= r.removed_segments

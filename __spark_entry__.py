@@ -1816,6 +1816,28 @@ def td_minhash_pairs(spark, sf_dir):
     return minhash_lsh_pairs(injected, threshold=0.9).orderBy("doc_a", "doc_b")
 
 
+def td_minhash_probe(spark, sf_dir):
+    """Incremental near-dup (dedup.minhash_probe_new): the injected
+    batch probes the base corpus's stored band table WITHOUT
+    recomputing it — the growing-corpus maintenance path. Oracle: the
+    exact cross-side Jaccard pairs (recall 1.0 here for the same
+    reason as td_minhash_pairs — the injected docs are exact copies,
+    so their shingle sets share every band bucket)."""
+    from metal_history_knowledge_graph_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_probe_new,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    index = minhash_band_table(docs)
+    return minhash_probe_new(new, index, threshold=0.9).orderBy(
+        "doc_new", "doc_old"
+    )
+
+
 #: signature export consumed by the td_simhash_pairs DuckDB oracle —
 #: written fresh by the Spark side on every call, read by the oracle SQL.
 _SIMHASH_SIG_PATH = "/tmp/kg_simhash_sig.parquet"
@@ -2160,6 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_estimate": q_cms_estimate,
         "q_webtext_prep": q_webtext_prep,
         "q_vocab_coverage": q_vocab_coverage,
+        "td_minhash_probe": td_minhash_probe,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -2651,6 +2674,21 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cosine
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "td_minhash_probe": f"""
+            WITH {_minhash_sh}
+            SELECT a.doc_id AS doc_new, b.doc_id AS doc_old,
+                   round(length(list_intersect(a.shingles, b.shingles))::DOUBLE
+                         / (length(a.shingles) + length(b.shingles)
+                            - length(list_intersect(a.shingles, b.shingles))),
+                         4) AS jaccard
+            FROM sh a JOIN sh b
+              ON a.doc_id >= 100000 AND b.doc_id < 100000
+            WHERE round(length(list_intersect(a.shingles, b.shingles))::DOUBLE
+                        / (length(a.shingles) + length(b.shingles)
+                           - length(list_intersect(a.shingles, b.shingles))),
+                        4) >= 0.9
+            ORDER BY doc_new, doc_old
         """,
         "td_minhash_pairs": f"""
             WITH {_minhash_sh}

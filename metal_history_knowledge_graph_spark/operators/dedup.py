@@ -175,30 +175,7 @@ def minhash_lsh_pairs(
         raise ValueError(
             f"bands ({bands}) must divide num_hashes ({num_hashes})"
         )
-    rows_per_band = num_hashes // bands
-    docs = df.select(
-        F.col(id_col).alias("doc"), _word_shingles(text_col, n).alias("shingles")
-    ).withColumn("set_size", F.size("shingles"))
-
-    # signature[i] = min over shingles of xxhash64(shingle, i)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, i))
-        ),
-    )
-    signed = docs.withColumn("sig", sig)
-    banded = signed.select(
-        "doc", "set_size", "shingles",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band))
-                ),
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = minhash_band_table(df, id_col, text_col, n, num_hashes, bands)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
@@ -218,6 +195,102 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """The persistable MinHash-LSH index: one row per (doc, band) with
+    ``(doc, set_size, shingles, band, bucket)``. Signatures are pure
+    per-document functions (xxhash64 with per-position seeds), so the
+    SAME document always lands in the same buckets — the property that
+    makes the index incremental (``minhash_probe_new``) and this
+    table worth storing partitioned by (band, bucket) for point-probe
+    reads. Shingle arrays ride along for the exact-Jaccard verify; a
+    deployment storing only signatures would re-read the verify pair's
+    texts instead."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
+    rows_per_band = num_hashes // bands
+    docs = df.select(
+        F.col(id_col).alias("doc"), _word_shingles(text_col, n).alias("shingles")
+    ).withColumn("set_size", F.size("shingles"))
+
+    # signature[i] = min over shingles of xxhash64(shingle, i)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, i))
+        ),
+    )
+    signed = docs.withColumn("sig", sig)
+    return signed.select(
+        "doc", "set_size", "shingles",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band))
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def minhash_probe_new(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental near-dup: probe a fresh crawl batch against an
+    EXISTING ``minhash_band_table`` index without recomputing it —
+    the growing-corpus maintenance path (sibling of simsearch.
+    ivf_assign_new). Returns ``(doc_new, doc_old, jaccard)`` verified
+    pairs, new-vs-indexed only (dedup new-vs-new with
+    ``minhash_lsh_pairs`` on the batch).
+
+    Because signatures are per-document, the candidates generated here
+    are EXACTLY the new×old candidates a full rebuild would generate —
+    pinned by test_trainingdata: probe(new, index(old)) ∪
+    pairs(new) ∪ pairs(old) == pairs(old ∪ new). The join shuffles
+    only (band, bucket) keys; with the index stored (band,
+    bucket)-partitioned this is a partition-pruned point probe per
+    batch bucket."""
+    new_banded = minhash_band_table(
+        new_df, id_col, text_col, n, num_hashes, bands
+    )
+    cand = (
+        new_banded.alias("a")
+        .join(index.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc") != F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_new"), F.col("b.doc").alias("doc_old"),
+            F.col("a.shingles").alias("sh_a"), F.col("b.shingles").alias("sh_b"),
+            F.col("a.set_size").alias("size_a"), F.col("b.set_size").alias("size_b"),
+        )
+        .dropDuplicates(["doc_new", "doc_old"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.withColumn(
+            "jaccard",
+            F.round(inter / (F.col("size_a") + F.col("size_b") - inter), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_new", "doc_old", "jaccard")
     )
 
 

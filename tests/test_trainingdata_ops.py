@@ -120,6 +120,36 @@ def test_minhash_lsh_vs_exact_jaccard(docs_with_dups):
     assert high <= lsh
 
 
+def test_minhash_probe_new_equals_rebuild(docs_with_dups, spark):
+    """Incremental path identity: probing a new batch against the old
+    corpus's stored band table finds EXACTLY the new×old pairs a full
+    rebuild finds (signatures are per-document, so banding decisions
+    are identical) — plus pairs() on each side covers within-side."""
+    old = docs_with_dups.filter(F.col("doc_id") < 10_000)
+    new = docs_with_dups.filter(F.col("doc_id") >= 10_000)
+    index = D.minhash_band_table(old)
+    probe = {
+        tuple(sorted((p.doc_new, p.doc_old)))
+        for p in D.minhash_probe_new(new, index, threshold=0.8).collect()
+    }
+    within = {
+        (p.doc_a, p.doc_b)
+        for side in (old, new)
+        for p in D.minhash_lsh_pairs(side, threshold=0.8).collect()
+    }
+    full = {
+        (p.doc_a, p.doc_b)
+        for p in D.minhash_lsh_pairs(docs_with_dups, threshold=0.8).collect()
+    }
+    assert probe | within == full
+    # probe really is the cross-side slice, not a superset
+    cross = {
+        (a, b) for a, b in full
+        if (a < 10_000) != (b < 10_000)
+    }
+    assert probe == cross
+
+
 def test_simhash_pairs(docs_with_dups):
     pairs = D.simhash_pairs(docs_with_dups, max_hamming=3).collect()
     found = {(p.doc_a, p.doc_b) for p in pairs}

@@ -1488,6 +1488,57 @@ def q_vocab_coverage(spark, sf_dir):
     )
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Crawl-to-crawl delta (operators/temporal.snapshot_diff): one
+    full-outer join on fingerprinted snapshots classifying every key
+    added / removed / changed / unchanged — the incremental-recrawl
+    planner's input. The synthetic new snapshot drops ids < 50,
+    modifies 100–129, adds 20 fresh ids."""
+    from metal_history_knowledge_graph_spark.operators.temporal import (
+        snapshot_diff,
+    )
+    from metal_history_knowledge_graph_spark.operators.textstats import (
+        with_fingerprint,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = with_fingerprint(docs)
+    new_rows = (
+        docs.filter(F.col("doc_id") >= 50)
+        .withColumn(
+            "text",
+            F.when(
+                (F.col("doc_id") >= 100) & (F.col("doc_id") < 130),
+                F.concat(F.col("text"), F.lit(" changed")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 1000).alias("doc_id"), "text"
+            )
+        )
+    )
+    new = with_fingerprint(new_rows)
+    return snapshot_diff(old, new).orderBy("doc_id")
+
+
+def q_cap_per_group(spark, sf_dir):
+    """Domain balancing (operators/sampling.cap_per_group): keep at
+    most 50 docs per source, chosen by deterministic md5-hash order —
+    the single-domain-dominance guard of a crawl mix; the hash order
+    replays exactly in DuckDB."""
+    from metal_history_knowledge_graph_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        cap_per_group(docs, "source", 50, "doc_id")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull a typed field out of the JSON
     props column (native get_json_object — JVM-side, no UDF) and
@@ -2183,6 +2234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_webtext_prep": q_webtext_prep,
         "q_vocab_coverage": q_vocab_coverage,
         "td_minhash_probe": td_minhash_probe,
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_cap_per_group": q_cap_per_group,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -3545,6 +3598,47 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1)
             SELECT doc_id, score FROM scored
             ORDER BY score DESC, doc_id LIMIT 15
+        """,
+        "q_snapshot_diff": r"""
+            WITH fp AS (
+                SELECT doc_id, text,
+                       md5(regexp_replace(lower(trim(text)), '\s+', ' ',
+                           'g')) AS fingerprint
+                FROM documents),
+            old AS (SELECT doc_id, fingerprint AS old_fp FROM fp),
+            newdocs AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id BETWEEN 100 AND 129
+                            THEN text || ' changed' ELSE text END AS text
+                FROM documents WHERE doc_id >= 50
+                UNION ALL
+                SELECT doc_id + 1000 AS doc_id, text
+                FROM documents WHERE doc_id < 20),
+            newfp AS (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(trim(text)), '\s+', ' ',
+                           'g')) AS new_fp
+                FROM newdocs)
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.old_fp IS NULL THEN 'added'
+                        WHEN n.new_fp IS NULL THEN 'removed'
+                        WHEN o.old_fp <> n.new_fp THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   o.old_fp, n.new_fp
+            FROM old o FULL OUTER JOIN newfp n ON o.doc_id = n.doc_id
+            ORDER BY doc_id
+        """,
+        "q_cap_per_group": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY CAST(('0x' || substr(md5('cap:0|'
+                               || CAST(doc_id AS VARCHAR)), 1, 15))
+                               ::UBIGINT % 1000000 AS BIGINT) ASC,
+                               doc_id ASC) AS rn
+                FROM documents)
+            WHERE rn <= 50 ORDER BY doc_id
         """,
         "q_vocab_coverage": f"""
             WITH tok AS (

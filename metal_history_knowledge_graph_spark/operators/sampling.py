@@ -28,7 +28,7 @@ first-class components).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: Hash-bucket resolution: rates are exact multiples of 1e-6.
 BUCKETS = 1_000_000
@@ -199,4 +199,34 @@ def assign_shards(
     return df.withColumn(
         "shard",
         (hash_bucket(F.col(key_col), seed, domain="shard:") % n_shards).cast("int"),
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Domain balancing: keep at most ``cap`` rows per group, chosen
+    deterministically (md5-hash order with ``key_col`` tie-break, so
+    the survivors are a stable pseudo-random subset — NOT the first
+    rows of whatever partition order the scan produced). The standard
+    guard against single-domain dominance in a crawl mix.
+
+    Partitioned window (never a global sort); the rank runs per group
+    over hash-ordered rows. Skew note: a group with 10⁹ rows makes one
+    reducer sort 10⁹ rows — pre-filter pathological groups with an
+    aggregate count gate if that regime is expected.
+    """
+    order = md5_mod(F.col(key_col), f"cap:{seed}|", BUCKETS)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order.asc(), F.col(key_col).asc())
+    )
+    return (
+        df.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= cap)
+        .drop("_r")
     )

@@ -176,3 +176,35 @@ def latest_snapshot(
         F.col(f"_best.{id_col}").alias(id_col),
         *[F.col(f"_best.{c}").alias(c) for c in payload],
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Crawl-to-crawl delta: classify every key across two snapshots as
+    ``added`` (new only), ``removed`` (old only), ``changed``
+    (both, fingerprints differ) or ``unchanged`` — the incremental-
+    recrawl planner's input (only ``added``/``changed`` re-enter the
+    pipeline; ``removed`` tombstones the store).
+
+    One full-outer hash join on the key; fingerprints (use
+    textstats.with_fingerprint) keep the compare to fixed-width
+    columns, never full texts. Output: ``(key, status, old_fp,
+    new_fp)``.
+    """
+    o = old.select(
+        F.col(key_col), F.col(fingerprint_col).alias("old_fp")
+    )
+    n = new.select(
+        F.col(key_col), F.col(fingerprint_col).alias("new_fp")
+    )
+    return o.join(n, key_col, "full_outer").withColumn(
+        "status",
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged")),
+    ).select(key_col, "status", "old_fp", "new_fp")

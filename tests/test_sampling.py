@@ -144,3 +144,22 @@ def test_composed_operators_are_independent(docs):
     shards = {r.shard for r in assign_shards(thin, "doc_id", 16, seed=0)
               .select("shard").distinct().collect()}
     assert len(shards) >= 12  # spread across shards, not the low few
+
+
+def test_cap_per_group_bounds_and_determinism(spark):
+    from metal_history_knowledge_graph_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("src"),
+    )
+    kept = cap_per_group(df, "src", 100, "doc_id")
+    sizes = {r.src: r.n for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 100 for n in sizes.values())
+    # deterministic under repartition (hash order, not scan order)
+    again = cap_per_group(df.repartition(17), "src", 100, "doc_id")
+    assert {r.doc_id for r in kept.collect()} == {r.doc_id for r in again.collect()}
+    # cap above group size keeps everything
+    assert cap_per_group(df, "src", 10_000, "doc_id").count() == 1000

@@ -185,3 +185,18 @@ def test_asof_join_ignores_null_timestamps(spark):
         left, right, "key", "ts", "eid", ["val"]).collect()}
     assert (out[1]["matched_eid"], out[1]["matched_val"]) == (200, "real")
     assert out[2]["matched_eid"] is None and out[2]["matched_val"] is None
+
+
+def test_snapshot_diff_classifies_all_states(spark):
+    from metal_history_knowledge_graph_spark.operators.temporal import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "fingerprint"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C2"), (4, "d")], ["doc_id", "fingerprint"]
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}

@@ -100,3 +100,60 @@ def contamination(
             key_col, "n_grams", "n_hit", (F.col("n_hit") > 0).alias("contaminated")
         )
     )
+
+
+def contamination_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 1 << 20,
+    k: int = 7,
+) -> DataFrame:
+    """``contamination`` for benchmark gram sets too large to
+    broadcast as strings: broadcast a Bloom BIT TABLE of the grams
+    instead (m_bits/8 bytes total, vs the raw gram strings), pre-drop
+    corpus grams the filter rejects (definitely-not-present — Bloom
+    has no false negatives), and exact-verify only the tiny surviving
+    superset against the real gram set.
+
+    Decision-identical to ``contamination`` by construction (pinned in
+    test_trainingdata_ops): the pre-filter only removes grams the
+    exact join would reject anyway. Corpus-side cost: the same one
+    narrow scan, plus k md5s per gram; the exact-verify join now
+    carries only the survivors, so the benchmark side no longer needs
+    to fit in a string broadcast.
+    """
+    from .bloom import bloom_build, bloom_probe
+
+    bench_grams = (
+        ngram_set(benchmark, key_col, text_col, n).select("gram").distinct()
+    )
+    blocks = bloom_build(bench_grams, "gram", m_bits, k)
+
+    with_grams = docs.select(
+        F.col(key_col),
+        _distinct_ngrams(F.col(text_col), n).alias("_grams"),
+    ).withColumn("n_grams", F.size("_grams").cast("long"))
+    grams = with_grams.select(key_col, F.explode("_grams").alias("gram"))
+
+    survivors = bloom_probe(
+        grams, F.broadcast(blocks), "gram", m_bits, k
+    ).filter(F.col("maybe_member")).drop("maybe_member")
+    hits = (
+        survivors.join(
+            bench_grams.withColumn("_hit", F.lit(1)), "gram", "left"
+        )
+        .groupBy(key_col)
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hit"))
+    )
+    return (
+        with_grams.select(key_col, "n_grams")
+        .join(hits, key_col, "left")
+        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)).cast("long"))
+        .select(
+            key_col, "n_grams", "n_hit",
+            (F.col("n_hit") > 0).alias("contaminated"),
+        )
+    )

@@ -490,3 +490,28 @@ def test_ivf_assign_new_matches_build_and_serves_probes(spark, embs):
     top = S.ivf_topk(union, centroids, [float(v) for v in row.embedding],
                      k=3, nprobe=2).collect()
     assert {r.vec_id for r in top} >= {2, 90002}
+
+
+def test_contamination_bloom_equals_exact(spark):
+    """The Bloom-prefiltered decontamination path is decision-identical
+    to the string-broadcast path (no false negatives ⇒ the exact
+    verify sees every true hit; the pre-filter only drops grams the
+    exact join rejects anyway)."""
+    from metal_history_knowledge_graph_spark.operators.contamination import (
+        contamination,
+        contamination_bloom,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.col("text")
+    )
+    a = {tuple(r) for r in contamination(docs, bench, n=5).collect()}
+    b = {tuple(r) for r in contamination_bloom(docs, bench, n=5).collect()}
+    assert a == b
+    # and a tight filter (guaranteed false positives) still agrees
+    c = {
+        tuple(r)
+        for r in contamination_bloom(docs, bench, n=5, m_bits=256, k=2).collect()
+    }
+    assert a == c

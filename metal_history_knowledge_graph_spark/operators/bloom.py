@@ -54,7 +54,10 @@ def bloom_build(
     )
     return (
         pos.select(
-            (F.col("_pos") / BLOCK_BITS).cast("long").alias("block_id"),
+            # integer `div`, not FP /: a double round-trip misroutes
+            # positions >= 2^53 (legal at large m_bits) off the
+            # oracle's `//`
+            F.expr(f"_pos div {BLOCK_BITS}").alias("block_id"),
             # PySpark's shiftleft() only takes a literal bit count;
             # the SQL form accepts a column
             F.expr(
@@ -101,7 +104,7 @@ def bloom_probe(
     )
     hit = (
         probes.withColumn(
-            "block_id", (F.col("_pos") / BLOCK_BITS).cast("long")
+            "block_id", F.expr(f"_pos div {BLOCK_BITS}")
         )
         .join(blocks, "block_id", "left")
         .withColumn(

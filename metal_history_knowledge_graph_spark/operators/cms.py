@@ -111,4 +111,10 @@ def cms_estimate(
         .groupBy("_key")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
     )
-    return df.join(est.withColumnRenamed("_key", key_col), key_col, "left")
+    return df.join(
+        est.withColumnRenamed("_key", key_col), key_col, "left"
+    ).withColumn(
+        # NULL keys never match the probe join-back — account them as
+        # 0, not NULL (bloom_probe makes the same choice with False)
+        out_col, F.coalesce(F.col(out_col), F.lit(0).cast("long"))
+    )

@@ -127,19 +127,33 @@ def contamination_bloom(
     """
     from .bloom import bloom_build, bloom_probe
 
+    # bench_grams feeds bloom_build AND the exact-verify join; the
+    # exploded corpus grams feed the totals agg AND the survivor path —
+    # lazy-checkpoint both so neither lineage (benchmark gram explode /
+    # the full corpus scan) runs twice (repo two-consumer rule)
     bench_grams = (
-        ngram_set(benchmark, key_col, text_col, n).select("gram").distinct()
+        ngram_set(benchmark, key_col, text_col, n)
+        .select("gram")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     blocks = bloom_build(bench_grams, "gram", m_bits, k)
 
-    with_grams = docs.select(
+    grams_all = docs.select(
         F.col(key_col),
-        _distinct_ngrams(F.col(text_col), n).alias("_grams"),
-    ).withColumn("n_grams", F.size("_grams").cast("long"))
-    grams = with_grams.select(key_col, F.explode("_grams").alias("gram"))
+        F.explode_outer(_distinct_ngrams(F.col(text_col), n)).alias("gram"),
+    ).localCheckpoint(eager=False)
+    totals = grams_all.groupBy(key_col).agg(
+        # count(gram) skips the null row a gram-less doc carries
+        F.count("gram").cast("long").alias("n_grams")
+    )
 
     survivors = bloom_probe(
-        grams, F.broadcast(blocks), "gram", m_bits, k
+        grams_all.filter(F.col("gram").isNotNull()),
+        F.broadcast(blocks),
+        "gram",
+        m_bits,
+        k,
     ).filter(F.col("maybe_member")).drop("maybe_member")
     hits = (
         survivors.join(
@@ -149,8 +163,7 @@ def contamination_bloom(
         .agg(F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hit"))
     )
     return (
-        with_grams.select(key_col, "n_grams")
-        .join(hits, key_col, "left")
+        totals.join(hits, key_col, "left")
         .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)).cast("long"))
         .select(
             key_col, "n_grams", "n_hit",

@@ -102,7 +102,7 @@ def duplicate_span_stats(
     min_docs: int = 2,
     max_dup_bp: int = 5000,
     key: str = "hash",
-    reuse: bool = False,
+    reuse: bool = True,
 ) -> DataFrame:
     """Per-document duplicated-window statistics.
 
@@ -163,7 +163,7 @@ def remove_boilerplate_segments(
     min_docs: int = 3,
     delimiter: str | None = None,
     key: str = "hash",
-    reuse: bool = False,
+    reuse: bool = True,
 ) -> DataFrame:
     """Drop segments that repeat across ``min_docs`` documents and
     reassemble the text (RefinedWeb line-dedup; CCNet paragraph hash).
@@ -173,7 +173,11 @@ def remove_boilerplate_segments(
     structure). Every occurrence of a boilerplate segment is removed —
     including from the doc that "owns" it — and the remainder is
     rejoined in original order. Docs whose segments are all
-    boilerplate stay in the output with empty ``clean_text``.
+    boilerplate stay in the output with empty ``clean_text``. EMPTY
+    segments (blank lines / consecutive delimiters) are never
+    classified boilerplate — they are structure, not content, and
+    stripping them corpus-wide would collapse the paragraph breaks of
+    otherwise-unique documents.
 
     Output: input row + ``n_segments``, ``removed_segments``,
     ``clean_text``.
@@ -182,23 +186,25 @@ def remove_boilerplate_segments(
     broadcast-unfriendly-safe hash-join of the (vocabulary-sized)
     boilerplate key set back onto the exploded segments → ordered
     array reassembly (``sort_array(collect_list(struct(pos, seg)))``,
-    partial-agg friendly; one shuffle keyed by ``id_col``).
+    partial-agg friendly; one shuffle keyed by ``id_col``). With
+    ``reuse`` (default) the per-doc SEGMENT-ARRAY frame — input-sized,
+    never the exploded table — is lazily checkpointed so the three
+    consumers re-explode from memory instead of rescanning the source.
     """
     seg_col = (
         _line_segments(text_col, delimiter)
         if delimiter is not None
         else _word_blocks(text_col, n)
     )
-    segs = _reuse(
-        df.select(F.col(id_col), F.explode(seg_col).alias("_s")).select(
-            id_col,
-            F.col("_s.pos").alias("_pos"),
-            F.col("_s.seg").alias("_seg"),
-        ).withColumn("_k", _span_key(F.col("_seg"), key)),
-        reuse,
-    )
+    arr = _reuse(df.select(F.col(id_col), seg_col.alias("_segs")), reuse)
+    segs = arr.select(id_col, F.explode("_segs").alias("_s")).select(
+        id_col,
+        F.col("_s.pos").alias("_pos"),
+        F.col("_s.seg").alias("_seg"),
+    ).withColumn("_k", _span_key(F.col("_seg"), key))
     freq = (
-        segs.select(id_col, "_k")
+        segs.filter(F.length("_seg") > 0)
+        .select(id_col, "_k")
         .distinct()
         .groupBy("_k")
         .agg(F.count(F.lit(1)).alias("_df_docs"))
@@ -244,7 +250,7 @@ def remove_duplicate_spans(
     n: int = 3,
     min_docs: int = 2,
     key: str = "hash",
-    reuse: bool = False,
+    reuse: bool = True,
 ) -> DataFrame:
     """Remove every token covered by a cross-document duplicated span
     — the remediation half of exact-substring dedup (Lee et al. 2022
@@ -272,10 +278,10 @@ def remove_duplicate_spans(
     wins = base.select(
         id_col, F.posexplode(_word_windows_from_tokens("_toks", n))
     ).select(id_col, F.col("pos").alias("_start"), F.col("col").alias("_span"))
-    wins = _reuse(
-        wins.withColumn("_k", _span_key(F.col("_span"), key)).drop("_span"),
-        reuse,
-    )
+    # wins feeds two consumers but re-explodes narrowly from the
+    # checkpointed token frame — storing the window-scale explosion
+    # would cost more than recomputing it from memory
+    wins = wins.withColumn("_k", _span_key(F.col("_span"), key)).drop("_span")
     freq = (
         wins.select(id_col, "_k")
         .distinct()

@@ -129,6 +129,26 @@ def test_boilerplate_line_mode(spark):
     assert out[2] == (2, 1, "body two")
 
 
+def test_boilerplate_blank_lines_never_classified(spark):
+    """Blank lines (consecutive delimiters / trailing newline) must
+    NEVER be removed as boilerplate even when every doc has them —
+    they are structure, not content (stripping them corpus-wide would
+    collapse paragraph breaks of otherwise-unique documents)."""
+    df = spark.createDataFrame(
+        [
+            (0, "para one zero\n\npara two zero\n"),
+            (1, "para one one\n\npara two one\n"),
+            (2, "para one two\n\npara two two\n"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = _removed(df, delimiter="\n", min_docs=3)
+    for d in range(3):
+        n_seg, removed, clean = out[d]
+        assert removed == 0
+        assert clean == df.collect()[d].text  # byte-identical round-trip
+
+
 def test_boilerplate_hash_vs_string_identical(docs):
     assert _removed(docs, key="hash") == _removed(docs, key="string")
 

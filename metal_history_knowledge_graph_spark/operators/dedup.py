@@ -380,3 +380,51 @@ def simhash_pairs(
     return simhash_pairs_from_signatures(
         simhash_signatures(df, id_col, text_col), max_hamming
     )
+
+
+def simhash_probe_new(
+    new_signed: DataFrame,
+    index_signed: DataFrame,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Incremental SimHash near-dup: probe a fresh batch's signatures
+    against a STORED (doc, simhash) signature table — every dedup
+    family's growing-corpus path (MinHash: ``minhash_probe_new``;
+    IVF: ``simsearch.ivf_assign_new``). Returns
+    ``(doc_new, doc_old, hamming)`` verified pairs, new-vs-indexed
+    only.
+
+    Signatures are per-document, so probe candidates are EXACTLY the
+    cross-side candidates a full rebuild would generate (pinned in
+    test_trainingdata_ops). Store the index chunk-exploded and
+    (chunk_pos, chunk)-partitioned and each batch probe is a
+    partition-pruned point read; the pigeonhole banding (4×16-bit
+    chunks ⊇ hamming ≤ 3) stays lossless."""
+    def _chunks(signed):
+        return signed.select(
+            "doc", "simhash",
+            F.posexplode(
+                F.array(*[
+                    F.shiftrightunsigned("simhash", k * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    for k in range(4)
+                ])
+            ).alias("chunk_pos", "chunk"),
+        )
+
+    cand = (
+        _chunks(new_signed).alias("a")
+        .join(_chunks(index_signed).alias("b"), ["chunk_pos", "chunk"])
+        .filter(F.col("a.doc") != F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_new"), F.col("b.doc").alias("doc_old"),
+            F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["doc_new", "doc_old"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_new", "doc_old", "hamming")
+    )

@@ -515,3 +515,23 @@ def test_contamination_bloom_equals_exact(spark):
         for r in contamination_bloom(docs, bench, n=5, m_bits=256, k=2).collect()
     }
     assert a == c
+
+
+def test_simhash_probe_new_equals_rebuild(docs_with_dups):
+    """Incremental SimHash identity: probing a new batch's signatures
+    against the old corpus's stored signature table finds exactly the
+    cross-side pairs a full rebuild finds."""
+    old = docs_with_dups.filter(F.col("doc_id") < 10_000)
+    new = docs_with_dups.filter(F.col("doc_id") >= 10_000)
+    index = D.simhash_signatures(old)
+    new_sigs = D.simhash_signatures(new)
+    probe = {
+        tuple(sorted((p.doc_new, p.doc_old)))
+        for p in D.simhash_probe_new(new_sigs, index, max_hamming=3).collect()
+    }
+    full = {
+        (p.doc_a, p.doc_b)
+        for p in D.simhash_pairs(docs_with_dups, max_hamming=3).collect()
+    }
+    cross = {(a, b) for a, b in full if (a < 10_000) != (b < 10_000)}
+    assert probe == cross

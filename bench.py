@@ -219,6 +219,15 @@ def default_bench() -> dict:
                 out["scaling"] = json.load(f)
         except (OSError, json.JSONDecodeError):
             pass
+    # Second north-rule datapoint: the round-3 span-dedup family
+    # (scripts/bench_spans_scaling.py writes SPANS_SCALING.json).
+    spans_path = os.path.join(REPO, "SPANS_SCALING.json")
+    if os.path.isfile(spans_path):
+        try:
+            with open(spans_path) as f:
+                out["spans_scaling"] = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass
     return out
 
 

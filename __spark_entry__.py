@@ -1539,6 +1539,60 @@ def q_cap_per_group(spark, sf_dir):
     )
 
 
+def q_within_doc_dedup(spark, sf_dir):
+    """WITHIN-document repeated-segment removal (operators/spans.
+    dedup_within_doc): first occurrence of each 2-word block kept,
+    later repeats dropped — pure per-row HOF chain, no shuffle; DuckDB
+    replays the first-position decision with list_position."""
+    from metal_history_knowledge_graph_spark.operators.spans import (
+        dedup_within_doc,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup_within_doc(docs, n=2)
+        .select(
+            "doc_id",
+            "n_segments",
+            "removed_segments",
+            F.sha2(F.col("clean_text"), 256).alias("clean_sha"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: decomposed-unicode suffix exercised by q_nfc_normalize: e+combining
+#: acute (composes), the ﬁ ligature (NFC keeps it), Hangul jamo L+V+T
+#: (compose to one syllable). Shared verbatim by the Spark query and
+#: the DuckDB oracle so both normalize the same bytes.
+_NFC_SUFFIX = " cafe\u0301 \uFB01ne \u1100\u1161\u11A8"
+
+
+def q_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization (operators/normalize.
+    normalize_unicode — Arrow-batched pandas UDF; Spark SQL has no
+    normalizer): a decomposed-unicode suffix is appended to every doc
+    and the normalized result is compared against DuckDB's
+    nfc_normalize (utf8proc) byte-for-byte via sha256 + char counts."""
+    from metal_history_knowledge_graph_spark.operators.normalize import (
+        normalize_unicode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.lit(_NFC_SUFFIX)).alias("text")
+    )
+    out = normalize_unicode(docs, "text", form="NFC", out_col="norm")
+    return (
+        out.select(
+            "doc_id",
+            F.length("text").cast("long").alias("pre_chars"),
+            F.length("norm").cast("long").alias("post_chars"),
+            F.sha2(F.col("norm"), 256).alias("norm_sha"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull a typed field out of the JSON
     props column (native get_json_object — JVM-side, no UDF) and
@@ -2236,6 +2290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_minhash_probe": td_minhash_probe,
         "q_snapshot_diff": q_snapshot_diff,
         "q_cap_per_group": q_cap_per_group,
+        "q_within_doc_dedup": q_within_doc_dedup,
+        "q_nfc_normalize": q_nfc_normalize,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -3598,6 +3654,40 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1)
             SELECT doc_id, score FROM scored
             ORDER BY score DESC, doc_id LIMIT 15
+        """,
+        "q_within_doc_dedup": f"""
+            WITH base AS (SELECT doc_id, {toks} AS w FROM documents),
+            seg AS (SELECT doc_id,
+                    list_transform(
+                        generate_series(1, CAST(ceil(len(w)/2.0) AS BIGINT)),
+                        b -> array_to_string(
+                            w[(b-1)*2+1 : least(len(w), b*2)], ' ')) AS segs
+                    FROM base),
+            kept AS (SELECT doc_id, segs,
+                            list_filter(
+                                list_transform(
+                                    generate_series(1, len(segs)),
+                                    i -> CASE WHEN list_position(segs,
+                                              segs[i]) = i
+                                         THEN segs[i] END),
+                                x -> x IS NOT NULL) AS ks
+                     FROM seg)
+            SELECT doc_id,
+                   CAST(len(segs) AS BIGINT) AS n_segments,
+                   CAST(len(segs) - len(ks) AS BIGINT) AS removed_segments,
+                   sha256(array_to_string(ks, ' ')) AS clean_sha
+            FROM kept ORDER BY doc_id
+        """,
+        "q_nfc_normalize": f"""
+            WITH t AS (
+                SELECT doc_id, text || '{_NFC_SUFFIX}' AS text
+                FROM documents)
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS pre_chars,
+                   CAST(length(nfc_normalize(text)) AS BIGINT)
+                       AS post_chars,
+                   sha256(nfc_normalize(text)) AS norm_sha
+            FROM t ORDER BY doc_id
         """,
         "q_snapshot_diff": r"""
             WITH fp AS (

@@ -360,3 +360,47 @@ def _plain_delim(delimiter: str) -> str:
         .replace("\\t", "\t")
         .replace("\\.", ".")
     )
+
+
+def dedup_within_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    delimiter: str | None = None,
+) -> DataFrame:
+    """WITHIN-document repeated-segment removal: keep the first
+    occurrence of each segment inside a doc, drop later repeats —
+    the nav-menu/sidebar-repeated-inside-one-page pass that cross-doc
+    boilerplate removal (min_docs ≥ 2 across DOCS) cannot express.
+
+    Pure per-row HOF chain (no shuffle, no join, whole-stage codegen):
+    segments → keep index i iff the first ``array_position`` of its
+    segment equals i. Empty segments are always kept (structure, not
+    content — same rule as the cross-doc operator).
+
+    Output: input row + ``n_segments``, ``removed_segments``,
+    ``clean_text``.
+    """
+    seg_col = (
+        _line_segments(text_col, delimiter)
+        if delimiter is not None
+        else _word_blocks(text_col, n)
+    )
+    joiner = " " if delimiter is None else _plain_delim(delimiter)
+    segs = F.transform(seg_col, lambda s: s["seg"])
+    kept = F.filter(
+        segs,
+        lambda s, i: (F.length(s) == 0)
+        | (F.array_position(segs, s) == i + F.lit(1)),
+    )
+    t = df.withColumn("_segs", segs).withColumn("_kept", kept)
+    return (
+        t.withColumn("n_segments", F.size("_segs").cast("long"))
+        .withColumn(
+            "removed_segments",
+            (F.size("_segs") - F.size("_kept")).cast("long"),
+        )
+        .withColumn("clean_text", F.array_join("_kept", joiner))
+        .drop("_segs", "_kept")
+    )

@@ -227,3 +227,59 @@ def test_span_plans_stay_jvm_side(docs):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "HashAggregate" in plan
+
+
+def test_dedup_within_doc_semantics(spark):
+    from metal_history_knowledge_graph_spark.operators.spans import (
+        dedup_within_doc,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "nav bar body one nav bar body two nav bar"),
+            (1, "all unique words here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.n_segments, r.removed_segments, r.clean_text)
+        for r in dedup_within_doc(df, n=2).collect()
+    }
+    # d0 blocks: [nav bar][body one][nav bar][body two][nav bar]
+    assert out[0] == (5, 2, "nav bar body one body two")
+    assert out[1] == (3, 0, "all unique words here now")
+    # line mode keeps blank lines even when repeated
+    df2 = spark.createDataFrame(
+        [(0, "a\n\nb\n\na")], ["doc_id", "text"]
+    )
+    [r] = dedup_within_doc(df2, delimiter="\n").collect()
+    assert r.clean_text == "a\n\nb\n"
+    assert r.removed_segments == 1  # only the repeated 'a'
+
+
+def test_normalize_unicode_forms(spark):
+    from metal_history_knowledge_graph_spark.operators.normalize import (
+        normalize_unicode,
+    )
+
+    rows = [
+        (0, "café"),        # composes to café
+        (1, "ﬁne"),          # ligature: NFC keeps, NFKC folds
+        (2, "각"),  # jamo → 각
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    nfc = {r.doc_id: r.text for r in normalize_unicode(df, "text").collect()}
+    assert nfc[0] == "café" and len(nfc[0]) == 4
+    assert nfc[1] == "ﬁne"
+    assert nfc[2] == "각" and len(nfc[2]) == 1
+    assert nfc[3] is None
+    nfkc = {
+        r.doc_id: r.text
+        for r in normalize_unicode(df, "text", form="NFKC").collect()
+    }
+    assert nfkc[1] == "fine"  # compatibility fold
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        normalize_unicode(df, "text", form="XX")

@@ -1593,6 +1593,44 @@ def q_nfc_normalize(spark, sf_dir):
     )
 
 
+_LM_LOGTAB_PATH = "/tmp/kg_lm_logtab.parquet"
+_LM_PARAMS_PATH = "/tmp/kg_lm_params.parquet"
+
+
+def q_lm_score(spark, sf_dir):
+    """Unigram-LM quality scoring (operators/lm_score — the
+    CCNet-style perplexity filter): train an add-one-smoothed unigram
+    LM on the even-doc_id half of the corpus, score EVERY document by
+    average NLL in integer micro-nats, gate at 9.0 nats. The odd half
+    contains genuinely out-of-vocabulary terms, so the OOV path is
+    exercised. Decision oracle (q_lsh_buckets trusted-export pattern):
+    Spark exports the tiny (freq → nll_micro) log table + the scalar
+    params row; DuckDB recomputes term frequencies INDEPENDENTLY from
+    the corpus, joins the exported log function, and must land on
+    bit-identical BIGINT sums and floor-divides (the -ln itself is
+    pinned against math.log in pytest)."""
+    from metal_history_knowledge_graph_spark.operators.lm_score import (
+        build_unigram_lm,
+        log_table,
+        score_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm, params = build_unigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    log_table(lm).coalesce(1).write.mode("overwrite").parquet(_LM_LOGTAB_PATH)
+    spark.createDataFrame(
+        [(params["total_tokens"], params["vocab_size"],
+          params["oov_nll_micro"])],
+        "total_tokens long, vocab_size long, oov_nll_micro long",
+    ).coalesce(1).write.mode("overwrite").parquet(_LM_PARAMS_PATH)
+    scored = score_documents(
+        docs, lm, params["oov_nll_micro"], keep_below_micro=9_000_000
+    )
+    return scored.select(
+        "doc_id", "lm_tokens", "nll_sum_micro", "avg_nll_micro", "lm_keep"
+    )
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull a typed field out of the JSON
     props column (native get_json_object — JVM-side, no UDF) and
@@ -2292,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cap_per_group": q_cap_per_group,
         "q_within_doc_dedup": q_within_doc_dedup,
         "q_nfc_normalize": q_nfc_normalize,
+        "q_lm_score": q_lm_score,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -3688,6 +3727,48 @@ def oracle_sql() -> dict[str, str]:
                        AS post_chars,
                    sha256(nfc_normalize(text)) AS norm_sha
             FROM t ORDER BY doc_id
+        """,
+        # LM scoring: frequencies recomputed independently; the
+        # exported (freq -> nll_micro) log function and OOV scalar are
+        # trusted exports (pytest pins them vs math.log); every sum /
+        # divide is BIGINT so the replay is bit-exact.
+        "q_lm_score": f"""
+            WITH logtab AS (
+                SELECT * FROM '{_LM_LOGTAB_PATH}/*.parquet'
+            ), p AS (
+                SELECT * FROM '{_LM_PARAMS_PATH}/*.parquet'
+            ), ttoks AS (
+                SELECT unnest({toks}) AS term
+                FROM documents WHERE doc_id % 2 = 0
+            ), counts AS (
+                SELECT term, count(*) AS freq FROM ttoks GROUP BY term
+            ), lm AS (
+                SELECT c.term, l.nll_micro
+                FROM counts c JOIN logtab l USING (freq)
+            ), dtoks AS (
+                SELECT doc_id, unnest({toks}) AS term FROM documents
+            ), per AS (
+                SELECT d.doc_id,
+                       CAST(count(*) AS BIGINT) AS lm_tokens,
+                       CAST(sum(coalesce(lm.nll_micro, p.oov_nll_micro))
+                            AS BIGINT) AS nll_sum_micro
+                FROM dtoks d
+                LEFT JOIN lm USING (term)
+                CROSS JOIN p
+                GROUP BY d.doc_id
+            )
+            SELECT doc.doc_id,
+                   coalesce(per.lm_tokens, 0) AS lm_tokens,
+                   coalesce(per.nll_sum_micro, 0) AS nll_sum_micro,
+                   CASE WHEN coalesce(per.lm_tokens, 0) > 0
+                        THEN per.nll_sum_micro // per.lm_tokens
+                        ELSE p.oov_nll_micro END AS avg_nll_micro,
+                   (CASE WHEN coalesce(per.lm_tokens, 0) > 0
+                         THEN per.nll_sum_micro // per.lm_tokens
+                         ELSE p.oov_nll_micro END) <= 9000000 AS lm_keep
+            FROM documents doc
+            LEFT JOIN per ON doc.doc_id = per.doc_id
+            CROSS JOIN p
         """,
         "q_snapshot_diff": r"""
             WITH fp AS (

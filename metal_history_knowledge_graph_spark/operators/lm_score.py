@@ -1,0 +1,143 @@
+"""Unigram language-model quality scoring — the CCNet-style
+perplexity filter of a pretraining-data pipeline: train a smoothed
+unigram LM on a reference slice of the corpus, score every document by
+its average negative log-likelihood, and gate on a threshold (junk,
+misencoded, or off-distribution text scores high).
+
+Reference parity: the reference repo gates extraction quality with
+rule scores (``scripts/validation/quality_metrics.py``); this adds the
+corpus-LM filter a 100 TB web-text pipeline needs before training.
+
+Determinism / oracle design: all cross-engine arithmetic is INTEGER.
+``-ln(P)`` is computed once, in Spark, per *distinct frequency value*
+(micro-nats, ``round(-ln(P)·1e6)`` as BIGINT) and exported as a tiny
+``(freq → nll_micro)`` log table; document scores are pure BIGINT sums
+and floor-divides over that table, so a DuckDB oracle that recomputes
+term frequencies independently and joins the exported log table lands
+on bit-identical scores (the q_lsh_buckets trusted-export pattern —
+the log function itself is pinned against ``math.log`` in pytest).
+
+Scale shape (100 TB): LM build is one explode + partial-agg word
+count; the LM is vocabulary-sized (corpus-bound, ~10⁵–10⁷ rows) so
+scoring is a narrow explode → broadcast join → per-doc partial agg.
+Nothing driver-side, no corpus-wide sort, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import _tokens
+
+#: micro-nats scale: 1e6 · nats, rounded — BIGINT everywhere after this
+MICRO = 1_000_000
+
+
+def build_unigram_lm(
+    df: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, dict]:
+    """Train an add-one-smoothed unigram LM.
+
+    Returns ``(lm, params)``:
+
+    * ``lm`` — ``(term, freq, nll_micro)``; ``nll_micro =
+      round(-ln((freq+1)/(total+V+1)) · 1e6)`` as BIGINT.
+    * ``params`` — ``{"total_tokens", "vocab_size", "oov_nll_micro"}``
+      where the OOV cost is the freq=0 smoothed mass
+      ``round(-ln(1/(total+V+1)) · 1e6)``.
+
+    The two scalar stats are a single tiny aggregate row (collected —
+    two BIGINTs, not data); the per-term log is evaluated JVM-side on
+    the vocabulary-sized count table.
+    """
+    counts = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    stats = counts.agg(
+        F.coalesce(F.sum("freq"), F.lit(0)).alias("total"),
+        F.count(F.lit(1)).alias("vocab"),
+    ).head()
+    total, vocab = int(stats["total"]), int(stats["vocab"])
+    denom = float(total + vocab + 1)
+    lm = counts.withColumn(
+        "nll_micro",
+        F.round(-F.log((F.col("freq") + 1) / F.lit(denom)) * MICRO)
+        .cast("long"),
+    )
+    import math
+
+    # HALF_UP to match Spark's F.round (Python round() is banker's)
+    oov = math.floor(-math.log(1.0 / denom) * MICRO + 0.5)
+    return lm, {
+        "total_tokens": total,
+        "vocab_size": vocab,
+        "oov_nll_micro": int(oov),
+    }
+
+
+def log_table(lm: DataFrame) -> DataFrame:
+    """The oracle-facing projection of an LM: distinct
+    ``(freq, nll_micro)`` rows — the pure ``freq ↦ -ln P`` function as
+    a table, at most one row per distinct frequency value (≪ vocab)."""
+    return lm.select("freq", "nll_micro").distinct()
+
+
+def score_documents(
+    df: DataFrame,
+    lm: DataFrame,
+    oov_nll_micro: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_below_micro: int = 9 * MICRO,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Per-document average NLL under ``lm`` (micro-nats, exact
+    integer arithmetic) plus a keep/drop gate.
+
+    Adds ``lm_tokens`` (BIGINT), ``nll_sum_micro`` (BIGINT),
+    ``avg_nll_micro`` (BIGINT, floor-divide; empty/NULL docs score the
+    OOV cost — "no evidence" is maximal uncertainty, not free), and
+    ``lm_keep = avg_nll_micro <= keep_below_micro``.
+
+    Plan: explode → (broadcast) left join on term → one per-doc
+    partial agg → join back onto the input. Set
+    ``broadcast_lm=False`` when the vocabulary exceeds the broadcast
+    budget (sort-merge on the exploded side still shuffles only
+    (term) keys of token rows, never documents).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    side = lm.select("term", "nll_micro")
+    if broadcast_lm:
+        side = F.broadcast(side)
+    per = (
+        toks.join(side, "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("lm_tokens"),
+            F.sum(F.coalesce(F.col("nll_micro"), F.lit(int(oov_nll_micro))))
+            .cast("long")
+            .alias("nll_sum_micro"),
+        )
+    )
+    out = (
+        df.join(per, id_col, "left")
+        .withColumn("lm_tokens", F.coalesce(F.col("lm_tokens"), F.lit(0)))
+        .withColumn(
+            "nll_sum_micro", F.coalesce(F.col("nll_sum_micro"), F.lit(0))
+        )
+        .withColumn(
+            "avg_nll_micro",
+            F.expr(
+                f"CASE WHEN lm_tokens > 0 THEN nll_sum_micro div lm_tokens"
+                f" ELSE CAST({int(oov_nll_micro)} AS BIGINT) END"
+            ),
+        )
+    )
+    return out.withColumn(
+        "lm_keep", F.col("avg_nll_micro") <= F.lit(int(keep_below_micro))
+    )

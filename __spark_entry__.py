@@ -1631,6 +1631,22 @@ def q_lm_score(spark, sf_dir):
     )
 
 
+def q_prefix_join(spark, sf_dir):
+    """EXACT set-similarity self-join via prefix filtering
+    (operators/dedup.prefix_filter_pairs — the All-Pairs/PPJoin
+    scheme): provably returns EVERY pair with word-set Jaccard ≥ 0.5
+    while indexing only document-frequency-ordered prefixes, the
+    exact-recall complement to the MinHash/SimHash LSH families.
+    Oracle: brute-force all-pairs Jaccard over the full table — any
+    candidate-generation recall bug shows up as a missing row."""
+    from metal_history_knowledge_graph_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_filter_pairs(docs, threshold=0.5)
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull a typed field out of the JSON
     props column (native get_json_object — JVM-side, no UDF) and
@@ -2331,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_within_doc_dedup": q_within_doc_dedup,
         "q_nfc_normalize": q_nfc_normalize,
         "q_lm_score": q_lm_score,
+        "q_prefix_join": q_prefix_join,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -3727,6 +3744,25 @@ def oracle_sql() -> dict[str, str]:
                        AS post_chars,
                    sha256(nfc_normalize(text)) AS norm_sha
             FROM t ORDER BY doc_id
+        """,
+        # exact all-pairs baseline: the prefix-filtered join must
+        # reproduce it row-for-row (filter on the UNROUNDED ratio on
+        # both sides; int/int double division is bit-identical)
+        "q_prefix_join": f"""
+            WITH d AS (
+                SELECT doc_id, list_distinct({toks}) AS words
+                FROM documents
+                WHERE {toks} IS NOT NULL AND length({toks}) > 0
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(length(list_intersect(a.words, b.words))::DOUBLE
+                         / (length(a.words) + length(b.words)
+                            - length(list_intersect(a.words, b.words))),
+                         4) AS jaccard
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+            WHERE length(list_intersect(a.words, b.words))::DOUBLE
+                  / (length(a.words) + length(b.words)
+                     - length(list_intersect(a.words, b.words))) >= 0.5
         """,
         # LM scoring: frequencies recomputed independently; the
         # exported (freq -> nll_micro) log function and OOV scalar are

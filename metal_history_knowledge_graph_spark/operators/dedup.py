@@ -428,3 +428,88 @@ def simhash_probe_new(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_new", "doc_old", "hamming")
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT word-set similarity join via prefix filtering (the
+    All-Pairs / PPJoin family, Bayardo WWW'07 / Xiao WWW'08): returns
+    every pair with word-set Jaccard ≥ ``threshold`` — no LSH recall
+    loss — without the O(n²) scan.
+
+    Principle: order every document's word set by ascending corpus
+    document-frequency (rarest first; ties lexicographic — a total
+    order). If J(x,y) ≥ t then |x∩y| ≥ ⌈t·|x|⌉, so x and y must share
+    a token inside their first ``|·| − ⌈t·|·|⌉ + 1`` tokens; indexing
+    only those prefixes yields a candidate set that provably contains
+    all true pairs, then one exact array-intersect verify per
+    candidate. A size filter (t·|x| ≤ |y| ≤ |x|/t, implied by J ≥ t)
+    prunes candidates before the verify.
+
+    Scale shape (100 TB): one corpus-bound doc-frequency aggregate,
+    one per-doc array sort (narrow), and a postings self-join that
+    shuffles ONLY prefix tokens — and because the order puts the
+    rarest tokens in prefixes, hot tokens enter postings only for
+    docs that contain almost nothing else (the classic bound), so the
+    join keys are long-tail by construction. The final filter is on
+    the UNROUNDED ratio so the operator's output is set-identical to
+    the brute-force definition (the driver oracle is exact all-pairs).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    docterms = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(toks)).alias("term"),
+    )
+    dfreq = docterms.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    ordered = (
+        docterms.join(dfreq, "term")
+        .groupBy("doc")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dfreq", "term"))
+            ).alias("okey"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        .select(
+            "doc", "sz",
+            F.transform(F.col("okey"), lambda s: s["term"]).alias("words"),
+        )
+    )
+    p_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    postings = ordered.select(
+        "doc", "sz", "words",
+        F.explode(F.slice(F.col("words"), 1, p_len)).alias("term"),
+    )
+    a, b = postings.alias("a"), postings.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("b.sz") >= threshold * F.col("a.sz"))
+            & (F.col("a.sz") >= threshold * F.col("b.sz")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+            F.col("a.words").alias("wa"), F.col("b.words").alias("wb"),
+            F.col("a.sz").alias("sa"), F.col("b.sz").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
+    jac = inter / (F.col("sa") + F.col("sb") - inter)
+    return (
+        cands.withColumn("_j", jac)
+        .filter(F.col("_j") >= threshold)
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("_j"), 4).alias("jaccard"),
+        )
+    )

@@ -1647,6 +1647,86 @@ def q_prefix_join(spark, sf_dir):
     return prefix_filter_pairs(docs, threshold=0.5)
 
 
+def _kcore_edges(spark, sf_dir):
+    """Derived graph for the k-core query: the standard functional
+    graph PLUS a circulant layer over multiples of 5 (src→src+5/10/
+    15/20 mod N), so the multiples-of-5 subgraph is denser and the
+    core decomposition is genuinely layered (uniform cores would let
+    an H-operator bug hide behind a constant answer)."""
+    n = _GRAPH_N
+    base = _derived_edges(spark, sf_dir)
+    dense = base.select("src").distinct().filter(F.col("src") % 5 == 0)
+    extra = None
+    for k in (5, 10, 15, 20):
+        ek = dense.select("src", ((F.col("src") + k) % n).alias("dst"))
+        extra = ek if extra is None else extra.unionByName(ek)
+    return (
+        base.unionByName(extra)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def q_kcore(spark, sf_dir):
+    """k-core decomposition (operators/graph_algos.core_numbers):
+    h-index iteration from degrees — monotone, order-free, fixed
+    point = core number — so 10 fixed rounds replay bit-exactly in
+    the chained-CTE DuckDB oracle (the classic peel has an arbitrary
+    visit order no two engines would agree on). Integer-only values;
+    raises if the trajectory is still moving after round 10."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        core_numbers,
+    )
+
+    e = _kcore_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    )
+    return core_numbers(e, n_rounds=10).orderBy("node_id")
+
+
+def _kcore_oracle(n_rounds: int = 10) -> str:
+    """Chained-CTE replay of core_numbers: h0 = undirected degree,
+    h_k = per-node H-operator of neighbour values — expressed as
+    max(least(row_number-over-desc-values, value)), the same
+    sort-rank formulation the Spark side uses (no arrays), all
+    BIGINT."""
+    ctes = [
+        f"WITH {_DERIVED_EDGES_SQL}",
+        (
+            "kc_extra AS (\n"
+            "  SELECT src, (src + 5) % 500 AS dst FROM nodes WHERE src % 5 = 0\n"
+            "  UNION SELECT src, (src + 10) % 500 FROM nodes WHERE src % 5 = 0\n"
+            "  UNION SELECT src, (src + 15) % 500 FROM nodes WHERE src % 5 = 0\n"
+            "  UNION SELECT src, (src + 20) % 500 FROM nodes WHERE src % 5 = 0\n"
+            ")"
+        ),
+        (
+            "kc_edges AS (SELECT src, dst FROM "
+            "(SELECT * FROM edges UNION SELECT * FROM kc_extra) "
+            "WHERE src <> dst)"
+        ),
+        (
+            "und AS (SELECT src AS a, dst AS b FROM kc_edges "
+            "UNION SELECT dst, src FROM kc_edges)"
+        ),
+        "h0 AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS h FROM und GROUP BY 1)",
+    ]
+    for k in range(1, n_rounds + 1):
+        ctes.append(
+            f"h{k} AS (\n"
+            f"  SELECT a AS node, CAST(max(least(rn, hv)) AS BIGINT) AS h FROM (\n"
+            f"    SELECT u.a, p.h AS hv,\n"
+            f"           row_number() OVER (PARTITION BY u.a ORDER BY p.h DESC, u.b) AS rn\n"
+            f"    FROM und u JOIN h{k - 1} p ON u.b = p.node\n"
+            f"  ) GROUP BY a\n"
+            f")"
+        )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT node AS node_id, h AS core FROM h{n_rounds} ORDER BY node_id"
+    )
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull a typed field out of the JSON
     props column (native get_json_object — JVM-side, no UDF) and
@@ -2348,6 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nfc_normalize": q_nfc_normalize,
         "q_lm_score": q_lm_score,
         "q_prefix_join": q_prefix_join,
+        "q_kcore": q_kcore,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -3764,6 +3845,9 @@ def oracle_sql() -> dict[str, str]:
                   / (length(a.words) + length(b.words)
                      - length(list_intersect(a.words, b.words))) >= 0.5
         """,
+        # k-core: full h-index trajectory replayed round-by-round in
+        # chained CTEs — integer-only, order-free (see _kcore_oracle)
+        "q_kcore": _kcore_oracle(n_rounds=10),
         # LM scoring: frequencies recomputed independently; the
         # exported (freq -> nll_micro) log function and OOV scalar are
         # trusted exports (pytest pins them vs math.log); every sum /

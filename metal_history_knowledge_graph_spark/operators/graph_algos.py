@@ -471,3 +471,77 @@ def path_length_distribution(
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("hops")
     )
+
+
+def core_numbers(
+    edges: DataFrame, n_rounds: int = 10, check_convergence: bool = True
+) -> DataFrame:
+    """k-core decomposition: (node_id, core) where ``core`` is the
+    largest k such that the node survives in the k-core (the maximal
+    subgraph where every node has undirected degree ≥ k).
+
+    Algorithm: h-index iteration (Lü/Zhou/Zhang/Stanley, Nature
+    Communications 2016) — start every node at its degree, then
+    repeatedly replace each node's value with the H-operator of its
+    neighbours' values (the largest h such that ≥ h neighbours hold
+    value ≥ h). Started from degrees the sequence is monotonically
+    non-increasing and its fixed point IS the core number, so a fixed
+    number of rounds replays bit-exactly on any engine — no peeling
+    order to agree on, which is what makes the exact DuckDB oracle
+    possible (the classic sequential peel visits min-degree nodes in
+    an arbitrary order).
+
+    Scale shape (100 TB graphs): per round one node-keyed hash join of
+    the symmetrized edge table against the node-sized value table and
+    one window rank partitioned by node — the H-operator is computed
+    as max(least(rank, value)) over neighbours sorted by value desc,
+    never a per-node collect_list (a hub with 10^7 neighbours would
+    OOM an array; a sort-based window just spills). localCheckpoint
+    per round truncates the iterative lineage.
+
+    Reference analogue: the graph-metrics density/centrality family
+    (scripts/analysis/graph_metrics.py) — core structure as an
+    iterative relational plan instead of a NetworkX call.
+
+    Raises on non-convergence within ``n_rounds`` (one extra
+    comparison round) rather than returning values that are still
+    upper bounds.
+    """
+    from pyspark.sql import Window
+
+    und = (
+        _undirected_pairs(edges)
+        .select("a", "b")
+        .unionByName(_undirected_pairs(edges).select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = und.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("h"))
+    prev = None
+    w = Window.partitionBy("a").orderBy(F.desc("hv"), "b")
+    for _ in range(n_rounds):
+        nb = und.join(
+            h.select(F.col("a").alias("b"), F.col("h").alias("hv")), "b"
+        )
+        prev = h
+        h = (
+            nb.select(
+                "a",
+                F.least(F.row_number().over(w).cast("long"), F.col("hv")).alias("m"),
+            )
+            .groupBy("a")
+            .agg(F.max("m").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    if check_convergence and prev is not None:
+        n_changed = (
+            h.join(prev.select(F.col("a"), F.col("h").alias("h_prev")), "a")
+            .filter(F.col("h") != F.col("h_prev"))
+            .count()
+        )
+        if n_changed:
+            raise RuntimeError(
+                f"core_numbers: {n_changed} nodes still changing after "
+                f"{n_rounds} rounds — raise n_rounds"
+            )
+    return h.select(F.col("a").alias("node_id"), F.col("h").alias("core"))

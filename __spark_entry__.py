@@ -481,6 +481,7 @@ _LSH_TOPK_PLANES_PATH = "/tmp/kg_lsh_topk_planes.parquet"
 _NEARDUP_PLANES_PATH = "/tmp/kg_neardup_planes.parquet"
 _IVF_CENTROIDS_PATH = "/tmp/kg_ivf_centroids.parquet"
 _IVF_ASSIGN_PATH = "/tmp/kg_ivf_assign.parquet"
+_PQ_CODEBOOK_PATH = "/tmp/kg_pq_codebook.parquet"
 
 
 def q_lsh_buckets(spark, sf_dir):
@@ -789,6 +790,32 @@ def td_ivf_topk(spark, sf_dir):
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+def td_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (operators/pq.py) with a FULL
+    decision oracle: only the trained codebook (4 subspaces × 16
+    centroids — itself deterministic, pinned by test_pq) is exported;
+    DuckDB then replays the entire search — unit normalization,
+    per-subspace nearest-centroid ENCODING (argmin over bit-exact
+    squared-L2 left-folds, ties → smallest code), the query's ADC
+    lookup table, and the subspace-ordered score fold — and must
+    reproduce the same top-10. Completes the ANN ladder: brute-force
+    → hyperplane LSH → IVF → PQ."""
+    from metal_history_knowledge_graph_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    embs, q = _embs_query0(spark, sf_dir)
+    books = pq_train(embs, m=4, ks=16, n_iters=2)
+    spark.createDataFrame(
+        [(s, c, books[s][c]) for s in range(4) for c in range(16)],
+        "sub int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(_PQ_CODEBOOK_PATH)
+    codes = pq_encode(embs, books)
+    return pq_topk(codes, books, q, k=10)
 
 
 def q_neardup_bands(spark, sf_dir):
@@ -2429,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_score": q_lm_score,
         "q_prefix_join": q_prefix_join,
         "q_kcore": q_kcore,
+        "td_pq_topk": td_pq_topk,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -3338,6 +3366,60 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN q
             ORDER BY cosine DESC, e.vec_id
             LIMIT 10
+        """,
+        # PQ/ADC full replay: only the codebook is exported; encoding
+        # (argmin over bit-exact squared-L2 left-folds, ties → lowest
+        # code), the query LUT, and the subspace-ordered score fold
+        # are all recomputed in SQL. ds=16 (d=64, m=4).
+        "td_pq_topk": f"""
+            WITH cb AS (
+                SELECT * FROM '{_PQ_CODEBOOK_PATH}/*.parquet'
+            ), q AS (
+                SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+            ), qn AS (
+                SELECT list_transform(qv, x -> x / sqrt(list_reduce(
+                           list_prepend(0.0, list_transform(qv, y -> y * y)),
+                           (a, b) -> a + b))) AS qu
+                FROM q
+            ), unitv AS (
+                SELECT vec_id,
+                       list_transform(v, x -> x / sqrt(list_reduce(
+                           list_prepend(0.0, list_transform(v, y -> y * y)),
+                           (a, b) -> a + b))) AS u
+                FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            ), dists AS (
+                SELECT uv.vec_id, cb.sub, cb.code,
+                       list_reduce(list_prepend(0.0, list_transform(
+                           generate_series(1, 16),
+                           i -> (uv.u[cb.sub * 16 + i] - cb.centroid[i])
+                              * (uv.u[cb.sub * 16 + i] - cb.centroid[i]))),
+                           (a, b) -> a + b) AS dist
+                FROM unitv uv, cb
+            ), assigned AS (
+                SELECT vec_id, sub, code FROM (
+                    SELECT vec_id, sub, code,
+                           row_number() OVER (
+                               PARTITION BY vec_id, sub
+                               ORDER BY dist ASC, code ASC) AS rk
+                    FROM dists) WHERE rk = 1
+            ), lut AS (
+                SELECT cb.sub, cb.code,
+                       list_reduce(list_prepend(0.0, list_transform(
+                           generate_series(1, 16),
+                           i -> qn.qu[cb.sub * 16 + i] * cb.centroid[i])),
+                           (a, b) -> a + b) AS val
+                FROM cb, qn
+            ), scores AS (
+                SELECT a.vec_id,
+                       list_reduce(
+                           list_prepend(0.0, list(l.val ORDER BY a.sub)),
+                           (x, y) -> x + y) AS s
+                FROM assigned a
+                JOIN lut l ON a.sub = l.sub AND a.code = l.code
+                GROUP BY a.vec_id
+            )
+            SELECT vec_id, round(s, 4) AS adc_score
+            FROM scores ORDER BY adc_score DESC, vec_id LIMIT 10
         """,
         # Multi-table OR-banded near-dup decision replay: unit
         # normalization, per-table sign buckets over the EXPORTED

@@ -482,6 +482,8 @@ _NEARDUP_PLANES_PATH = "/tmp/kg_neardup_planes.parquet"
 _IVF_CENTROIDS_PATH = "/tmp/kg_ivf_centroids.parquet"
 _IVF_ASSIGN_PATH = "/tmp/kg_ivf_assign.parquet"
 _PQ_CODEBOOK_PATH = "/tmp/kg_pq_codebook.parquet"
+_IVFPQ_CENT_PATH = "/tmp/kg_ivfpq_centroids.parquet"
+_IVFPQ_CB_PATH = "/tmp/kg_ivfpq_codebook.parquet"
 
 
 def q_lsh_buckets(spark, sf_dir):
@@ -816,6 +818,38 @@ def td_pq_topk(spark, sf_dir):
     ).coalesce(1).write.mode("overwrite").parquet(_PQ_CODEBOOK_PATH)
     codes = pq_encode(embs, books)
     return pq_topk(codes, books, q, k=10)
+
+
+def td_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed search (operators/pq.ivfpq_build/ivfpq_topk —
+    the Faiss IVFx,PQy shape: coarse k-means lists + shared
+    residual-PQ codebook, score = q·c_list + ADC(residual)). Exports
+    ONLY the two model tables (8 coarse centroids, 4×16 residual
+    codebook); DuckDB replays everything downstream — normalization,
+    coarse assignment (argmax-dot, ties → smallest cluster), residual
+    computation, residual encoding (argmin squared-L2, ties →
+    smallest code), probe selection, the query LUT, and the base +
+    subspace-ordered score fold. The deepest decision oracle in the
+    ANN family: a bug anywhere in the composed path breaks the
+    top-10."""
+    from metal_history_knowledge_graph_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_topk,
+    )
+
+    embs, q = _embs_query0(spark, sf_dir)
+    centroids, books, enc = ivfpq_build(
+        embs, n_centroids=8, coarse_iters=2, m=4, ks=16, pq_iters=2
+    )
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(_IVFPQ_CENT_PATH)
+    spark.createDataFrame(
+        [(s, c, books[s][c]) for s in range(4) for c in range(16)],
+        "sub int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(_IVFPQ_CB_PATH)
+    return ivfpq_topk(enc, centroids, books, q, k=10, nprobe=3)
 
 
 def q_neardup_bands(spark, sf_dir):
@@ -2457,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prefix_join": q_prefix_join,
         "q_kcore": q_kcore,
         "td_pq_topk": td_pq_topk,
+        "td_ivfpq_topk": td_ivfpq_topk,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -3417,6 +3452,96 @@ def oracle_sql() -> dict[str, str]:
                 FROM assigned a
                 JOIN lut l ON a.sub = l.sub AND a.code = l.code
                 GROUP BY a.vec_id
+            )
+            SELECT vec_id, round(s, 4) AS adc_score
+            FROM scores ORDER BY adc_score DESC, vec_id LIMIT 10
+        """,
+        # IVF-PQ full replay: coarse assignment, residuals, residual
+        # encoding, probe selection, LUT, and base+ADC scoring all
+        # recomputed in SQL from the two exported model tables.
+        # d=64, m=4, ds=16, n_centroids=8, nprobe=3.
+        "td_ivfpq_topk": f"""
+            WITH cent AS (
+                SELECT * FROM '{_IVFPQ_CENT_PATH}/*.parquet'
+            ), cb AS (
+                SELECT * FROM '{_IVFPQ_CB_PATH}/*.parquet'
+            ), q AS (
+                SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+            ), qn AS (
+                SELECT list_transform(qv, x -> x / sqrt(list_reduce(
+                           list_prepend(0.0, list_transform(qv, y -> y * y)),
+                           (a, b) -> a + b))) AS qu
+                FROM q
+            ), unitv AS (
+                SELECT vec_id,
+                       list_transform(v, x -> x / sqrt(list_reduce(
+                           list_prepend(0.0, list_transform(v, y -> y * y)),
+                           (a, b) -> a + b))) AS u
+                FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            ), coarse_dots AS (
+                SELECT uv.vec_id, c.cluster,
+                       list_reduce(list_prepend(0.0, list_transform(
+                           generate_series(1, 64),
+                           i -> uv.u[i] * c.centroid[i])),
+                           (a, b) -> a + b) AS dot
+                FROM unitv uv, cent c
+            ), assigned AS (
+                SELECT vec_id, cluster FROM (
+                    SELECT vec_id, cluster,
+                           row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dot DESC, cluster ASC) AS rk
+                    FROM coarse_dots) WHERE rk = 1
+            ), base AS (
+                SELECT c.cluster,
+                       list_reduce(list_prepend(0.0, list_transform(
+                           generate_series(1, 64),
+                           i -> qn.qu[i] * c.centroid[i])),
+                           (a, b) -> a + b) AS b
+                FROM cent c, qn
+            ), probe AS (
+                SELECT cluster FROM (
+                    SELECT cluster, row_number() OVER (
+                        ORDER BY b DESC, cluster ASC) AS rk
+                    FROM base) WHERE rk <= 3
+            ), resid AS (
+                SELECT uv.vec_id, a.cluster,
+                       list_transform(generate_series(1, 64),
+                           i -> uv.u[i] - c.centroid[i]) AS r
+                FROM unitv uv
+                JOIN assigned a ON uv.vec_id = a.vec_id
+                JOIN cent c ON a.cluster = c.cluster
+            ), dists AS (
+                SELECT rs.vec_id, cb.sub, cb.code,
+                       list_reduce(list_prepend(0.0, list_transform(
+                           generate_series(1, 16),
+                           i -> (rs.r[cb.sub * 16 + i] - cb.centroid[i])
+                              * (rs.r[cb.sub * 16 + i] - cb.centroid[i]))),
+                           (a, b) -> a + b) AS dist
+                FROM resid rs, cb
+            ), codes AS (
+                SELECT vec_id, sub, code FROM (
+                    SELECT vec_id, sub, code,
+                           row_number() OVER (PARTITION BY vec_id, sub
+                               ORDER BY dist ASC, code ASC) AS rk
+                    FROM dists) WHERE rk = 1
+            ), lut AS (
+                SELECT cb.sub, cb.code,
+                       list_reduce(list_prepend(0.0, list_transform(
+                           generate_series(1, 16),
+                           i -> qn.qu[cb.sub * 16 + i] * cb.centroid[i])),
+                           (a, b) -> a + b) AS val
+                FROM cb, qn
+            ), scores AS (
+                SELECT cd.vec_id,
+                       any_value(bs.b) + list_reduce(
+                           list_prepend(0.0, list(l.val ORDER BY cd.sub)),
+                           (x, y) -> x + y) AS s
+                FROM codes cd
+                JOIN assigned a ON cd.vec_id = a.vec_id
+                JOIN probe p ON a.cluster = p.cluster
+                JOIN base bs ON a.cluster = bs.cluster
+                JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
+                GROUP BY cd.vec_id
             )
             SELECT vec_id, round(s, 4) AS adc_score
             FROM scores ORDER BY adc_score DESC, vec_id LIMIT 10

@@ -67,6 +67,7 @@ def pq_train(
     n_iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    normalize: bool = True,
 ) -> list[list[list[float]]]:
     """Learn ``m`` per-subspace codebooks of ``ks`` centroids each by
     classic (Euclidean) k-means over the unit vectors' subvectors.
@@ -82,10 +83,19 @@ def pq_train(
     Deterministic: init = the ``ks`` smallest-id vectors' subvectors;
     assignment ties → smallest code (array_position returns the FIRST
     minimum); empty codes keep their previous centroid.
+
+    ``normalize=False`` trains on the raw vectors — the residual-PQ
+    path of ivfpq_build, where inputs are (unit − coarse-centroid)
+    residuals that must NOT be re-normalized.
     """
-    normed = with_l2_normalized(df, vec_col).select(
-        F.col(id_col).alias("_id"), "unit_vec"
-    )
+    if normalize:
+        normed = with_l2_normalized(df, vec_col).select(
+            F.col(id_col).alias("_id"), "unit_vec"
+        )
+    else:
+        normed = df.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("unit_vec")
+        )
     head = normed.select(F.size("unit_vec").alias("d")).head()
     if head is None:
         raise ValueError("pq_train: empty input")
@@ -142,6 +152,8 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    normalize: bool = True,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, codes array<int>) — each vector's unit form quantized to
     its nearest centroid per subspace (same argmin/tie rule as
@@ -165,10 +177,12 @@ def pq_encode(
         dists_all,
         lambda dv: (F.array_position(dv, F.array_min(dv)) - 1).cast("int"),
     )
-    return (
+    src = (
         with_l2_normalized(df, vec_col)
-        .select(id_col, codes.alias("codes"))
+        if normalize
+        else df.withColumn("unit_vec", F.col(vec_col))
     )
+    return src.select(id_col, *extra_cols, codes.alias("codes"))
 
 
 def pq_lut(
@@ -246,3 +260,103 @@ def pq_reconstruct(
         )
     )
     return codes_df.select(id_col, approx.alias("approx_vec"))
+
+
+def ivfpq_build(
+    df: DataFrame,
+    n_centroids: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    ks: int = 16,
+    pq_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], list[list[list[float]]], DataFrame]:
+    """IVF-PQ (the Faiss ``IVFx,PQy`` composition): coarse-quantize
+    with the IVF spherical k-means, then product-quantize the
+    RESIDUALS (unit_vec − coarse_centroid) with one codebook shared
+    across lists. Residual encoding is what makes IVF-PQ beat flat PQ:
+    residual magnitudes are a fraction of unit-vector magnitudes, so
+    the same ks spends its codes on a much smaller cell.
+
+    Returns ``(centroids, codebooks, enc)`` where ``enc`` is
+    (id, cluster, codes) — at scale written partitioned by ``cluster``
+    so probes are partition-pruned scans of 8-byte codes.
+
+    Exact-score identity (pinned in test_pq): for a unit query q,
+    q·(c_l + r̂) = q·c_l + Σ_s q_s·r̂_s — a per-list constant plus the
+    shared ADC lookup, which is how ivfpq_topk scores without ever
+    reconstructing.
+    """
+    from .simsearch import ivf_build
+
+    centroids, assigned = ivf_build(
+        df, n_centroids=n_centroids, n_iters=coarse_iters,
+        vec_col=vec_col, id_col=id_col,
+    )
+    cent_lit = F.array(*[
+        F.array(*[F.lit(float(v)) for v in c]) for c in centroids
+    ])
+    resid_df = with_l2_normalized(assigned, vec_col).select(
+        id_col,
+        "cluster",
+        F.zip_with(
+            F.col("unit_vec"),
+            F.element_at(cent_lit, F.col("cluster") + 1),
+            lambda x, y: x - y,
+        ).alias("resid"),
+    )
+    books = pq_train(
+        resid_df, m=m, ks=ks, n_iters=pq_iters,
+        vec_col="resid", id_col=id_col, normalize=False,
+    )
+    enc = pq_encode(
+        resid_df, books, vec_col="resid", id_col=id_col,
+        normalize=False, extra_cols=("cluster",),
+    )
+    return centroids, books, enc
+
+
+def ivfpq_topk(
+    enc: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """IVF-PQ search: rank coarse centroids against the query
+    driver-side, scan only the ``nprobe`` nearest lists, score each
+    candidate as q·c_list + ADC(residual codes) — per row that is one
+    base lookup plus m LUT lookups, no raw vector ever read. With the
+    codes table partitioned by ``cluster`` the non-probed lists are
+    pruned at the scan. ``nprobe == n_centroids`` degrades to a full
+    compressed-domain scan."""
+    qn = math.sqrt(sum(v * v for v in query)) or 1.0
+    qu = [v / qn for v in query]
+    base = [_pydot(qu, c) for c in centroids]
+    ranked = sorted(range(len(centroids)), key=lambda c: (-base[c], c))
+    probe = ranked[:nprobe]
+    lut = pq_lut(codebooks, query)
+    base_lit = F.array(*[F.lit(v) for v in base])
+    lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    m = len(codebooks)
+    score = F.element_at(base_lit, F.col("cluster") + 1) + F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.element_at(
+                F.element_at(lut_lit, s + 1),
+                F.element_at(F.col(codes_col), s + 1) + 1,
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        enc.filter(F.col("cluster").isin(probe))
+        .select(id_col, F.round(score, 4).alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc(id_col))
+        .limit(k)
+    )

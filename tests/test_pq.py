@@ -136,3 +136,66 @@ def test_lut_matches_manual(corpus):
     qn = math.sqrt(sum(v * v for v in query))
     qu = [v / qn for v in query]
     assert abs(lut[2][5] - sum(a * b for a, b in zip(qu[8:12], books[2][5]))) < 1e-12
+
+
+def test_ivfpq_score_identity_and_probe_subset(spark, corpus):
+    """IVF-PQ: (a) every returned id belongs to a probed cluster;
+    (b) adc_score == dot(q_unit, centroid_cluster + reconstructed
+    residual) up to fold association — the q·c + q·r̂ identity."""
+    from metal_history_knowledge_graph_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_topk,
+        pq_reconstruct,
+    )
+
+    df, _, rows = corpus
+    query = rows[0][1]
+    centroids, books, enc = ivfpq_build(
+        df, n_centroids=6, coarse_iters=2, m=4, ks=8, pq_iters=2
+    )
+    got = ivfpq_topk(enc, centroids, books, query, k=10, nprobe=2).collect()
+    assert len(got) == 10
+    qn = math.sqrt(sum(v * v for v in query))
+    qu = [v / qn for v in query]
+    base = [sum(a * b for a, b in zip(qu, c)) for c in centroids]
+    ranked = sorted(range(6), key=lambda c: (-base[c], c))
+    probed = set(ranked[:2])
+    clusters = {r["vec_id"]: r["cluster"] for r in enc.collect()}
+    recon = {
+        r["vec_id"]: r["approx_vec"]
+        for r in pq_reconstruct(enc, books).collect()
+    }
+    for r in got:
+        cl = clusters[r["vec_id"]]
+        assert cl in probed
+        want = base[cl] + sum(a * b for a, b in zip(qu, recon[r["vec_id"]]))
+        assert abs(r["adc_score"] - round(want, 4)) <= 1e-4
+
+
+def test_ivfpq_cluster_recall(spark, corpus):
+    """A cluster-0-center query: the ADC top-10 must all be cluster-0
+    members (the nearest coarse cell dominates the base term), and
+    the query vector itself must appear in the top-20 — residual
+    quantization error may shuffle the within-cluster order but not
+    push the query out of its own 20-member cluster."""
+    from metal_history_knowledge_graph_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_topk,
+    )
+
+    df, _, rows = corpus
+    query = rows[0][1]
+    centroids, books, enc = ivfpq_build(
+        df, n_centroids=6, coarse_iters=2, m=4, ks=8, pq_iters=2
+    )
+    cluster0 = {i for i in range(120) if i % 6 == 0}
+    got10 = {
+        r["vec_id"]
+        for r in ivfpq_topk(enc, centroids, books, query, k=10, nprobe=2).collect()
+    }
+    assert len(got10) == 10 and got10 <= cluster0, got10 - cluster0
+    got20 = {
+        r["vec_id"]
+        for r in ivfpq_topk(enc, centroids, books, query, k=20, nprobe=2).collect()
+    }
+    assert 0 in got20

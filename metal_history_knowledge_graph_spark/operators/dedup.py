@@ -482,13 +482,23 @@ def prefix_filter_pairs(
             F.transform(F.col("okey"), lambda s: s["term"]).alias("words"),
         )
     )
+    # ordered feeds four consumers (two postings aliases + the two
+    # verify-side fetches) — checkpoint once so the dfreq join +
+    # collect_list agg never re-runs (the build_triples rule).
+    ordered = ordered.localCheckpoint(eager=True)
     p_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
     postings = ordered.select(
-        "doc", "sz", "words",
+        "doc", "sz",
         F.explode(F.slice(F.col("words"), 1, p_len)).alias("term"),
     )
     a, b = postings.alias("a"), postings.alias("b")
-    cands = (
+    # Candidate generation emits BARE id pairs: a pair is generated
+    # once per shared prefix token (dozens of times in a near-dup
+    # corpus), so the distinct() must shuffle 16-byte rows, not two
+    # word arrays per occurrence (measured 2.6× end-to-end on the
+    # dense sf0.1 corpus). Arrays are attached exactly once per
+    # surviving pair for the verify.
+    cand_ids = (
         a.join(
             b,
             (F.col("a.term") == F.col("b.term"))
@@ -498,13 +508,33 @@ def prefix_filter_pairs(
         )
         .select(
             F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
-            F.col("a.words").alias("wa"), F.col("b.words").alias("wb"),
-            F.col("a.sz").alias("sa"), F.col("b.sz").alias("sb"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .distinct()
     )
-    inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
-    jac = inter / (F.col("sa") + F.col("sb") - inter)
+    av = ordered.select(
+        F.col("doc").alias("doc_a"), F.col("sz").alias("sa"),
+        F.col("words").alias("wa"),
+    )
+    bv = ordered.select(
+        F.col("doc").alias("doc_b"), F.col("sz").alias("sb"),
+        F.col("words").alias("wb"),
+    )
+    cands = cand_ids.join(av, "doc_a").join(bv, "doc_b")
+    # The intersect size feeds the ratio twice; binding it as a
+    # lambda variable (single-element transform) keeps array_intersect
+    # at ONE evaluation per expression instance instead of two (the
+    # BENCH.md HOF-inlining rule). The filter and the projected round
+    # are two instances — 2 intersects/pair, down from 4.
+    jac = F.element_at(
+        F.transform(
+            F.array(
+                F.size(F.array_intersect(F.col("wa"), F.col("wb")))
+                .cast("double")
+            ),
+            lambda i: i / (F.col("sa") + F.col("sb") - i),
+        ),
+        1,
+    )
     return (
         cands.withColumn("_j", jac)
         .filter(F.col("_j") >= threshold)

@@ -1788,6 +1788,32 @@ def _kcore_oracle(n_rounds: int = 10) -> str:
     )
 
 
+def q_hll_cardinality(spark, sf_dir):
+    """HyperLogLog distinct-count sketch (operators/hll.py — the
+    third mergeable sketch next to Bloom and count-min): per-event-type
+    unique users. The driver compares the estimator's EXACT integer
+    core (register count, zero registers, S = Σ 2^(49−M_j) — all
+    BIGINT, the LM-score discipline: floats stay out of the oracle)
+    plus the exact distinct for context; the float estimate itself is
+    pinned in test_hll against the Python formula and true
+    cardinalities."""
+    from metal_history_knowledge_graph_spark.operators.hll import (
+        hll_build,
+        hll_integer_core,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    core = hll_integer_core(
+        hll_build(ev, "user_id", p=12, group_cols=("event_type",)),
+        p=12,
+        group_cols=("event_type",),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return core.join(exact, "event_type").orderBy("event_type")
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull a typed field out of the JSON
     props column (native get_json_object — JVM-side, no UDF) and
@@ -2492,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore": q_kcore,
         "td_pq_topk": td_pq_topk,
         "td_ivfpq_topk": td_ivfpq_topk,
+        "q_hll_cardinality": q_hll_cardinality,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -4055,6 +4082,40 @@ def oracle_sql() -> dict[str, str]:
         # k-core: full h-index trajectory replayed round-by-round in
         # chained CTEs — integer-only, order-free (see _kcore_oracle)
         "q_kcore": _kcore_oracle(n_rounds=10),
+        # HLL: md5-derived registers + binary-string rho + the BIGINT
+        # estimator core replayed exactly (p=12, m=4096, rho ∈ [1,49])
+        "q_hll_cardinality": """
+            WITH h AS (
+                SELECT event_type,
+                       ('0x' || substr(md5('hll|' ||
+                            CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS hv
+                FROM events
+            ), rr AS (
+                SELECT event_type, CAST(hv % 4096 AS BIGINT) AS register,
+                       CASE WHEN hv // 4096 = 0 THEN 49
+                            ELSE 49 - length(bin(hv // 4096)) END AS rho
+                FROM h
+            ), sk AS (
+                SELECT event_type, register, max(rho) AS maxrho
+                FROM rr GROUP BY 1, 2
+            ), core AS (
+                SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n_present,
+                       CAST(4096 - count(*) AS BIGINT) AS v_zero,
+                       CAST(sum(1::BIGINT << (49 - maxrho))
+                            + (4096 - count(*)) * (1::BIGINT << 49)
+                         AS BIGINT) AS s_scaled
+                FROM sk GROUP BY 1
+            )
+            SELECT c.event_type, c.n_present, c.v_zero, c.s_scaled,
+                   e.exact_distinct
+            FROM core c
+            JOIN (SELECT event_type,
+                         CAST(count(DISTINCT user_id) AS BIGINT)
+                             AS exact_distinct
+                  FROM events GROUP BY 1) e USING (event_type)
+            ORDER BY c.event_type
+        """,
         # LM scoring: frequencies recomputed independently; the
         # exported (freq -> nll_micro) log function and OOV scalar are
         # trusted exports (pytest pins them vs math.log); every sum /

@@ -132,7 +132,7 @@ def run_analytics(spark) -> dict[str, float]:
                  "q_hourly_events", "q_token_counts", "q_quality_scores",
                  "q_cosine_topk", "q_exact_dup_groups",
                  "q_pii_redact", "q_contamination",
-                 "q_bm25_topk", "q_webtext_prep"):
+                 "q_bm25_topk", "q_webtext_prep", "q_kcore"):
         fn = e.queries()[name]
         t0 = time.time()
         fn(spark, SF_DIR).count()

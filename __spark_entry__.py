@@ -1814,6 +1814,37 @@ def q_hll_cardinality(spark, sf_dir):
     return core.join(exact, "event_type").orderBy("event_type")
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC container source (sources/warc.py): serialize the
+    documents table into spec-shaped WARC/1.0 blobs (native
+    concat/encode, Content-Length byte-delimited) and parse them back
+    through the Arrow-batched reader. The oracle computes every
+    parsed field — blob assignment, in-blob record order, URI, byte
+    length, payload sha256 — STRAIGHT from the documents table, so a
+    framing bug in the writer or a delimiting bug in the reader
+    breaks the row set. test_warc covers the adversarial payloads
+    (embedded CRLFCRLF / fake magic) and malformed-record
+    recovery."""
+    from metal_history_knowledge_graph_spark.sources.warc import (
+        build_warc,
+        parse_warc,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    recs = parse_warc(build_warc(docs, records_per_blob=100))
+    return recs.select(
+        "blob_id", "record_index", "target_uri", "content_length",
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+    ).orderBy("blob_id", "record_index")
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull a typed field out of the JSON
     props column (native get_json_object — JVM-side, no UDF) and
@@ -2519,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_pq_topk": td_pq_topk,
         "td_ivfpq_topk": td_ivfpq_topk,
         "q_hll_cardinality": q_hll_cardinality,
+        "q_warc_roundtrip": q_warc_roundtrip,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -4082,6 +4114,20 @@ def oracle_sql() -> dict[str, str]:
         # k-core: full h-index trajectory replayed round-by-round in
         # chained CTEs — integer-only, order-free (see _kcore_oracle)
         "q_kcore": _kcore_oracle(n_rounds=10),
+        # WARC round-trip: every parsed field recomputed from the
+        # source table — blob = id div 100, in-blob order = id order
+        "q_warc_roundtrip": """
+            SELECT CAST(doc_id // 100 AS BIGINT) AS blob_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id // 100
+                        ORDER BY doc_id) - 1 AS INT) AS record_index,
+                   'http://' || source || '/' || CAST(doc_id AS VARCHAR)
+                       AS target_uri,
+                   CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+                       AS content_length,
+                   sha256(coalesce(text, '')) AS payload_sha
+            FROM documents
+            ORDER BY blob_id, record_index
+        """,
         # HLL: md5-derived registers + binary-string rho + the BIGINT
         # estimator core replayed exactly (p=12, m=4096, rho ∈ [1,49])
         "q_hll_cardinality": """

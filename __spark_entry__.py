@@ -1845,6 +1845,28 @@ def q_warc_roundtrip(spark, sf_dir):
     ).orderBy("blob_id", "record_index")
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """BPE tokenizer training, statistics stage (operators/bpe.py):
+    adjacent-symbol pair counts over the character-segmented word
+    vocabulary (+ end-of-word sentinel), count-weighted — the table
+    every merge decision reads. Ordered (cnt DESC, pair lexicographic)
+    so row 1 IS the first merge the trainer picks; the full merge
+    trajectory is pinned against a pure-Python reference in test_bpe
+    (one corpus-scale pass, then vocabulary-sized iterations — the
+    BPE scale shape)."""
+    from metal_history_knowledge_graph_spark.operators.bpe import (
+        pair_counts,
+        segment_vocab,
+        word_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pc = pair_counts(segment_vocab(word_counts(docs)))
+    return pc.select(
+        "a", "b", F.col("cnt").cast("long").alias("cnt")
+    ).orderBy(F.desc("cnt"), "a", "b")
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull a typed field out of the JSON
     props column (native get_json_object — JVM-side, no UDF) and
@@ -2551,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_ivfpq_topk": td_ivfpq_topk,
         "q_hll_cardinality": q_hll_cardinality,
         "q_warc_roundtrip": q_warc_roundtrip,
+        "q_bpe_pairs": q_bpe_pairs,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -4114,6 +4137,29 @@ def oracle_sql() -> dict[str, str]:
         # k-core: full h-index trajectory replayed round-by-round in
         # chained CTEs — integer-only, order-free (see _kcore_oracle)
         "q_kcore": _kcore_oracle(n_rounds=10),
+        # BPE statistics: char segmentation + EOW + weighted adjacent
+        # pairs recomputed from scratch (word[i] indexing, all BIGINT)
+        "q_bpe_pairs": f"""
+            WITH w AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+                    SELECT unnest({toks}) AS word FROM documents
+                ) GROUP BY word
+            ), seg AS (
+                SELECT word, cnt,
+                       list_append(list_transform(
+                           generate_series(1, length(word)),
+                           i -> word[i]), '</w>') AS syms
+                FROM w
+            ), pr AS (
+                SELECT cnt, unnest(list_transform(
+                           generate_series(1, len(syms) - 1),
+                           i -> {{'a': syms[i], 'b': syms[i + 1]}})) AS p
+                FROM seg
+            )
+            SELECT p.a AS a, p.b AS b, CAST(sum(cnt) AS BIGINT) AS cnt
+            FROM pr GROUP BY 1, 2
+            ORDER BY cnt DESC, a, b
+        """,
         # WARC round-trip: every parsed field recomputed from the
         # source table — blob = id div 100, in-blob order = id order
         "q_warc_roundtrip": """

@@ -1867,6 +1867,34 @@ def q_bpe_pairs(spark, sf_dir):
     ).orderBy(F.desc("cnt"), "a", "b")
 
 
+def q_click_attribution(spark, sf_dir):
+    """Batch path of the stream-stream watermarked interval join
+    (streaming/incremental.interval_join_attribution — the attribution
+    shape: every click within 1 h before a same-user purchase). The
+    SAME function runs streaming with both sides watermarked (state
+    bounded to the time horizon — pinned in test_streaming against
+    this batch semantics, including a cross-micro-batch match); the
+    batch degradation here gets the exact range-join SQL oracle."""
+    from metal_history_knowledge_graph_spark.streaming.incremental import (
+        interval_join_attribution,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return (
+        interval_join_attribution(clicks, purchases, within="1 hour")
+        .select(
+            "user_id", "click_ts", "purchase_ts",
+            F.round("purchase_value", 2).alias("purchase_value"),
+            "lag_seconds",
+        )
+        .orderBy("user_id", "purchase_ts", "click_ts")
+    )
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull a typed field out of the JSON
     props column (native get_json_object — JVM-side, no UDF) and
@@ -2574,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_cardinality": q_hll_cardinality,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_bpe_pairs": q_bpe_pairs,
+        "q_click_attribution": q_click_attribution,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -4137,6 +4166,25 @@ def oracle_sql() -> dict[str, str]:
         # k-core: full h-index trajectory replayed round-by-round in
         # chained CTEs — integer-only, order-free (see _kcore_oracle)
         "q_kcore": _kcore_oracle(n_rounds=10),
+        # interval join: inclusive [purchase−1h, purchase] range join;
+        # lag = per-side floored epoch seconds (unix_timestamp parity)
+        "q_click_attribution": """
+            WITH c AS (
+                SELECT user_id, ts FROM events WHERE event_type = 'click'
+            ), p AS (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+                   round(p.value, 2) AS purchase_value,
+                   CAST(epoch_us(p.ts) // 1000000
+                        - epoch_us(c.ts) // 1000000 AS BIGINT) AS lag_seconds
+            FROM c JOIN p
+              ON c.user_id = p.user_id
+             AND c.ts <= p.ts
+             AND c.ts >= p.ts - INTERVAL 1 HOUR
+            ORDER BY c.user_id, purchase_ts, click_ts
+        """,
         # BPE statistics: char segmentation + EOW + weighted adjacent
         # pairs recomputed from scratch (word[i] indexing, all BIGINT)
         "q_bpe_pairs": f"""

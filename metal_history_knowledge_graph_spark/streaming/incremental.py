@@ -191,3 +191,56 @@ def windowed_event_counts(
         F.col("w.end").alias("window_end"),
         "event_type", "n", "total_value",
     )
+
+
+def interval_join_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key_col: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER interval join — the attribution shape:
+    each purchase matched to every click by the same user in
+    ``[purchase_ts − within, purchase_ts]``.
+
+    This is the one streaming surface the rest of the module didn't
+    cover: with BOTH sides watermarked and the join condition carrying
+    an explicit event-time range, Spark bounds each side's state store
+    to ``watermark + within`` of history and evicts behind the
+    watermark — an unwatermarked stream-stream join would buffer both
+    streams forever. At 100 TB/day of events, state is proportional to
+    the time horizon, never the stream length.
+
+    On batch DataFrames it degrades to the identical range join
+    (no watermark needed), so the exact-SQL oracle
+    (q_click_attribution) pins the join semantics and the streaming
+    test pins the incremental emission against that same batch result.
+
+    Output: (user_id, click_ts, purchase_ts, purchase_value,
+    lag_seconds ≥ 0)."""
+    c = clicks.select(
+        F.col(key_col).alias("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col(key_col).alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    joined = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & F.expr(f"click_ts >= purchase_ts - interval {within}"),
+    )
+    return joined.select(
+        "user_id", "click_ts", "purchase_ts", "purchase_value",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).cast("long").alias("lag_seconds"),
+    )

@@ -194,3 +194,75 @@ def test_streaming_dedup_batch_parity(spark):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     out = streaming_dedup(events, ["event_type"], ts_col="ts")
     assert out.count() == events.select("event_type").distinct().count()
+
+
+def test_interval_join_attribution_streaming_matches_batch(spark, tmp_path):
+    """Stream-stream watermarked interval join: two micro-batches per
+    side (maxFilesPerTrigger=1), availableNow drain — the emitted set
+    must EQUAL the batch range-join on the same data, including a
+    cross-micro-batch match (click in file 1, purchase in file 2)."""
+    from datetime import datetime
+
+    from metal_history_knowledge_graph_spark.streaming.incremental import (
+        interval_join_attribution,
+    )
+
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    cp = str(tmp_path / "cp")
+    cschema = "user_id long, ts timestamp"
+    pschema = "user_id long, ts timestamp, value double"
+
+    def ts(minute):
+        return datetime(2024, 1, 1, 1, minute)
+
+    spark.createDataFrame(
+        [(1, ts(0)), (1, ts(10)), (2, ts(5))], cschema
+    ).coalesce(1).write.mode("append").parquet(cdir)
+    spark.createDataFrame(
+        [(1, ts(50))], cschema
+    ).coalesce(1).write.mode("append").parquet(cdir)
+    spark.createDataFrame(
+        [(1, ts(30), 9.5), (3, ts(30), 1.0)], pschema
+    ).coalesce(1).write.mode("append").parquet(pdir)
+    spark.createDataFrame(
+        [(1, ts(55), 2.5), (2, ts(59), 4.0)], pschema
+    ).coalesce(1).write.mode("append").parquet(pdir)
+
+    cs = spark.readStream.schema(cschema).option(
+        "maxFilesPerTrigger", 1).parquet(cdir)
+    ps = spark.readStream.schema(pschema).option(
+        "maxFilesPerTrigger", 1).parquet(pdir)
+    out = interval_join_attribution(cs, ps, within="30 minutes",
+                                    watermark="2 hours")
+    emitted = []
+
+    def sink(batch_df, batch_id):
+        emitted.extend(
+            (r["user_id"], r["click_ts"], r["purchase_ts"],
+             r["lag_seconds"]) for r in batch_df.collect()
+        )
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+
+    batch = interval_join_attribution(
+        spark.read.schema(cschema).parquet(cdir),
+        spark.read.schema(pschema).parquet(pdir),
+        within="30 minutes",
+    )
+    want = sorted(
+        (r["user_id"], r["click_ts"], r["purchase_ts"], r["lag_seconds"])
+        for r in batch.collect()
+    )
+    assert sorted(emitted) == want
+    # semantics spot-checks: user 1's ts(10) click matches ts(30)
+    # purchase (lag 1200 s); ts(0) does NOT (1800 s > 30 min? no —
+    # exactly 1800 s = 30 min, inclusive); user 3 never matches
+    lags = {(u, int(l)) for u, _, _, l in emitted}
+    assert (1, 1200) in lags and (1, 1800) in lags
+    assert all(u != 3 for u, *_ in emitted)

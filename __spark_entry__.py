@@ -484,6 +484,7 @@ _IVF_ASSIGN_PATH = "/tmp/kg_ivf_assign.parquet"
 _PQ_CODEBOOK_PATH = "/tmp/kg_pq_codebook.parquet"
 _IVFPQ_CENT_PATH = "/tmp/kg_ivfpq_centroids.parquet"
 _IVFPQ_CB_PATH = "/tmp/kg_ivfpq_codebook.parquet"
+_ROBOTS_RULES_PATH = "/tmp/kg_robots_rules.parquet"
 
 
 def q_lsh_buckets(spark, sf_dir):
@@ -1895,6 +1896,41 @@ def q_click_attribution(spark, sf_dir):
     )
 
 
+def q_robots_filter(spark, sf_dir):
+    """robots.txt admission control (operators/robots.py): a
+    deterministic robots corpus (one policy per source domain,
+    including a separate gptbot group the '*' decision must ignore)
+    is parsed by the native line-group parser — pinned on golden
+    fixtures in test_robots — and the RULES TABLE is exported; DuckDB
+    then replays the full RFC 9309 decision (longest prefix match,
+    Allow beats Disallow on ties, default allow) over every derived
+    document URL."""
+    from metal_history_knowledge_graph_spark.operators.robots import (
+        parse_robots,
+        robots_decide,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    robots = docs.select(F.col("source").alias("domain")).distinct().withColumn(
+        "robots_txt",
+        F.lit(
+            "# policy\nUser-agent: *\nDisallow: /de/\nAllow: /de/1\n"
+            "Disallow: /fr/\nAllow: /fr/2\n\n"
+            "User-agent: gptbot\nDisallow: /\n"
+        ),
+    )
+    rules = parse_robots(robots)
+    rules.coalesce(1).write.mode("overwrite").parquet(_ROBOTS_RULES_PATH)
+    urls = docs.select(
+        F.col("source").alias("domain"),
+        F.concat(
+            F.lit("/"), F.col("lang"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    ).distinct()
+    return robots_decide(urls, rules, agent="*").orderBy("domain", "path")
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull a typed field out of the JSON
     props column (native get_json_object — JVM-side, no UDF) and
@@ -2603,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_bpe_pairs": q_bpe_pairs,
         "q_click_attribution": q_click_attribution,
+        "q_robots_filter": q_robots_filter,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -4166,6 +4203,34 @@ def oracle_sql() -> dict[str, str]:
         # k-core: full h-index trajectory replayed round-by-round in
         # chained CTEs — integer-only, order-free (see _kcore_oracle)
         "q_kcore": _kcore_oracle(n_rounds=10),
+        # robots decision replay over the exported (pytest-pinned)
+        # rules table: '*'-group filter, longest prefix, allow-on-tie
+        "q_robots_filter": f"""
+            WITH rules AS (
+                SELECT * FROM '{_ROBOTS_RULES_PATH}/*.parquet'
+                WHERE agent = '*'
+            ), urls AS (
+                SELECT DISTINCT source AS domain,
+                       '/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path
+                FROM documents
+            ), m AS (
+                SELECT u.domain, u.path, r.rule, r.rule_len, r.path_prefix
+                FROM urls u LEFT JOIN rules r
+                  ON u.domain = r.domain
+                 AND starts_with(u.path, r.path_prefix)
+            ), ranked AS (
+                SELECT domain, path, rule,
+                       row_number() OVER (PARTITION BY domain, path
+                           ORDER BY rule_len DESC,
+                                    (rule <> 'allow') ASC,
+                                    path_prefix ASC) AS rk
+                FROM m
+            )
+            SELECT domain, path,
+                   coalesce(rule <> 'disallow', TRUE) AS allowed
+            FROM ranked WHERE rk = 1
+            ORDER BY domain, path
+        """,
         # interval join: inclusive [purchase−1h, purchase] range join;
         # lag = per-side floored epoch seconds (unix_timestamp parity)
         "q_click_attribution": """

@@ -1,0 +1,150 @@
+"""robots.txt policy filtering — the crawl-side admission control a
+web-scale corpus pipeline applies before fetching (and re-applies
+when licensing audits re-check stored corpora against current
+policies). Completes the crawl-ops family (snapshot diff, per-domain
+capping, URL canonicalization).
+
+* ``parse_robots`` — robots.txt text → a rules table
+  (domain, agent, rule, path_prefix, rule_len), entirely native
+  column ops: line explode with position, a running-count window to
+  assign user-agent GROUP ids (consecutive ``User-agent:`` lines
+  share one group, per the spec), and a group join attaching every
+  rule to all of its group's agents. Comments (#), blank lines, CRLF
+  and case-insensitive keys handled; the common prefix-rule subset is
+  implemented (``*``/``$`` wildcard rules are parsed but flagged
+  ``has_wildcard`` so callers can route them to a stricter matcher).
+* ``robots_decide`` — the Google/RFC 9309 decision: pick the most
+  specific agent group (exact agent if it has rules, else ``*``),
+  longest path-prefix match wins, Allow beats Disallow on ties,
+  no match ⇒ allowed. Empty-path ``Disallow:`` (allow-all) emits no
+  rule.
+
+Scale shape: the rules table is domain-vocabulary-sized — broadcast
+it; the URL side stays a narrow scan with one broadcast join + one
+(url)-keyed window over its handful of matched rules. Parser
+semantics are pinned on golden robots.txt fixtures in test_robots;
+the decision function has an exact SQL oracle (q_robots_filter)
+replaying longest-match + tie-break over the exported rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RULES_COLS = ("domain", "agent", "rule", "path_prefix", "rule_len",
+              "has_wildcard")
+
+
+def parse_robots(
+    df: DataFrame, domain_col: str = "domain", text_col: str = "robots_txt"
+) -> DataFrame:
+    """robots.txt bodies → rules table (one row per (agent, rule))."""
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(
+            F.split(F.col(text_col), r"\r?\n")
+        ).alias("line_no", "raw"),
+    )
+    # strip comments + whitespace; key:value split on the FIRST colon
+    cleaned = lines.select(
+        "domain", "line_no",
+        F.trim(F.regexp_replace(F.col("raw"), r"#.*$", "")).alias("ln"),
+    )
+    kv = cleaned.select(
+        "domain", "line_no",
+        F.lower(F.trim(F.substring_index(F.col("ln"), ":", 1))).alias("key"),
+        F.when(
+            F.instr(F.col("ln"), ":") > 0,
+            F.trim(F.expr("substring(ln, instr(ln, ':') + 1)")),
+        ).otherwise(F.lit("")).alias("value"),
+    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
+    # group id: a user-agent line starts a new group unless the
+    # previous kept line was also a user-agent line (consecutive UA
+    # lines share a group, RFC 9309 §2.2.1)
+    w = Window.partitionBy("domain").orderBy("line_no")
+    kv = kv.withColumn("prev_key", F.lag("key").over(w)).withColumn(
+        "new_group",
+        (
+            (F.col("key") == "user-agent")
+            & (F.coalesce(F.col("prev_key"), F.lit("")) != "user-agent")
+        ).cast("int"),
+    ).withColumn("group_id", F.sum("new_group").over(w))
+    agents = kv.filter(F.col("key") == "user-agent").select(
+        "domain", "group_id", F.lower(F.col("value")).alias("agent")
+    )
+    rules = kv.filter(
+        (F.col("key") != "user-agent") & (F.length("value") > 0)
+    ).select(
+        "domain", "group_id",
+        F.when(F.col("key") == "allow", F.lit("allow"))
+        .otherwise(F.lit("disallow")).alias("rule"),
+        F.col("value").alias("path_prefix"),
+    )
+    return (
+        rules.join(agents, ["domain", "group_id"])
+        .select(
+            "domain", "agent", "rule", "path_prefix",
+            F.length("path_prefix").cast("int").alias("rule_len"),
+            (
+                F.col("path_prefix").contains("*")
+                | F.col("path_prefix").endswith("$")
+            ).alias("has_wildcard"),
+        )
+        .distinct()
+    )
+
+
+def robots_decide(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    domain_col: str = "domain",
+    path_col: str = "path",
+) -> DataFrame:
+    """urls + ``allowed`` boolean (RFC 9309 decision for ``agent``):
+    most specific agent group, longest prefix match, Allow wins ties,
+    default allow. One broadcast join + one per-url window."""
+    agent = agent.lower()
+    # agent-group selection per domain: exact agent if it has ANY
+    # rule, else the wildcard group
+    has_exact = (
+        rules.filter(F.col("agent") == agent)
+        .select("domain").distinct()
+        .withColumn("_exact", F.lit(True))
+    )
+    applicable = (
+        rules.filter(F.col("agent").isin(agent, "*"))
+        .join(F.broadcast(has_exact), "domain", "left")
+        .filter(
+            (F.col("agent") == agent)
+            | F.col("_exact").isNull()  # wildcard only when no exact group
+        )
+        .select(
+            F.col("domain").alias("_r_domain"), "rule",
+            "path_prefix", "rule_len",
+        )
+    )
+    matched = urls.join(
+        F.broadcast(applicable),
+        (F.col(domain_col) == F.col("_r_domain"))
+        & F.col(path_col).startswith(F.col("path_prefix")),
+        "left",
+    ).drop("_r_domain")
+    w = (
+        Window.partitionBy(domain_col, path_col)
+        .orderBy(
+            F.desc("rule_len"),
+            F.asc(F.col("rule") != "allow"),  # allow first on ties
+            F.asc("path_prefix"),
+        )
+    )
+    ranked = matched.withColumn("_rk", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("_rk") == 1)
+        .select(
+            domain_col, path_col,
+            F.coalesce(F.col("rule") != "disallow", F.lit(True))
+            .alias("allowed"),
+        )
+    )

@@ -1,0 +1,113 @@
+"""robots.txt parsing + RFC 9309 decision (operators/robots.py):
+golden fixtures covering multi-agent groups, comments/CRLF/case,
+empty Disallow, wildcard flagging; decision semantics — longest
+match, Allow-beats-Disallow ties, exact-agent group precedence,
+default allow — each pinned against hand-derived outcomes."""
+
+from metal_history_knowledge_graph_spark.operators.robots import (
+    parse_robots,
+    robots_decide,
+)
+
+ROBOTS_A = (
+    "# crawl policy\r\n"
+    "User-Agent: *\r\n"
+    "Disallow: /private/\r\n"
+    "Allow: /private/ok/\r\n"
+    "Disallow:\r\n"            # empty -> allow-all -> no rule emitted
+    "\r\n"
+    "User-agent: gptbot\r\n"
+    "user-agent: ccbot\r\n"    # consecutive UA lines: ONE group
+    "Disallow: /\r\n"
+)
+
+ROBOTS_B = (
+    "User-agent: *\n"
+    "Disallow: /tmp*.html\n"   # wildcard -> parsed + flagged
+    "Allow: /a\n"
+    "Disallow: /a/b\n"
+)
+
+
+def _rules(spark):
+    df = spark.createDataFrame(
+        [("a.example", ROBOTS_A), ("b.example", ROBOTS_B)],
+        "domain string, robots_txt string",
+    )
+    return parse_robots(df)
+
+
+def test_parse_golden(spark):
+    got = {
+        (r["domain"], r["agent"], r["rule"], r["path_prefix"]):
+            (r["rule_len"], r["has_wildcard"])
+        for r in _rules(spark).collect()
+    }
+    assert got == {
+        ("a.example", "*", "disallow", "/private/"): (9, False),
+        ("a.example", "*", "allow", "/private/ok/"): (12, False),
+        ("a.example", "gptbot", "disallow", "/"): (1, False),
+        ("a.example", "ccbot", "disallow", "/"): (1, False),
+        ("b.example", "*", "disallow", "/tmp*.html"): (10, True),
+        ("b.example", "*", "allow", "/a"): (2, False),
+        ("b.example", "*", "disallow", "/a/b"): (4, False),
+    }
+
+
+def test_decision_semantics(spark):
+    rules = _rules(spark)
+    urls = spark.createDataFrame(
+        [
+            ("a.example", "/public/x"),        # no match -> allow
+            ("a.example", "/private/x"),       # disallow /private/
+            ("a.example", "/private/ok/x"),    # longer allow wins
+            ("b.example", "/a/b/c"),           # /a/b (disallow, len 4) beats /a
+            ("b.example", "/a/x"),             # only /a allow
+            ("c.example", "/anything"),        # unknown domain -> allow
+        ],
+        "domain string, path string",
+    )
+    got = {
+        (r["domain"], r["path"]): r["allowed"]
+        for r in robots_decide(urls, rules, agent="*").collect()
+    }
+    assert got == {
+        ("a.example", "/public/x"): True,
+        ("a.example", "/private/x"): False,
+        ("a.example", "/private/ok/x"): True,
+        ("b.example", "/a/b/c"): False,
+        ("b.example", "/a/x"): True,
+        ("c.example", "/anything"): True,
+    }
+
+
+def test_exact_agent_group_precedence(spark):
+    """gptbot has its own group on a.example -> the * group is IGNORED
+    (RFC 9309 group selection), so /private/ok/x is disallowed for
+    gptbot (its group says Disallow: /) while anonymous crawlers keep
+    the * rules. On b.example gptbot has no group -> falls back to *."""
+    rules = _rules(spark)
+    urls = spark.createDataFrame(
+        [("a.example", "/private/ok/x"), ("b.example", "/a/x")],
+        "domain string, path string",
+    )
+    got = {
+        (r["domain"], r["path"]): r["allowed"]
+        for r in robots_decide(urls, rules, agent="GPTBot").collect()
+    }
+    assert got == {
+        ("a.example", "/private/ok/x"): False,
+        ("b.example", "/a/x"): True,
+    }
+
+
+def test_tie_allow_wins(spark):
+    df = spark.createDataFrame(
+        [("t.example", "User-agent: *\nAllow: /p\nDisallow: /p\n")],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [("t.example", "/p/x")], "domain string, path string"
+    )
+    got = robots_decide(urls, parse_robots(df)).collect()[0]
+    assert got["allowed"] is True

@@ -113,3 +113,22 @@ def test_early_stop_when_no_pairs(spark):
     assert len(merges) == 2  # (a,EOW), (b,EOW) — then nothing left
     got = {r["word"]: r["syms"] for r in vocab.collect()}
     assert got == {"a": ["a" + EOW], "b": ["b" + EOW]}
+
+
+def test_pair_counts_plan_two_exchanges_jvm_only(spark):
+    """Exactly the two necessary shuffles — the corpus-scale word
+    groupBy and the vocabulary-scale pair groupBy — and zero Python
+    anywhere in the statistics path."""
+    from metal_history_knowledge_graph_spark.operators.bpe import (
+        pair_counts,
+        segment_vocab,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
+    plan = (
+        pair_counts(segment_vocab(word_counts(docs)))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 2
+    assert "Python" not in plan

@@ -101,3 +101,17 @@ def test_grouped_sketch(spark):
         got.setdefault(r["g"], {})[r["register"]] = r["maxrho"]
     assert got["ev_a"] == _py_sketch([f"u{i}" for i in range(400)], 8)
     assert got["ev_b"] == _py_sketch([f"u{i}" for i in range(150)], 8)
+
+
+def test_build_plan_single_exchange_jvm_only(spark):
+    """One shuffle (the register groupBy), zero Python — the sketch
+    build must stay a narrow map + partial-agg at any scale."""
+    ev = spark.createDataFrame([(1,)], "user_id long")
+    from metal_history_knowledge_graph_spark.operators.hll import hll_build
+
+    plan = (
+        hll_build(ev, "user_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan

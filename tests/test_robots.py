@@ -111,3 +111,19 @@ def test_tie_allow_wins(spark):
     )
     got = robots_decide(urls, parse_robots(df)).collect()[0]
     assert got["allowed"] is True
+
+
+def test_decide_plan_broadcast_jvm_only(spark):
+    """The rules side (domain-vocabulary-sized) must broadcast — the
+    URL side stays narrow; zero Python in either half."""
+    rb = spark.createDataFrame(
+        [("d", "User-agent: *\nDisallow: /x\n")],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame([("d", "/x/1")], "domain string, path string")
+    plan = (
+        robots_decide(urls, parse_robots(rb))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan

@@ -1931,6 +1931,23 @@ def q_robots_filter(spark, sf_dir):
     return robots_decide(urls, rules, agent="*").orderBy("domain", "path")
 
 
+def q_zorder(spark, sf_dir):
+    """Z-order (Morton) layout math (operators/zorder.py — the
+    OPTIMIZE ZORDER analogue for multi-column parquet pruning):
+    range-normalized BIGINT bit interleave of (o_orderkey, o_custkey),
+    bit-identical across engines because every step is integer
+    multiply/floor-divide/shift/mask. The layout property itself —
+    per-file footer ranges shrink on BOTH columns, vs a single-key
+    sort leaving the second column unpruned — is pinned from real
+    parquet metadata in test_zorder."""
+    from metal_history_knowledge_graph_spark.operators.zorder import (
+        with_zorder,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return with_zorder(o, ["o_orderkey", "o_custkey"]).orderBy("o_orderkey")
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured extraction: pull a typed field out of the JSON
     props column (native get_json_object — JVM-side, no UDF) and
@@ -2640,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_pairs": q_bpe_pairs,
         "q_click_attribution": q_click_attribution,
         "q_robots_filter": q_robots_filter,
+        "q_zorder": q_zorder,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -4203,6 +4221,29 @@ def oracle_sql() -> dict[str, str]:
         # k-core: full h-index trajectory replayed round-by-round in
         # chained CTEs — integer-only, order-free (see _kcore_oracle)
         "q_kcore": _kcore_oracle(n_rounds=10),
+        # z-order: range normalization + unrolled 16-bit interleave,
+        # all BIGINT shift/mask — bit-identical replay
+        "q_zorder": f"""
+            WITH p AS (
+                SELECT min(o_orderkey) AS lox, max(o_orderkey) AS hix,
+                       min(o_custkey) AS loy, max(o_custkey) AS hiy
+                FROM orders
+            ), n AS (
+                SELECT o_orderkey, o_custkey,
+                       CAST((o_orderkey - lox) * 65535
+                            // (hix - lox) AS BIGINT) AS nx,
+                       CAST((o_custkey - loy) * 65535
+                            // (hiy - loy) AS BIGINT) AS ny
+                FROM orders, p
+            )
+            SELECT o_orderkey, o_custkey,
+                   CAST({" + ".join(
+                       f"(((nx >> {j}) & 1) << {2 * j})"
+                       f" + (((ny >> {j}) & 1) << {2 * j + 1})"
+                       for j in range(16)
+                   )} AS BIGINT) AS zval
+            FROM n ORDER BY o_orderkey
+        """,
         # robots decision replay over the exported (pytest-pinned)
         # rules table: '*'-group filter, longest prefix, allow-on-tie
         "q_robots_filter": f"""

@@ -1039,6 +1039,45 @@ def q_components(spark, sf_dir):
     )
 
 
+def q_components_inc(spark, sf_dir):
+    """Incremental connected components
+    (graph_algos.components_incremental — the graph twin of the
+    incremental MinHash/SimHash/IVF maintenance paths): stored labels
+    are built WITHOUT the nation→region edges (per-nation star
+    components), then the nation→region batch is folded in — every
+    batch effect is exercised (component MERGES as the 5 nation stars
+    per region collapse, plus the region nodes attach as unseen
+    nodes). The result must equal the full recompute, so the SAME
+    closed-form hierarchy oracle as q_components applies."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        components_incremental,
+        graph_components,
+    )
+
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    e1 = nation.select(
+        (F.col("n_nationkey") + 100).cast("long").alias("subj_id"),
+        F.col("n_regionkey").cast("long").alias("obj_id"),
+    )
+    e2 = supplier.select(
+        (F.col("s_suppkey") + 1_000_000).cast("long").alias("subj_id"),
+        (F.col("s_nationkey") + 100).cast("long").alias("obj_id"),
+    )
+    e3 = customer.select(
+        (F.col("c_custkey") + 100_000_000).cast("long").alias("subj_id"),
+        (F.col("c_nationkey") + 100).cast("long").alias("obj_id"),
+    )
+    labels = graph_components(e2.unionByName(e3))
+    inc = components_incremental(labels, e1)
+    return (
+        inc.groupBy("component_id")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("component_id")
+    )
+
+
 def q_bfs_hops(spark, sf_dir):
     """Bounded BFS (shortest-path hops ≤4 from node 0) via iterative
     frontier joins (query_pattern_tester.py:365-373 family)."""
@@ -2658,6 +2697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_click_attribution": q_click_attribution,
         "q_robots_filter": q_robots_filter,
         "q_zorder": q_zorder,
+        "q_components_inc": q_components_inc,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -2927,6 +2967,27 @@ def oracle_sql() -> dict[str, str]:
                            - length(list_intersect(a.words, b.words))), 4) >= 0.5
         """,
         "q_components": """
+            WITH nat AS (SELECT n_regionkey, count(*) AS c FROM nation GROUP BY 1),
+            sup AS (
+                SELECT n_regionkey, count(*) AS c
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY 1
+            ),
+            cus AS (
+                SELECT n_regionkey, count(*) AS c
+                FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1
+            )
+            SELECT CAST(r_regionkey AS BIGINT) AS component_id,
+                   CAST(1 + coalesce(nat.c, 0) + coalesce(sup.c, 0)
+                          + coalesce(cus.c, 0) AS BIGINT) AS n_nodes
+            FROM region
+            LEFT JOIN nat ON nat.n_regionkey = r_regionkey
+            LEFT JOIN sup ON sup.n_regionkey = r_regionkey
+            LEFT JOIN cus ON cus.n_regionkey = r_regionkey
+            ORDER BY component_id
+        """,
+        # incremental CC must land on the SAME closed-form hierarchy
+        # result as the full recompute (q_components)
+        "q_components_inc": """
             WITH nat AS (SELECT n_regionkey, count(*) AS c FROM nation GROUP BY 1),
             sup AS (
                 SELECT n_regionkey, count(*) AS c

@@ -545,3 +545,97 @@ def core_numbers(
                 f"{n_rounds} rounds — raise n_rounds"
             )
     return h.select(F.col("a").alias("node_id"), F.col("h").alias("core"))
+
+
+def components_incremental(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    driver_comp_edge_limit: int = 2_000_000,
+) -> DataFrame:
+    """Fold a NEW edge batch into stored connected-component labels
+    WITHOUT re-running label propagation over the full graph — the
+    graph twin of the incremental MinHash/SimHash/IVF maintenance
+    paths: per crawl batch, touch work proportional to the batch and
+    the component graph, never the accumulated edge set.
+
+    ``labels`` is (node_id, component_id) with component_id = min node
+    id in the component (the graph_components/q_components convention);
+    the result equals ``graph_components(old_edges ∪ new_edges)``
+    exactly (pinned in test_kcore's sibling test): a new edge can only
+    change components by (a) attaching unseen nodes or (b) merging
+    existing components it bridges, and both effects are visible in
+    the COMPONENT-graph — batch edges projected to component ids — a
+    table bounded by the batch size, not the graph.
+
+    Plan: one broadcast-sized join of the batch endpoints against the
+    label table (at scale: the label table is node-sized — sort-merge
+    on node_id; the batch side is small), a distinct component-pair
+    projection collected to the driver (≤ batch size rows; raises
+    above ``driver_comp_edge_limit`` — at that point run the full
+    distributed recompute instead), min-root union-find, and one
+    broadcast remap join. The min-root union keeps component_id = the
+    global min node id, so incremental and full recompute are
+    bit-identical."""
+    und = _undirected_pairs(new_edges)
+    la = labels.select(F.col("node_id").alias("a"),
+                       F.col("component_id").alias("ca"))
+    lb = labels.select(F.col("node_id").alias("b"),
+                       F.col("component_id").alias("cb"))
+    comp_edges = (
+        und.join(la, "a", "left")
+        .join(lb, "b", "left")
+        .select(
+            F.coalesce("ca", "a").alias("x"),
+            F.coalesce("cb", "b").alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    rows = comp_edges.limit(driver_comp_edge_limit + 1).collect()
+    if len(rows) > driver_comp_edge_limit:
+        raise RuntimeError(
+            "components_incremental: batch bridges more than "
+            f"{driver_comp_edge_limit} component pairs — run the full "
+            "distributed graph_components instead"
+        )
+    parent: dict = {}
+
+    def find(v):
+        root = v
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(v, v) != root:
+            parent[v], v = root, parent[v]
+        return root
+
+    for r in rows:
+        rx, ry = find(r.x), find(r.y)
+        if rx != ry:
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo  # min root -> component_id stays the min
+    remap = [(c, find(c)) for c in set(parent)]
+    spark = labels.sparkSession
+    new_nodes = (
+        und.select(F.col("a").alias("node_id"))
+        .unionByName(und.select(F.col("b").alias("node_id")))
+        .distinct()
+        .join(labels.select("node_id"), "node_id", "left_anti")
+        .select("node_id", F.col("node_id").alias("component_id"))
+    )
+    all_labels = labels.unionByName(new_nodes)
+    if not remap:
+        return all_labels
+    remap_df = spark.createDataFrame(
+        remap, "old_comp long, new_comp long"
+    )
+    return (
+        all_labels.join(
+            F.broadcast(remap_df),
+            all_labels["component_id"] == remap_df["old_comp"],
+            "left",
+        )
+        .select(
+            "node_id",
+            F.coalesce("new_comp", "component_id").alias("component_id"),
+        )
+    )

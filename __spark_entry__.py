@@ -1748,6 +1748,24 @@ def q_prefix_join(spark, sf_dir):
     return prefix_filter_pairs(docs, threshold=0.5)
 
 
+def q_containment(spark, sf_dir):
+    """EXACT directional containment join (dedup.containment_pairs —
+    the asymmetric sibling of q_prefix_join): |A∩B|/|A| ≥ 0.9, the
+    quote/subset predicate benchmark decontamination wants (a
+    paragraph inside a 10× longer page has tiny Jaccard but
+    containment 1.0). Prefix filtering on the contained side only,
+    full postings on the container side, integer micro-unit threshold
+    arithmetic (IEEE ceil(0.8·5) = 5 would silently lose
+    boundary-recall — pinned in test_containment). Oracle: brute
+    force over all ordered pairs."""
+    from metal_history_knowledge_graph_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.9)
+
+
 def _kcore_edges(spark, sf_dir):
     """Derived graph for the k-core query: the standard functional
     graph PLUS a circulant layer over multiples of 5 (src→src+5/10/
@@ -2698,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_filter": q_robots_filter,
         "q_zorder": q_zorder,
         "q_components_inc": q_components_inc,
+        "q_containment": q_containment,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -4278,6 +4297,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE length(list_intersect(a.words, b.words))::DOUBLE
                   / (length(a.words) + length(b.words)
                      - length(list_intersect(a.words, b.words))) >= 0.5
+        """,
+        # directional containment: brute force over ordered pairs,
+        # filter on the unrounded ratio (int/int double division)
+        "q_containment": f"""
+            WITH d AS (
+                SELECT doc_id, list_distinct({toks}) AS words
+                FROM documents
+                WHERE {toks} IS NOT NULL AND length({toks}) > 0
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(length(list_intersect(a.words, b.words))::DOUBLE
+                         / length(a.words), 4) AS containment
+            FROM d a JOIN d b ON a.doc_id <> b.doc_id
+            WHERE length(list_intersect(a.words, b.words))::DOUBLE
+                  / length(a.words) >= 0.9
         """,
         # k-core: full h-index trajectory replayed round-by-round in
         # chained CTEs — integer-only, order-free (see _kcore_oracle)

@@ -430,6 +430,37 @@ def simhash_probe_new(
     )
 
 
+def _dfreq_ordered_words(df, id_col: str, text_col: str):
+    """(doc, sz, words): each document's DISTINCT word set sorted by
+    ascending corpus document-frequency (rarest first; ties
+    lexicographic — a total order). Shared by the prefix-filter and
+    containment joins: both need the rarest-first order so prefixes
+    index long-tail tokens."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    docterms = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(toks)).alias("term"),
+    )
+    dfreq = docterms.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    return (
+        docterms.join(dfreq, "term")
+        .groupBy("doc")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dfreq", "term"))
+            ).alias("okey"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        .select(
+            "doc", "sz",
+            F.transform(F.col("okey"), lambda s: s["term"]).alias("words"),
+        )
+    )
+
+
 def prefix_filter_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -459,34 +490,18 @@ def prefix_filter_pairs(
     the UNROUNDED ratio so the operator's output is set-identical to
     the brute-force definition (the driver oracle is exact all-pairs).
     """
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda t: F.length(t) > 0,
-    )
-    docterms = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(toks)).alias("term"),
-    )
-    dfreq = docterms.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
-    ordered = (
-        docterms.join(dfreq, "term")
-        .groupBy("doc")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("dfreq", "term"))
-            ).alias("okey"),
-            F.count(F.lit(1)).alias("sz"),
-        )
-        .select(
-            "doc", "sz",
-            F.transform(F.col("okey"), lambda s: s["term"]).alias("words"),
-        )
-    )
     # ordered feeds four consumers (two postings aliases + the two
     # verify-side fetches) — checkpoint once so the dfreq join +
     # collect_list agg never re-runs (the build_triples rule).
-    ordered = ordered.localCheckpoint(eager=True)
-    p_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    ordered = _dfreq_ordered_words(df, id_col, text_col) \
+        .localCheckpoint(eager=True)
+    # ⌈t·sz⌉ in EXACT integer micro-units: IEEE ceil(0.8*5) is 5, not
+    # 4 (0.8*5 = 4.0000000000000002 in doubles), which would shorten
+    # prefixes / over-tighten the size filter and silently lose recall
+    # at non-dyadic thresholds. Exact for thresholds with ≤ 6 decimals.
+    t_micro = round(threshold * 1_000_000)
+    ceil_t_sz = F.expr(f"CAST(({t_micro} * sz + 999999) DIV 1000000 AS INT)")
+    p_len = (F.col("sz") - ceil_t_sz + 1).cast("int")
     postings = ordered.select(
         "doc", "sz",
         F.explode(F.slice(F.col("words"), 1, p_len)).alias("term"),
@@ -503,8 +518,8 @@ def prefix_filter_pairs(
             b,
             (F.col("a.term") == F.col("b.term"))
             & (F.col("a.doc") < F.col("b.doc"))
-            & (F.col("b.sz") >= threshold * F.col("a.sz"))
-            & (F.col("a.sz") >= threshold * F.col("b.sz")),
+            & (F.col("b.sz") * 1_000_000 >= t_micro * F.col("a.sz"))
+            & (F.col("a.sz") * 1_000_000 >= t_micro * F.col("b.sz")),
         )
         .select(
             F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
@@ -541,5 +556,86 @@ def prefix_filter_pairs(
         .select(
             "doc_a", "doc_b",
             F.round(F.col("_j"), 4).alias("jaccard"),
+        )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT directional containment join: (doc_a, doc_b, containment)
+    for every pair with |A∩B| / |A| ≥ ``threshold`` (A's word set
+    mostly inside B's) — the ASYMMETRIC sibling of
+    ``prefix_filter_pairs``. Jaccard misses quote/subset relations
+    between unequal-length docs (a paragraph fully contained in a
+    10× longer page has tiny Jaccard); containment is the predicate
+    benchmark decontamination and quote-dedup actually want.
+
+    Prefix bound (contained side only): |A∩B| ≥ ⌈t·|A|⌉ forces a
+    shared token inside A's first |A| − ⌈t·|A|⌉ + 1 rarest tokens.
+    The container side has no symmetric bound — it contributes its
+    FULL token postings (the inverted index a BM25 build pays
+    anyway); the only size filter is |B| ≥ ⌈t·|A|⌉. All threshold
+    arithmetic in exact integer micro-units (see
+    prefix_filter_pairs); candidates dedup as bare id pairs; arrays
+    attach once for the verify; verify is the unrounded ratio, so
+    the output is set-identical to brute force (the driver oracle).
+    """
+    ordered = _dfreq_ordered_words(df, id_col, text_col) \
+        .localCheckpoint(eager=True)
+    t_micro = round(threshold * 1_000_000)
+    ceil_t_sz = F.expr(f"CAST(({t_micro} * sz + 999999) DIV 1000000 AS INT)")
+    p_len = (F.col("sz") - ceil_t_sz + 1).cast("int")
+    a_post = ordered.select(
+        "doc", "sz",
+        F.explode(F.slice(F.col("words"), 1, p_len)).alias("term"),
+    )
+    b_post = ordered.select(
+        "doc", "sz", F.explode(F.col("words")).alias("term")
+    )
+    cand_ids = (
+        a_post.alias("a")
+        .join(
+            b_post.alias("b"),
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc") != F.col("b.doc"))
+            & (
+                F.col("b.sz") * 1_000_000
+                >= F.expr(f"CAST(({t_micro} * a.sz + 999999) "
+                          f"DIV 1000000 AS BIGINT) * 1000000")
+            ),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+        )
+        .distinct()
+    )
+    av = ordered.select(
+        F.col("doc").alias("doc_a"), F.col("sz").alias("sa"),
+        F.col("words").alias("wa"),
+    )
+    bv = ordered.select(
+        F.col("doc").alias("doc_b"), F.col("words").alias("wb"),
+    )
+    cands = cand_ids.join(av, "doc_a").join(bv, "doc_b")
+    cont = F.element_at(
+        F.transform(
+            F.array(
+                F.size(F.array_intersect(F.col("wa"), F.col("wb")))
+                .cast("double")
+            ),
+            lambda i: i / F.col("sa"),
+        ),
+        1,
+    )
+    return (
+        cands.withColumn("_c", cont)
+        .filter(F.col("_c") >= threshold)
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("_c"), 4).alias("containment"),
         )
     )

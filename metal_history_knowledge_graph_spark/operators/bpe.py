@@ -35,10 +35,11 @@ EOW = "</w>"
 
 
 def _words(df: DataFrame, text_col: str) -> Column:
-    return F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda t: F.length(t) > 0,
-    )
+    # textstats._tokens is THE tokenizer (shared with BM25/LM-score/
+    # span/dedup operators) — one definition to keep oracles in step
+    from .textstats import _tokens
+
+    return _tokens(F.col(text_col))
 
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:

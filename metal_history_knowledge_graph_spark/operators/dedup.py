@@ -435,11 +435,11 @@ def _dfreq_ordered_words(df, id_col: str, text_col: str):
     ascending corpus document-frequency (rarest first; ties
     lexicographic — a total order). Shared by the prefix-filter and
     containment joins: both need the rarest-first order so prefixes
-    index long-tail tokens."""
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda t: F.length(t) > 0,
-    )
+    index long-tail tokens. Tokenization = textstats._tokens, the ONE
+    tokenizer the BM25/LM-score/span operators share."""
+    from .textstats import _tokens
+
+    toks = _tokens(F.col(text_col))
     docterms = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(toks)).alias("term"),

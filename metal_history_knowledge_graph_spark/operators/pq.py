@@ -96,6 +96,11 @@ def pq_train(
         normed = df.select(
             F.col(id_col).alias("_id"), F.col(vec_col).alias("unit_vec")
         )
+    # feeds head() + the init collect + one collect per iteration —
+    # checkpoint once or every action re-runs the full input lineage
+    # (normalization here; in ivfpq_build the whole coarse-assignment
+    # + residual chain). The build_triples rule.
+    normed = normed.localCheckpoint(eager=True)
     head = normed.select(F.size("unit_vec").alias("d")).head()
     if head is None:
         raise ValueError("pq_train: empty input")
@@ -311,7 +316,7 @@ def ivfpq_build(
             F.element_at(cent_lit, F.col("cluster") + 1),
             lambda x, y: x - y,
         ).alias("resid"),
-    )
+    ).localCheckpoint(eager=True)  # feeds pq_train's actions AND pq_encode
     books = pq_train(
         resid_df, m=m, ks=ks, n_iters=pq_iters,
         vec_col="resid", id_col=id_col, normalize=False,

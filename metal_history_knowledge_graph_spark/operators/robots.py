@@ -95,23 +95,85 @@ def parse_robots(
     )
 
 
+def parse_robots_groups(
+    df: DataFrame, domain_col: str = "domain", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(domain, agent) for EVERY declared user-agent group — including
+    groups with no emittable rules (an empty ``Disallow:`` means
+    allow-all and produces no rules row, but per RFC 9309 the group
+    still GOVERNS its agent: falling back to ``*`` would invert the
+    policy). Pass this to robots_decide's ``groups``."""
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(F.split(F.col(text_col), r"\r?\n")).alias("raw"),
+    )
+    ln = F.trim(F.regexp_replace(F.col("raw"), r"#.*$", ""))
+    return (
+        lines.select(
+            "domain",
+            F.lower(F.trim(F.substring_index(ln, ":", 1))).alias("key"),
+            F.when(
+                F.instr(ln, ":") > 0,
+                F.lower(F.trim(F.expr(
+                    "substring(trim(regexp_replace(raw, '#.*$', '')), "
+                    "instr(trim(regexp_replace(raw, '#.*$', '')), ':') + 1)"
+                ))),
+            ).otherwise(F.lit("")).alias("agent"),
+        )
+        .filter((F.col("key") == "user-agent") & (F.length("agent") > 0))
+        .select("domain", "agent")
+        .distinct()
+    )
+
+
+def _wildcard_regex(prefix: Column) -> Column:
+    """RFC 9309 pattern → anchored Java regex: '*' matches any
+    sequence, a TRAILING '$' anchors end-of-path, every other
+    character is literal (escaped)."""
+    anchored = prefix.endswith("$")
+    body = F.when(
+        anchored, F.expr("substring(path_prefix, 1, length(path_prefix) - 1)")
+    ).otherwise(prefix)
+    esc = F.regexp_replace(
+        body, r"([.^$+?(){}\[\]|\\])", r"\\$1"
+    )
+    return F.concat(
+        F.lit("^"),
+        F.replace(esc, F.lit("*"), F.lit(".*")),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+
+
 def robots_decide(
     urls: DataFrame,
     rules: DataFrame,
     agent: str = "*",
     domain_col: str = "domain",
     path_col: str = "path",
+    groups: DataFrame | None = None,
 ) -> DataFrame:
     """urls + ``allowed`` boolean (RFC 9309 decision for ``agent``):
-    most specific agent group, longest prefix match, Allow wins ties,
-    default allow. One broadcast join + one per-url window."""
+    most specific agent group, longest match, Allow wins ties,
+    default allow. Plain rules match as path prefixes; wildcard rules
+    ('*' any-sequence / trailing-'$' end anchor) match via the
+    compiled anchored regex — both in one broadcast join + one
+    per-url window.
+
+    ``groups`` (from parse_robots_groups) supplies the DECLARED
+    agent groups: a group declared with zero emittable rules (empty
+    Disallow = allow-all) still governs its agent per RFC 9309 and
+    must not fall back to '*'. Without ``groups``, group existence is
+    inferred from the rules table (a declared-but-empty exact group
+    is then indistinguishable from no group — pass ``groups`` when
+    policies use that idiom)."""
     agent = agent.lower()
-    # agent-group selection per domain: exact agent if it has ANY
-    # rule, else the wildcard group
+    exact_src = (
+        groups.filter(F.col("agent") == agent)
+        if groups is not None
+        else rules.filter(F.col("agent") == agent)
+    )
     has_exact = (
-        rules.filter(F.col("agent") == agent)
-        .select("domain").distinct()
-        .withColumn("_exact", F.lit(True))
+        exact_src.select("domain").distinct().withColumn("_exact", F.lit(True))
     )
     applicable = (
         rules.filter(F.col("agent").isin(agent, "*"))
@@ -122,13 +184,17 @@ def robots_decide(
         )
         .select(
             F.col("domain").alias("_r_domain"), "rule",
-            "path_prefix", "rule_len",
+            "path_prefix", "rule_len", "has_wildcard",
+            _wildcard_regex(F.col("path_prefix")).alias("_pat"),
         )
     )
     matched = urls.join(
         F.broadcast(applicable),
         (F.col(domain_col) == F.col("_r_domain"))
-        & F.col(path_col).startswith(F.col("path_prefix")),
+        & F.when(
+            F.col("has_wildcard"),
+            F.regexp_like(F.col(path_col), F.col("_pat")),
+        ).otherwise(F.col(path_col).startswith(F.col("path_prefix"))),
         "left",
     ).drop("_r_domain")
     w = (

@@ -78,10 +78,18 @@ def with_zorder(
             norms.append(F.lit(0).cast("long"))
         else:
             top = (1 << bits) - 1
+            # clamp to [0, top]: with a PINNED minmax an appended row
+            # outside the snapshot range would otherwise overflow the
+            # bit budget — the high bit is silently dropped by the
+            # interleave (aliasing new data next to the oldest) and a
+            # negative norm sign-extends to garbage. Clamped rows land
+            # at the curve's edge, which is the right place for
+            # out-of-range appends.
             norms.append(
                 F.expr(
+                    f"GREATEST(CAST(0 AS BIGINT), LEAST(CAST({top} AS BIGINT), "
                     f"CAST((CAST({c} AS BIGINT) - {lo}) * {top} "
-                    f"DIV {span} AS BIGINT)"
+                    f"DIV {span} AS BIGINT)))"
                 )
             )
     return df.withColumn(out_col, _interleave(norms, bits))
@@ -101,7 +109,8 @@ def zorder_sql(
             continue
         top = (1 << bits) - 1
         norm = (
-            f"((CAST({c} AS BIGINT) - ({lo})) * {top} // {span})"
+            f"GREATEST(CAST(0 AS BIGINT), LEAST(CAST({top} AS BIGINT), "
+            f"((CAST({c} AS BIGINT) - ({lo})) * {top} // {span})))"
         )
         for j in range(bits):
             terms.append(f"((({norm} >> {j}) & 1) << {j * d + i})")

@@ -81,7 +81,10 @@ def build_warc(
     )
     return (
         df.select(
-            (F.col(id_col) / records_per_blob).cast("long").alias("blob_id"),
+            # integer div (floors negatives like the oracle's `//`),
+            # never a double division — ids above 2^53 would round
+            F.expr(f"CAST({id_col} DIV {records_per_blob} AS BIGINT)")
+            .alias("blob_id"),
             F.col(id_col).alias("_id"),
             record.alias("_rec"),
         )
@@ -180,8 +183,15 @@ def parse_warc(
         for pdf in batches:
             rows = []
             for rec in pdf.itertuples(index=False):
+                bid = -1 if rec.blob_id is None else int(rec.blob_id)
+                if rec.warc is None:
+                    # a NULL blob is REPORTED, never fatal (the
+                    # module's malformed-input contract)
+                    rows.append((bid, 0, None, None, None, None, None,
+                                 "null blob"))
+                    continue
                 data = rec.warc if isinstance(rec.warc, bytes) else bytes(rec.warc)
-                rows.extend(_parse_blob(int(rec.blob_id), data))
+                rows.extend(_parse_blob(bid, data))
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -127,3 +127,73 @@ def test_decide_plan_broadcast_jvm_only(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "Python" not in plan
+
+
+def test_wildcard_rules_match(spark):
+    """'Disallow: /*' (disallow-all idiom) and 'Disallow: /tmp*.html'
+    must actually BLOCK — wildcard rules compile to anchored regexes,
+    never literal prefixes that match nothing."""
+    df = spark.createDataFrame(
+        [
+            ("w.example", "User-agent: *\nDisallow: /*\nAllow: /pub/\n"),
+            ("x.example", "User-agent: *\nDisallow: /tmp*.html\n"),
+            ("y.example", "User-agent: *\nDisallow: /exact$\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    rules = parse_robots(df)
+    urls = spark.createDataFrame(
+        [
+            ("w.example", "/anything"),      # /* blocks
+            ("w.example", "/pub/ok"),        # longer Allow wins (5 > 2)
+            ("x.example", "/tmp123.html"),   # wildcard hit
+            ("x.example", "/tmp123.txt"),    # no .html suffix -> allow
+            ("y.example", "/exact"),         # $ anchor hit
+            ("y.example", "/exactly"),       # longer path -> allow
+        ],
+        "domain string, path string",
+    )
+    got = {
+        (r["domain"], r["path"]): r["allowed"]
+        for r in robots_decide(urls, rules).collect()
+    }
+    assert got == {
+        ("w.example", "/anything"): False,
+        ("w.example", "/pub/ok"): True,
+        ("x.example", "/tmp123.html"): False,
+        ("x.example", "/tmp123.txt"): True,
+        ("y.example", "/exact"): False,
+        ("y.example", "/exactly"): True,
+    }
+
+
+def test_empty_exact_group_governs(spark):
+    """'User-agent: mybot\\nDisallow:' (allow-all for mybot) + a
+    disallow-all '*' group: with parse_robots_groups supplied, mybot
+    is allowed everywhere — never falls back to the '*' block."""
+    from metal_history_knowledge_graph_spark.operators.robots import (
+        parse_robots_groups,
+    )
+
+    df = spark.createDataFrame(
+        [("g.example",
+          "User-agent: mybot\nDisallow:\n\nUser-agent: *\nDisallow: /\n")],
+        "domain string, robots_txt string",
+    )
+    rules, groups = parse_robots(df), parse_robots_groups(df)
+    urls = spark.createDataFrame(
+        [("g.example", "/a"), ("g.example", "/b/c")],
+        "domain string, path string",
+    )
+    mine = {
+        r["path"]: r["allowed"]
+        for r in robots_decide(urls, rules, agent="mybot",
+                               groups=groups).collect()
+    }
+    anon = {
+        r["path"]: r["allowed"]
+        for r in robots_decide(urls, rules, agent="*",
+                               groups=groups).collect()
+    }
+    assert mine == {"/a": True, "/b/c": True}
+    assert anon == {"/a": False, "/b/c": False}

@@ -104,3 +104,22 @@ def test_parse_plan_narrow(spark):
     )
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
     assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+
+
+def test_null_blob_reported_not_fatal(spark):
+    from pyspark.sql import functions as F
+
+    good = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://ok/1\r\nWARC-Date: d\r\n"
+        b"Content-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    blobs = spark.createDataFrame(
+        [(0, good), (1, None)], "blob_id long, warc binary"
+    )
+    rows = parse_warc(blobs).collect()
+    errs = [r for r in rows if r["parse_error"]]
+    oks = [r for r in rows if not r["parse_error"]]
+    assert [r["target_uri"] for r in oks] == ["http://ok/1"]
+    assert len(errs) == 1 and errs[0]["parse_error"] == "null blob"
+    assert errs[0]["blob_id"] == 1

@@ -87,3 +87,21 @@ def test_too_many_bits_raises(spark):
     df = spark.createDataFrame([(1, 1, 1)], "a long, b long, c long")
     with pytest.raises(ValueError, match="exceeds BIGINT"):
         with_zorder(df, ["a", "b", "c"], bits=21)
+
+
+def test_pinned_minmax_out_of_range_clamps(spark):
+    """Appends OUTSIDE the pinned snapshot range clamp to the curve's
+    edges — above-hi rows get the MAX z (never alias next to the
+    oldest data by dropped high bits), below-lo rows the MIN."""
+    df = spark.createDataFrame(GRID, "id long, x long, y long")
+    mm = zorder_minmax(df, ["x", "y"])
+    outside = spark.createDataFrame(
+        [(9001, 1000, 1000), (9002, -50, -50), (9003, 63, 63)],
+        "id long, x long, y long",
+    )
+    z = {r["id"]: r["zval"]
+         for r in with_zorder(outside, ["x", "y"], minmax=mm).collect()}
+    top_z = (1 << 32) - 1  # all 32 interleaved bits set
+    assert z[9001] == top_z       # clamped to (65535, 65535)
+    assert z[9002] == 0           # clamped to (0, 0)
+    assert 0 < z[9003] <= top_z   # in-range max corner unaffected

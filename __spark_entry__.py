@@ -1748,6 +1748,92 @@ def q_prefix_join(spark, sf_dir):
     return prefix_filter_pairs(docs, threshold=0.5)
 
 
+def q_host_graph(spark, sf_dir):
+    """Hyperlink extraction → host-level link graph
+    (operators/links.py — the webtext→graph bridge feeding pagerank /
+    k-core host-authority signals): deterministic HTML synthesized
+    from the documents table (absolute + root-relative +
+    protocol-relative + mailto links), href regex extraction, link
+    resolution against the page host, host normalization, and the
+    counted edge aggregation — ALL replayed in DuckDB with the SAME
+    shared HREF_PATTERN (RE2-safe subset), so the whole chain is the
+    oracle, not just the counts."""
+    from metal_history_knowledge_graph_spark.operators.links import (
+        extract_links,
+        host_graph,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<a href="http://'), F.col("lang"), F.lit(".example/p/"),
+        did, F.lit('">x</a> '),
+        F.lit("<a href='/local/"), did, F.lit("'>y</a> "),
+        F.lit('<a href="//cdn.example/lib.js">z</a> '),
+        F.lit('<a href="mailto:a@b">m</a>'),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit("/"), did
+        ).alias("url"),
+        html.alias("html"),
+    )
+    return (
+        host_graph(extract_links(pages))
+        .orderBy("src_host", "dst_host")
+    )
+
+
+def _host_graph_oracle() -> str:
+    """DuckDB replay of q_host_graph's full chain. The href pattern is
+    imported from operators/links.HREF_PATTERN (single source); host
+    extraction/stripping mirrors links._host_of regex for regex."""
+    from metal_history_knowledge_graph_spark.operators.links import (
+        HREF_PATTERN,
+    )
+
+    pat = HREF_PATTERN.replace("'", "''")
+    host = (
+        "lower(regexp_replace(regexp_replace(regexp_extract({u}, "
+        "'^[hH][tT][tT][pP][sS]?://([^/?#]+)', 1), '^.*@', ''), "
+        "':\\d+$', ''))"
+    )
+    return f"""
+        WITH pages AS (
+            SELECT 'http://' || source || '/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   '<a href="http://' || lang || '.example/p/'
+                       || CAST(doc_id AS VARCHAR) || '">x</a> '
+                   || '<a href=''/local/' || CAST(doc_id AS VARCHAR)
+                       || '''>y</a> '
+                   || '<a href="//cdn.example/lib.js">z</a> '
+                   || '<a href="mailto:a@b">m</a>' AS html
+            FROM documents
+        ), hrefs AS (
+            SELECT url, unnest(regexp_extract_all(html, '{pat}', 1)) AS href
+            FROM pages
+        ), res AS (
+            SELECT {host.format(u="url")} AS src_host,
+                   CASE WHEN href LIKE '//%' THEN 'http:' || href
+                        WHEN href LIKE '/%' THEN 'http://'
+                             || {host.format(u="url")} || href
+                        ELSE href END AS dst_url
+            FROM hrefs
+        ), edges AS (
+            SELECT src_host,
+                   CASE WHEN length({host.format(u="dst_url")}) > 0
+                        THEN {host.format(u="dst_url")} END AS dst_host
+            FROM res
+        )
+        SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+        FROM edges
+        WHERE dst_host IS NOT NULL AND src_host IS NOT NULL
+          AND src_host <> dst_host
+        GROUP BY 1, 2
+        ORDER BY src_host, dst_host
+    """
+
+
 def q_containment(spark, sf_dir):
     """EXACT directional containment join (dedup.containment_pairs —
     the asymmetric sibling of q_prefix_join): |A∩B|/|A| ≥ 0.9, the
@@ -2717,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder": q_zorder,
         "q_components_inc": q_components_inc,
         "q_containment": q_containment,
+        "q_host_graph": q_host_graph,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -4298,6 +4385,9 @@ def oracle_sql() -> dict[str, str]:
                   / (length(a.words) + length(b.words)
                      - length(list_intersect(a.words, b.words))) >= 0.5
         """,
+        # host graph: same synthesized HTML, shared HREF_PATTERN,
+        # same resolution/normalization chain replayed in RE2
+        "q_host_graph": _host_graph_oracle(),
         # directional containment: brute force over ordered pairs,
         # filter on the unrounded ratio (int/int double division)
         "q_containment": f"""

@@ -1003,6 +1003,66 @@ def _pagerank_oracle(n_iters: int = 5, damping: int = 85, scale: int = 10**12) -
     )
 
 
+def _hits_oracle(n_iters: int = 5, scale: int = 10**9) -> str:
+    """Chained-CTE DuckDB replay of operators/graph_algos.hits: per
+    iteration one authority CTE then one hub CTE, each L1-normalized
+    with a scalar-subquery total and a BIGINT floor-divide — the exact
+    trajectory (sums are HUGEINT in DuckDB, cast back to BIGINT; all
+    true values stay < 2^63 by the scale=10^9 magnitude bound proven
+    in the hits() docstring)."""
+    ctes = [
+        f"WITH {_DERIVED_EDGES_SQL}",
+        "hnodes AS MATERIALIZED "
+        "(SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "hparams AS (SELECT count(*) AS n FROM hnodes)",
+        f"h0 AS MATERIALIZED (SELECT node, CAST({scale} // n AS BIGINT) AS h "
+        "FROM hnodes CROSS JOIN hparams)",
+    ]
+    for k in range(1, n_iters + 1):
+        prev_h = f"h{k - 1}"
+        ctes.append(
+            f"a{k}_raw AS MATERIALIZED (\n"
+            f"  SELECT e2.dst AS node, CAST(sum(p.h) AS BIGINT) AS raw\n"
+            f"  FROM edges e2 JOIN {prev_h} p ON e2.src = p.node\n"
+            f"  GROUP BY e2.dst\n"
+            f")"
+        )
+        ctes.append(
+            f"a{k} AS MATERIALIZED (\n"
+            f"  SELECT n.node, CAST(\n"
+            f"    (coalesce(r.raw, 0) * {scale})\n"
+            f"    // greatest((SELECT CAST(coalesce(sum(raw), 0) AS BIGINT)"
+            f" FROM a{k}_raw), 1)\n"
+            f"  AS BIGINT) AS a\n"
+            f"  FROM hnodes n LEFT JOIN a{k}_raw r ON n.node = r.node\n"
+            f")"
+        )
+        ctes.append(
+            f"h{k}_raw AS MATERIALIZED (\n"
+            f"  SELECT e2.src AS node, CAST(sum(p.a) AS BIGINT) AS raw\n"
+            f"  FROM edges e2 JOIN a{k} p ON e2.dst = p.node\n"
+            f"  GROUP BY e2.src\n"
+            f")"
+        )
+        ctes.append(
+            f"h{k} AS MATERIALIZED (\n"
+            f"  SELECT n.node, CAST(\n"
+            f"    (coalesce(r.raw, 0) * {scale})\n"
+            f"    // greatest((SELECT CAST(coalesce(sum(raw), 0) AS BIGINT)"
+            f" FROM h{k}_raw), 1)\n"
+            f"  AS BIGINT) AS h\n"
+            f"  FROM hnodes n LEFT JOIN h{k}_raw r ON n.node = r.node\n"
+            f")"
+        )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT h{n_iters}.node AS node_id, h{n_iters}.h AS hub_fixed,"
+        f" a{n_iters}.a AS auth_fixed\n"
+        f"FROM h{n_iters} JOIN a{n_iters} ON h{n_iters}.node = a{n_iters}.node\n"
+        f"ORDER BY node_id"
+    )
+
+
 def q_components(spark, sf_dir):
     """Distributed connected components (iterative min-label
     propagation, graph_metrics.py:97-175 family) over the
@@ -1265,6 +1325,23 @@ def q_pagerank(spark, sf_dir):
         F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
     )
     return pagerank(e, n_iters=5).orderBy("node_id")
+
+
+def q_hits(spark, sf_dir):
+    """Fixed-point integer HITS hubs-and-authorities
+    (operators/graph_algos.hits) over the derived functional graph —
+    the host-authority signal pair next to q_pagerank (hubs = link
+    directories, authorities = cited hosts). Exact L1 normalization
+    each half-step in BIGINT floor-divides, so the 5-iteration
+    trajectory is replayed bit-exactly by the chained-CTE DuckDB
+    oracle — an EXACT oracle for an iterative spectral-style
+    algorithm, not a tolerance compare."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import hits
+
+    e = _derived_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    )
+    return hits(e, n_iters=5).orderBy("node_id")
 
 
 def q_sessionize(spark, sf_dir):
@@ -1918,7 +1995,7 @@ def _kcore_oracle(n_rounds: int = 10) -> str:
     ]
     for k in range(1, n_rounds + 1):
         ctes.append(
-            f"h{k} AS (\n"
+            f"h{k} AS MATERIALIZED (\n"
             f"  SELECT a AS node, CAST(max(least(rn, hv)) AS BIGINT) AS h FROM (\n"
             f"    SELECT u.a, p.h AS hv,\n"
             f"           row_number() OVER (PARTITION BY u.a ORDER BY p.h DESC, u.b) AS rn\n"
@@ -2804,6 +2881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_components_inc": q_components_inc,
         "q_containment": q_containment,
         "q_host_graph": q_host_graph,
+        "q_hits": q_hits,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -4175,6 +4253,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_a, doc_b
         """,
         "q_pagerank": _pagerank_oracle(n_iters=5, damping=85, scale=10**12),
+        "q_hits": _hits_oracle(n_iters=5, scale=10**9),
         "q_sessionize": """
             WITH flagged AS (
                 SELECT user_id, ts, event_id, value,

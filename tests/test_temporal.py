@@ -200,3 +200,69 @@ def test_snapshot_diff_classifies_all_states(spark):
     )
     got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+# --- HITS ---------------------------------------------------------------------
+
+def test_hits_matches_float_reference(spark):
+    """Fixed-point hubs/authorities converge to the classic float HITS
+    values (L1-normalized power iteration) on a graph with distinct
+    hub and authority roles."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        HITS_SCALE,
+        hits,
+    )
+
+    # 0 and 3 are pure hubs, 1 and 2 pure authorities, 4 mixed
+    pairs = [(0, 1), (0, 2), (3, 1), (3, 2), (3, 4), (4, 1)]
+    out = {r.node_id: (r.hub_fixed / HITS_SCALE, r.auth_fixed / HITS_SCALE)
+           for r in hits(_edges(spark, pairs), n_iters=25).collect()}
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    h = {v: 1 / len(nodes) for v in nodes}
+    a = {}
+    for _ in range(25):
+        a = {v: sum(h[u] for u, w in pairs if w == v) for v in nodes}
+        ta = sum(a.values()) or 1.0
+        a = {v: x / ta for v, x in a.items()}
+        h = {v: sum(a[w] for u, w in pairs if u == v) for v in nodes}
+        th = sum(h.values()) or 1.0
+        h = {v: x / th for v, x in h.items()}
+    for v in nodes:
+        assert abs(out[v][0] - h[v]) < 1e-4, (v, out[v][0], h[v])
+        assert abs(out[v][1] - a[v]) < 1e-4, (v, out[v][1], a[v])
+    # role separation: pure hubs have ~zero authority and vice versa
+    assert out[0][1] < 1e-4 and out[3][1] < 1e-4
+    assert out[1][0] < 1e-4 and out[2][0] < 1e-4
+
+
+def test_hits_deterministic_across_partitioning(spark):
+    from metal_history_knowledge_graph_spark.operators.graph_algos import hits
+
+    pairs = [(i, (i * 7 + 1) % 50) for i in range(50)] + \
+            [(i, (i + 1) % 50) for i in range(50)]
+    e = _edges(spark, pairs)
+    a = sorted((r.node_id, r.hub_fixed, r.auth_fixed)
+               for r in hits(e.repartition(1), n_iters=5).collect())
+    b = sorted((r.node_id, r.hub_fixed, r.auth_fixed)
+               for r in hits(e.repartition(13), n_iters=5).collect())
+    assert a == b
+
+
+def test_hits_mass_bounded_and_string_nodes(spark):
+    """L1 normalization keeps every score ≤ scale and each total ≤
+    scale (the overflow-safety invariant); node ids may be strings
+    (host names) — the host-graph consumer's type."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        HITS_SCALE,
+        hits,
+    )
+
+    pairs = [("a.com", "b.com"), ("a.com", "c.com"), ("d.com", "b.com"),
+             ("b.com", "c.com")]
+    e = spark.createDataFrame(pairs, "subj_id string, obj_id string")
+    rows = hits(e, n_iters=5).collect()
+    assert {r.node_id for r in rows} == {"a.com", "b.com", "c.com", "d.com"}
+    assert all(0 <= r.hub_fixed <= HITS_SCALE for r in rows)
+    assert all(0 <= r.auth_fixed <= HITS_SCALE for r in rows)
+    assert sum(r.hub_fixed for r in rows) <= HITS_SCALE
+    assert sum(r.auth_fixed for r in rows) <= HITS_SCALE

@@ -1861,6 +1861,117 @@ def q_host_graph(spark, sf_dir):
     )
 
 
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text aggregation (operators/links.extract_anchors +
+    anchor_terms): every <a href>text</a> element parsed from
+    deterministic HTML, self-links dropped, anchor text tokenized,
+    and the top-3 terms the REST of the web uses for each host ranked
+    — the classic search relevance / entity-alias signal. The DuckDB
+    oracle replays the entire chain (tag regex → href/text split →
+    link resolution → host normalization → tokenize → count → rank)
+    with the SAME shared patterns."""
+    from metal_history_knowledge_graph_spark.operators.links import (
+        anchor_terms,
+        extract_anchors,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    atext = F.array_join(
+        F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 2), " "
+    )
+    html = F.concat(
+        F.lit('<a href="http://'), F.col("lang"), F.lit(".example/p/"),
+        did, F.lit('">'), atext, F.lit("</a> "),
+        F.lit("<a href='/nav/"), did, F.lit("'>home page</a> "),
+        F.lit('<a href="//cdn.example/lib.js">shared asset cdn</a>'),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit("/"), did
+        ).alias("url"),
+        html.alias("html"),
+    )
+    return (
+        anchor_terms(extract_anchors(pages), k=3)
+        .select("dst_host", "term", "n", F.col("rank").cast("long").alias("rank"))
+        .orderBy("dst_host", "rank")
+    )
+
+
+def _anchor_text_oracle() -> str:
+    """DuckDB replay of q_anchor_text's full chain; tag/href/token
+    patterns imported from operators/links (single source)."""
+    from metal_history_knowledge_graph_spark.operators.links import (
+        ANCHOR_TAG_PATTERN,
+        ANCHOR_TOKEN_PATTERN,
+        HREF_PATTERN,
+    )
+
+    tag_pat = ANCHOR_TAG_PATTERN.replace("'", "''")
+    href_pat = HREF_PATTERN.replace("'", "''")
+    host = (
+        "lower(regexp_replace(regexp_replace(regexp_extract({u}, "
+        "'^[hH][tT][tT][pP][sS]?://([^/?#]+)', 1), '^.*@', ''), "
+        "':\\d+$', ''))"
+    )
+    return f"""
+        WITH pages AS (
+            SELECT 'http://' || source || '/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   '<a href="http://' || lang || '.example/p/'
+                       || CAST(doc_id AS VARCHAR) || '">'
+                   || array_to_string(list_slice(
+                          list_filter(regexp_split_to_array(
+                              lower(trim(text)), '\\s+'),
+                              x -> length(x) > 0), 1, 2), ' ')
+                   || '</a> '
+                   || '<a href=''/nav/' || CAST(doc_id AS VARCHAR)
+                       || '''>home page</a> '
+                   || '<a href="//cdn.example/lib.js">shared asset cdn</a>'
+                       AS html
+            FROM documents
+        ), tags AS (
+            SELECT url,
+                   unnest(regexp_extract_all(html, '{tag_pat}', 0)) AS tag
+            FROM pages
+        ), parsed AS (
+            SELECT {host.format(u="url")} AS src_host,
+                   regexp_extract(tag, '{href_pat}', 1) AS href,
+                   regexp_extract(tag, '{tag_pat}', 1) AS atext
+            FROM tags
+        ), res AS (
+            SELECT src_host, atext,
+                   CASE WHEN href LIKE '//%' THEN 'http:' || href
+                        WHEN href LIKE '/%' THEN 'http://' || src_host || href
+                        ELSE href END AS dst_url
+            FROM parsed
+        ), anchors AS (
+            SELECT src_host,
+                   CASE WHEN length({host.format(u="dst_url")}) > 0
+                        THEN {host.format(u="dst_url")} END AS dst_host,
+                   atext
+            FROM res
+        ), terms AS (
+            SELECT dst_host,
+                   unnest(regexp_extract_all(lower(atext),
+                          '{ANCHOR_TOKEN_PATTERN}', 0)) AS term
+            FROM anchors
+            WHERE dst_host IS NOT NULL
+              AND (src_host IS NULL OR src_host <> dst_host)
+        ), counted AS (
+            SELECT dst_host, term, count(*) AS n
+            FROM terms GROUP BY 1, 2
+        )
+        SELECT dst_host, term, n, rank FROM (
+            SELECT dst_host, term, n,
+                   row_number() OVER (PARTITION BY dst_host
+                       ORDER BY n DESC, term) AS rank
+            FROM counted
+        ) WHERE rank <= 3 ORDER BY dst_host, rank
+    """
+
+
 def _host_graph_oracle() -> str:
     """DuckDB replay of q_host_graph's full chain. The href pattern is
     imported from operators/links.HREF_PATTERN (single source); host
@@ -2882,6 +2993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_containment": q_containment,
         "q_host_graph": q_host_graph,
         "q_hits": q_hits,
+        "q_anchor_text": q_anchor_text,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -4254,6 +4366,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_pagerank": _pagerank_oracle(n_iters=5, damping=85, scale=10**12),
         "q_hits": _hits_oracle(n_iters=5, scale=10**9),
+        "q_anchor_text": _anchor_text_oracle(),
         "q_sessionize": """
             WITH flagged AS (
                 SELECT user_id, ts, event_id, value,

@@ -58,17 +58,7 @@ def extract_links(
             F.regexp_extract_all(F.col(html_col), F.lit(HREF_PATTERN), 1)
         ).alias("href"),
     )
-    dst = (
-        F.when(
-            F.col("href").startswith("//"),
-            F.concat(F.lit("http:"), F.col("href")),
-        )
-        .when(
-            F.col("href").startswith("/"),
-            F.concat(F.lit("http://"), F.col("src_host"), F.col("href")),
-        )
-        .otherwise(F.col("href"))
-    )
+    dst = _resolve_dst(F.col("href"), F.col("src_host"))
     return links.select(
         "src_url", "src_host", "href",
         dst.alias("dst_url"),
@@ -89,4 +79,110 @@ def host_graph(links: DataFrame, drop_self: bool = True) -> DataFrame:
     return (
         e.groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+#: a complete anchor element with an href and flat (tag-free) text —
+#: group 0 is the whole tag, re-parsed per-tag for href and text.
+#: Shared verbatim with the DuckDB oracle (RE2-safe subset).
+ANCHOR_TAG_PATTERN = (
+    r"""<[aA]\s[^>]*href=["'][^"'<>\s]+["'][^>]*>([^<]*)</[aA]>"""
+)
+
+#: anchor-text terms: lowercase word runs (letters/digits), the same
+#: tokenization the BM25/vocab family uses.
+ANCHOR_TOKEN_PATTERN = r"[a-z0-9]+"
+
+
+def _resolve_dst(href: Column, src_host: Column) -> Column:
+    """Protocol-relative and root-relative hrefs resolved against the
+    source host (the same rule extract_links applies)."""
+    return (
+        F.when(href.startswith("//"), F.concat(F.lit("http:"), href))
+        .when(href.startswith("/"),
+              F.concat(F.lit("http://"), src_host, href))
+        .otherwise(href)
+    )
+
+
+def extract_anchors(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(src_host, dst_host, anchor_text): every ``<a href=…>text</a>``
+    element with its flat anchor text — the description OTHER pages
+    give a host, the classic web-search relevance signal (anchor text
+    describes the target better than the target's own boilerplate)
+    and a cheap entity-alias source for linking.
+
+    Two narrow regex passes, no Python: ``regexp_extract_all`` pulls
+    whole anchor elements (one explode), then per-element
+    ``regexp_extract`` splits href and text — Spark's extract_all
+    returns a single group, so nested capture of (href, text) in one
+    pass is not expressible; two JVM regex ops on an already-exploded
+    short string cost less than any UDF detour. Nested markup inside
+    the anchor is excluded by construction (``[^<]*``) — honest
+    limitation, documented: bolded link text is not captured.
+    """
+    src_host = _host_of(F.col(url_col))
+    tags = df.select(
+        F.col(url_col).alias("src_url"),
+        src_host.alias("src_host"),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_TAG_PATTERN), 0)
+        ).alias("tag"),
+    )
+    href = F.regexp_extract(F.col("tag"), HREF_PATTERN, 1)
+    text = F.regexp_extract(F.col("tag"), ANCHOR_TAG_PATTERN, 1)
+    dst = _resolve_dst(href, F.col("src_host"))
+    return tags.select(
+        "src_url", "src_host",
+        href.alias("href"),
+        _host_of(dst).alias("dst_host"),
+        text.alias("anchor_text"),
+    )
+
+
+def anchor_terms(
+    anchors: DataFrame,
+    k: int = 5,
+    drop_self: bool = True,
+) -> DataFrame:
+    """(dst_host, term, n, rank): the top-``k`` anchor-text terms
+    pointing AT each host — what the rest of the web calls it.
+    Tokenization is ANCHOR_TOKEN_PATTERN runs of lowercased text;
+    ``drop_self`` removes a host's own navigation labels so the
+    profile reflects external description.
+
+    Scale shape: one narrow explode of the (already link-sized)
+    anchor table, one partial-agg groupBy on (dst_host, term), one
+    window rank partitioned by dst_host — term-vocabulary-sized
+    output, no global ordering anywhere. The hot-host skew case
+    (millions of in-links to one host) is exactly what the
+    partial-agg count absorbs: map-side combine collapses each
+    partition's (host, term) repeats before the shuffle."""
+    from pyspark.sql import Window
+
+    a = anchors.filter(F.col("dst_host").isNotNull())
+    if drop_self:
+        a = a.filter(
+            F.col("src_host").isNull()
+            | (F.col("src_host") != F.col("dst_host"))
+        )
+    terms = a.select(
+        "dst_host",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("anchor_text")), F.lit(ANCHOR_TOKEN_PATTERN), 0
+            )
+        ).alias("term"),
+    )
+    counted = terms.groupBy("dst_host", "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("dst_host").orderBy(F.desc("n"), "term")
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )

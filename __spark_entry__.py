@@ -1972,6 +1972,90 @@ def _anchor_text_oracle() -> str:
     """
 
 
+def q_frontier(spark, sf_dir):
+    """Crawl-frontier scheduling (operators/frontier.py): candidate
+    URLs of varying depth scored host-authority-div-(depth+1) in
+    integer arithmetic, then cut to a per-host politeness budget of 5
+    best-priority-first. The engine's two-phase per-host top-k avoids
+    the hot-host window funnel; the DuckDB oracle replays the same
+    decision with one global window (depth parse → score join →
+    integer priority → budget rank)."""
+    from metal_history_knowledge_graph_spark.operators.frontier import (
+        frontier_priorities,
+        schedule_batch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("http://"), F.col("source"), F.lit("/"),
+                        F.col("lang"), F.lit("/"), did))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("http://"), F.col("source"), F.lit("/"), did,
+                       F.lit("?ref=feed")))
+        .otherwise(F.concat(F.lit("http://"), F.col("source"), F.lit("/a/b/"),
+                            did, F.lit("#s"))))
+    urls = docs.select(url.alias("url"))
+    scores = docs.groupBy(F.col("source").alias("host")).agg(
+        (F.count(F.lit(1)) * 1_000_000).cast("long").alias("rank_fixed")
+    )
+    out = schedule_batch(frontier_priorities(urls, scores), per_host_budget=5)
+    return out.select(
+        "url", "host", F.col("depth").cast("long").alias("depth"),
+        "priority_fixed", "fetch_slot",
+    ).orderBy("host", "fetch_slot")
+
+
+def _frontier_oracle() -> str:
+    """DuckDB replay of q_frontier: same URL synthesis, same depth
+    rule (path segments, query/fragment stripped), same integer
+    priority, one global per-host window for the budget cut."""
+    host = (
+        "lower(regexp_replace(regexp_replace(regexp_extract({u}, "
+        "'^[hH][tT][tT][pP][sS]?://([^/?#]+)', 1), '^.*@', ''), "
+        "':\\d+$', ''))"
+    )
+    depth = (
+        "len(list_filter(string_split(regexp_replace(regexp_replace({u}, "
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''), '[?#].*$', ''), '/'), "
+        "x -> x <> ''))"
+    )
+    return f"""
+        WITH urls AS (
+            SELECT CASE
+                WHEN doc_id % 3 = 0 THEN 'http://' || source || '/' || lang
+                     || '/' || CAST(doc_id AS VARCHAR)
+                WHEN doc_id % 3 = 1 THEN 'http://' || source || '/'
+                     || CAST(doc_id AS VARCHAR) || '?ref=feed'
+                ELSE 'http://' || source || '/a/b/'
+                     || CAST(doc_id AS VARCHAR) || '#s'
+            END AS url
+            FROM documents
+        ), scores AS (
+            SELECT source AS host, CAST(count(*) * 1000000 AS BIGINT)
+                       AS rank_fixed
+            FROM documents GROUP BY source
+        ), prio AS (
+            SELECT u.url, {host.format(u="u.url")} AS host,
+                   CAST({depth.format(u="u.url")} AS BIGINT) AS depth,
+                   coalesce(s.rank_fixed, 0)
+                       // ({depth.format(u="u.url")} + 1) AS priority_fixed
+            FROM urls u
+            LEFT JOIN scores s ON {host.format(u="u.url")} = s.host
+        )
+        SELECT url, host, depth, CAST(priority_fixed AS BIGINT)
+                   AS priority_fixed, fetch_slot
+        FROM (
+            SELECT url, host, depth, priority_fixed,
+                   row_number() OVER (PARTITION BY host
+                       ORDER BY priority_fixed DESC, url) AS fetch_slot
+            FROM prio
+        ) WHERE fetch_slot <= 5
+        ORDER BY host, fetch_slot
+    """
+
+
 def _host_graph_oracle() -> str:
     """DuckDB replay of q_host_graph's full chain. The href pattern is
     imported from operators/links.HREF_PATTERN (single source); host
@@ -2994,6 +3078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_graph": q_host_graph,
         "q_hits": q_hits,
         "q_anchor_text": q_anchor_text,
+        "q_frontier": q_frontier,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -4367,6 +4452,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pagerank": _pagerank_oracle(n_iters=5, damping=85, scale=10**12),
         "q_hits": _hits_oracle(n_iters=5, scale=10**9),
         "q_anchor_text": _anchor_text_oracle(),
+        "q_frontier": _frontier_oracle(),
         "q_sessionize": """
             WITH flagged AS (
                 SELECT user_id, ts, event_id, value,

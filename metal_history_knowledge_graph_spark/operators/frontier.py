@@ -1,0 +1,115 @@
+"""Crawl-frontier prioritization — the scheduling side of the crawl
+ops family (robots.py decides *may we fetch*, snapshot_diff decides
+*what changed*; this decides *what next*): score every candidate URL
+from its host's authority and its path depth, then cut a fetch batch
+under a per-host politeness budget so no host is hammered however
+many candidate URLs it has.
+
+Everything is native column work over two inputs: the candidate URL
+table (web-scale) and a host score table (host-vocabulary-sized —
+pagerank/hits output over the host graph from operators/links.py).
+
+Scale design: the scoring join is host-keyed against a
+vocabulary-sized dim (broadcastable); the politeness cut is the skew
+case — a hot host can hold 10^8 candidates and a single per-host
+window would funnel them through one reducer — so ``schedule_batch``
+runs TWO phases: a (host, input-partition) local top-``budget`` that
+spreads the hot host over every reducer, then the exact per-host
+window over the reduced set (≤ budget·n_partitions rows per host).
+The prefilter is lossless: each of the true per-host top-``budget``
+rows lives in some input partition and is within that partition's
+top-``budget``, so phase 2 sees it. Output is deterministic — final
+ranking orders by (priority desc, url) and urls are unique.
+
+Reference analogue: the reference crawls a fixed two-file corpus
+(SURVEY §2.1 scopes enrichment fetching out); frontier scheduling is
+the beyond-reference crawl-ops operator a Common-Crawl-scale pipeline
+needs, same family as robots.py.
+
+Oracle: q_frontier replays depth parsing, the score join, the integer
+priority, and the budget cut in DuckDB (a single global window — the
+oracle is allowed the O(hot-host) plan the engine avoids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .links import _host_of
+
+
+def url_depth(url_col) -> "F.Column":
+    """Number of non-empty path segments of an absolute URL — 0 for
+    the root, counting neither query nor fragment. Integer, shared
+    rule with the oracle."""
+    path = F.regexp_replace(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    path = F.regexp_replace(path, r"[?#].*$", "")
+    return F.size(F.filter(F.split(path, "/"), lambda x: x != ""))
+
+
+def frontier_priorities(
+    urls: DataFrame,
+    host_scores: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    score_col: str = "rank_fixed",
+) -> DataFrame:
+    """(url, host, depth, priority_fixed): candidate URLs scored
+    host-authority-over-depth — ``priority = score div (depth + 1)``,
+    all BIGINT (the fixed-point pagerank/hits outputs divide evenly
+    into deterministic integer priorities; deep pages on strong hosts
+    compete with shallow pages on weak ones). Unknown hosts score 0
+    rather than dropping — a frontier must still be able to schedule
+    never-seen hosts.
+
+    One narrow projection + one host-keyed join against the
+    vocabulary-sized score dim (broadcast it at the call site when it
+    fits; the optimizer's size estimate does otherwise)."""
+    scored = urls.select(
+        F.col(url_col).alias("url"),
+        _host_of(F.col(url_col)).alias("host"),
+        url_depth(F.col(url_col)).cast("int").alias("depth"),
+    ).join(
+        host_scores.select(
+            F.col(host_col).alias("host"),
+            F.col(score_col).alias("_score"),
+        ),
+        "host",
+        "left",
+    )
+    return scored.select(
+        "url", "host", "depth",
+        F.expr("coalesce(_score, 0L) div (depth + 1)")
+        .cast("long").alias("priority_fixed"),
+    )
+
+
+def schedule_batch(
+    priorities: DataFrame,
+    per_host_budget: int = 10,
+) -> DataFrame:
+    """The politeness cut: at most ``per_host_budget`` URLs per host,
+    best-priority first — (url, host, depth, priority_fixed,
+    fetch_slot) where fetch_slot is 1..budget within the host.
+
+    Two-phase exact top-k per host (see module docstring): phase 1
+    ranks within (host, input partition) so a hot host's candidates
+    spread over all reducers; phase 2 ranks the ≤ budget·n_partitions
+    survivors per host exactly. Ordering key is (priority desc, url)
+    — total, so the schedule is deterministic under any partitioning.
+    """
+    pre = priorities.withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy("host", "_pid").orderBy(
+        F.desc("priority_fixed"), "url"
+    )
+    survivors = (
+        pre.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= per_host_budget)
+        .drop("_pid", "_r")
+    )
+    w2 = Window.partitionBy("host").orderBy(F.desc("priority_fixed"), "url")
+    return (
+        survivors.withColumn("fetch_slot", F.row_number().over(w2).cast("long"))
+        .filter(F.col("fetch_slot") <= per_host_budget)
+    )

@@ -1,0 +1,92 @@
+"""Crawl-frontier prioritization (operators/frontier.py): depth rule,
+unknown-host default, integer priority, and the two-phase per-host
+politeness cut (exactness vs a brute-force reference, determinism
+across partitionings, hot-host stress)."""
+
+from pyspark.sql import functions as F
+
+from metal_history_knowledge_graph_spark.operators.frontier import (
+    frontier_priorities,
+    schedule_batch,
+)
+
+
+def _scores(spark, rows):
+    return spark.createDataFrame(rows, "host string, rank_fixed long")
+
+
+def test_depth_and_priority_rule(spark):
+    urls = spark.createDataFrame(
+        [
+            ("http://a.example/",),
+            ("http://a.example/x",),
+            ("http://a.example/x/y?q=1",),
+            ("http://a.example/x/y/z#frag",),
+            ("https://a.example:8080/deep/",),
+        ],
+        "url string",
+    )
+    out = {
+        r.url: (r.depth, r.priority_fixed)
+        for r in frontier_priorities(
+            urls, _scores(spark, [("a.example", 1200)])
+        ).collect()
+    }
+    assert out["http://a.example/"] == (0, 1200)
+    assert out["http://a.example/x"] == (1, 600)
+    # query and fragment don't count as path segments
+    assert out["http://a.example/x/y?q=1"] == (2, 400)
+    assert out["http://a.example/x/y/z#frag"] == (3, 300)
+    # port stripped for the score join; trailing slash = no extra segment
+    assert out["https://a.example:8080/deep/"] == (1, 600)
+
+
+def test_unknown_host_scores_zero_not_dropped(spark):
+    urls = spark.createDataFrame(
+        [("http://new.example/p",), ("mailto:x@y",)], "url string"
+    )
+    rows = frontier_priorities(urls, _scores(spark, [("a.example", 10)])).collect()
+    got = {r.url: (r.host, r.priority_fixed) for r in rows}
+    assert got["http://new.example/p"] == ("new.example", 0)
+    # non-http scheme: NULL host, still schedulable at priority 0
+    assert got["mailto:x@y"] == (None, 0)
+
+
+def test_schedule_budget_exact_vs_bruteforce_and_partitioning(spark):
+    # 3 hosts x 40 urls with clashing priorities; one host is 10x hot
+    rows = []
+    for h, n in (("hot.example", 400), ("a.example", 40), ("b.example", 40)):
+        for i in range(n):
+            rows.append((f"http://{h}/{'d/' * (i % 4)}{i:03d}",))
+    urls = spark.createDataFrame(rows, "url string")
+    scores = _scores(
+        spark,
+        [("hot.example", 1000), ("a.example", 900), ("b.example", 800)],
+    )
+    prio = frontier_priorities(urls, scores)
+    expected = {}
+    for r in prio.collect():
+        expected.setdefault(r.host, []).append((-r.priority_fixed, r.url))
+    cut = {
+        h: [u for _, u in sorted(v)[:7]] for h, v in expected.items()
+    }
+    for parts in (1, 13):
+        out = schedule_batch(prio.repartition(parts), per_host_budget=7)
+        got = {}
+        for r in out.orderBy("host", "fetch_slot").collect():
+            got.setdefault(r.host, []).append(r.url)
+        assert got == cut, parts
+        # fetch_slot is 1..budget within each host
+        slots = {}
+        for r in out.collect():
+            slots.setdefault(r.host, []).append(r.fetch_slot)
+        assert all(sorted(s) == list(range(1, len(s) + 1)) for s in slots.values())
+
+
+def test_frontier_plan_is_jvm_only(spark):
+    urls = spark.createDataFrame([("http://a.example/x",)], "url string")
+    plan = (
+        schedule_batch(frontier_priorities(urls, _scores(spark, [("a.example", 5)])))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -2056,6 +2056,66 @@ def _frontier_oracle() -> str:
     """
 
 
+def q_pps_sample(spark, sf_dir):
+    """Probability-proportional-to-size systematic sampling
+    (operators/sampling.pps_systematic_sample): 50 selections over the
+    documents table weighted by n_chars — expected pick count
+    proportional to size, zero RNG and zero floats (md5-derived offset,
+    BIGINT prefix sums, floor-divide interval counts), so the DuckDB
+    oracle replays every selection exactly. The engine computes the
+    global prefix sum via fixed hash-range buckets + broadcast offsets
+    (no global sort, no SinglePartition window — plan-gated in
+    test_sampling_pps); the oracle is allowed the one-window plan."""
+    from metal_history_knowledge_graph_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("weight")
+    )
+    out = pps_systematic_sample(
+        docs, weight_col="weight", n_target=50, key_col="doc_id", seed=0
+    )
+    return out.select("doc_id", "weight", "n_copies").orderBy("doc_id")
+
+
+def _pps_oracle(n_target: int = 50, seed: int = 0) -> str:
+    """DuckDB replay of q_pps_sample: same md5 order hash, same
+    integer step/offset, one global window for the prefix sum."""
+    return f"""
+        WITH wr AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                   CAST(('0x' || substr(md5('ppsord:{seed}|'
+                       || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                       % 1000000 AS BIGINT) AS ord
+            FROM documents WHERE n_chars > 0
+        ), params AS (
+            SELECT CAST(sum(w) AS BIGINT) AS total,
+                   greatest(CAST(sum(w) AS BIGINT) // {n_target}, 1) AS step,
+                   CAST(('0x' || substr(md5('pps:{seed}'), 1, 15))::UBIGINT
+                       % greatest(CAST(sum(w) AS BIGINT) // {n_target}, 1)
+                       AS BIGINT) AS off
+            FROM wr
+        ), cum AS (
+            SELECT doc_id, w,
+                   coalesce(CAST(sum(w) OVER (ORDER BY ord, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS BIGINT), 0) AS wc
+            FROM wr
+        )
+        SELECT doc_id, w AS weight, CAST(n_copies AS BIGINT) AS n_copies
+        FROM (
+            SELECT doc_id, w,
+                   least(CASE WHEN (wc + w) <= off THEN 0
+                         ELSE (wc + w - off - 1) // step + 1 END, {n_target})
+                   - least(CASE WHEN wc <= off THEN 0
+                           ELSE (wc - off - 1) // step + 1 END, {n_target})
+                       AS n_copies
+            FROM cum CROSS JOIN params
+        ) WHERE n_copies > 0 ORDER BY doc_id
+    """
+
+
 def _host_graph_oracle() -> str:
     """DuckDB replay of q_host_graph's full chain. The href pattern is
     imported from operators/links.HREF_PATTERN (single source); host
@@ -3079,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hits": q_hits,
         "q_anchor_text": q_anchor_text,
         "q_frontier": q_frontier,
+        "q_pps_sample": q_pps_sample,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -4453,6 +4514,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hits": _hits_oracle(n_iters=5, scale=10**9),
         "q_anchor_text": _anchor_text_oracle(),
         "q_frontier": _frontier_oracle(),
+        "q_pps_sample": _pps_oracle(n_target=50, seed=0),
         "q_sessionize": """
             WITH flagged AS (
                 SELECT user_id, ts, event_id, value,

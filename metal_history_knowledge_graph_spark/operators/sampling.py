@@ -230,3 +230,102 @@ def cap_per_group(
         .filter(F.col("_r") <= cap)
         .drop("_r")
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    n_target: int,
+    key_col: str,
+    seed: int = 0,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Probability-proportional-to-size systematic sampling: draw
+    ``n_target`` selections where each row's expected pick count is
+    ``n_target · w / Σw`` — the sampler a data-mixing pipeline needs
+    when "sample 1M documents proportional to token count" must be
+    exact, deterministic, and identically reproducible by the SQL
+    oracle (no RNG, no float: md5-derived offset, BIGINT cumulative
+    weights, floor-divide interval counting).
+
+    Classic systematic PPS on a deterministic pseudo-random order
+    (md5(key), key — decorrelated from input order): exclusive prefix
+    sums W_i over integer weights, step = Σw div n_target (≥1),
+    offset = md5("pps:seed") mod step, selection points offset + j·step
+    for j = 0..n_target−1; row i is picked once per point inside
+    [W_i, W_i + w_i). Output keeps picked rows with an ``n_copies``
+    count (a row with w > step can be picked multiple times — sampling
+    WITH replacement in the heavy-weight regime, the standard PPS
+    behavior). Σ n_copies = n_target exactly whenever Σw ≥ n_target;
+    when Σw < n_target the integer step clamps to 1 and every weight
+    unit is a selection point, yielding Σw picks (n_copies = w) — the
+    rule cannot mint more distinct integer points than weight units. Zero-weight rows have empty intervals and are never
+    picked; negative weights raise downstream-corruption guards at
+    plan build.
+
+    Scale shape — the global prefix sum WITHOUT a global sort: the
+    order hash is bucketized into ``n_buckets`` fixed ranges
+    (deterministic boundaries, not sampled like repartitionByRange),
+    bucket subtotals form a vocabulary-sized table whose running
+    offsets broadcast back, and the within-bucket cumsum is a window
+    partitioned by bucket. Two partial-agg shuffles total; no
+    SinglePartition window over the data (plan-gated in tests). The
+    Σw total is one scalar aggregate (a single collected row, like
+    the graph-algo normalization totals).
+    """
+    if n_target <= 0:
+        raise ValueError(f"pps_systematic_sample: n_target must be > 0, got {n_target}")
+    import hashlib
+
+    w = F.col(weight_col).cast("long")
+    neg = df.filter(w < 0).limit(1).count()
+    if neg:
+        raise ValueError(
+            f"pps_systematic_sample: negative {weight_col} values — corrupt input"
+        )
+    total = df.agg(F.sum(F.when(w > 0, w).otherwise(F.lit(0)))).collect()[0][0] or 0
+    if total == 0:
+        return df.withColumn("n_copies", F.lit(0).cast("long")).limit(0)
+    step = max(total // n_target, 1)
+    offset = int(hashlib.md5(f"pps:{seed}".encode()).hexdigest()[:15], 16) % step
+
+    ord_hash = md5_mod(F.col(key_col), f"ppsord:{seed}|", BUCKETS)
+    bucket_width = max(BUCKETS // n_buckets, 1)
+    rows = df.filter(w > 0).select(
+        "*",
+        ord_hash.alias("_ord"),
+        (ord_hash / F.lit(bucket_width)).cast("long").alias("_b"),
+    )
+    bucket_tot = rows.groupBy("_b").agg(F.sum(w).alias("_bt"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_tot.select(
+        "_b", F.coalesce(F.sum("_bt").over(w_off), F.lit(0)).alias("_boff")
+    )
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy("_ord", key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        rows.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            "_W",
+            (F.col("_boff") + F.coalesce(F.sum(w).over(w_in), F.lit(0)))
+            .cast("long"),
+        )
+    )
+
+    # f(x) = selections strictly below x = max(0, (x-offset-1) div step + 1),
+    # clamped to n_target; n_copies = f(W + w) - f(W). Pure BIGINT SQL.
+    def _f(x_sql):
+        return (
+            f"least(CASE WHEN ({x_sql}) <= {offset}L THEN 0L "
+            f"ELSE (({x_sql}) - {offset}L - 1L) div {step}L + 1L END, "
+            f"{n_target}L)"
+        )
+
+    picked = cum.withColumn("_wl", w).withColumn(
+        "n_copies",
+        F.expr(f"{_f('_W + _wl')} - {_f('_W')}").cast("long"),
+    ).filter(F.col("n_copies") > 0)
+    return picked.drop("_ord", "_b", "_boff", "_W", "_wl")

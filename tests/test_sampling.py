@@ -163,3 +163,111 @@ def test_cap_per_group_bounds_and_determinism(spark):
     assert {r.doc_id for r in kept.collect()} == {r.doc_id for r in again.collect()}
     # cap above group size keeps everything
     assert cap_per_group(df, "src", 10_000, "doc_id").count() == 1000
+
+
+# --- PPS systematic sampling ----------------------------------------------------
+
+def _pps_reference(items, n_target, seed):
+    """Brute-force replay of the documented selection rule."""
+    import hashlib
+
+    def ordh(k):
+        return int(hashlib.md5(f"ppsord:{seed}|{k}".encode()).hexdigest()[:15],
+                   16) % BUCKETS
+
+    rows = sorted(((ordh(k), k, w) for k, w in items if w > 0))
+    total = sum(w for _, _, w in rows)
+    step = max(total // n_target, 1)
+    off = int(hashlib.md5(f"pps:{seed}".encode()).hexdigest()[:15], 16) % step
+    picks = {}
+    cum = 0
+    points = [off + j * step for j in range(n_target)]
+    for _, k, w in rows:
+        c = sum(1 for p in points if cum <= p < cum + w)
+        if c:
+            picks[k] = c
+        cum += w
+    return picks
+
+
+def test_pps_matches_bruteforce_and_totals(spark):
+    from metal_history_knowledge_graph_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    items = [(i, (i * 37) % 900 + (10_000 if i % 50 == 0 else 0))
+             for i in range(300)] + [(300, 0)]
+    df = spark.createDataFrame(items, "doc_id long, weight long")
+    out = {
+        r.doc_id: r.n_copies
+        for r in pps_systematic_sample(
+            df, "weight", n_target=40, key_col="doc_id", seed=7
+        ).collect()
+    }
+    assert out == _pps_reference(items, 40, 7)
+    # exactly n_target selections in total; heavy rows picked >1
+    assert sum(out.values()) == 40
+    assert max(out.values()) > 1  # the 10k-weight rows exceed step
+    assert 300 not in out  # zero weight never picked
+
+
+def test_pps_partition_and_bucket_invariance(spark):
+    from metal_history_knowledge_graph_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    items = [(i, i % 13 + 1) for i in range(500)]
+    df = spark.createDataFrame(items, "doc_id long, weight long")
+    a = sorted(
+        (r.doc_id, r.n_copies)
+        for r in pps_systematic_sample(
+            df.repartition(1), "weight", 25, "doc_id", seed=1
+        ).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.n_copies)
+        for r in pps_systematic_sample(
+            df.repartition(17), "weight", 25, "doc_id", seed=1, n_buckets=3
+        ).collect()
+    )
+    assert a == b
+
+
+def test_pps_rejects_negative_weights_and_small_totals(spark):
+    from metal_history_knowledge_graph_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    bad = spark.createDataFrame([(1, 5), (2, -3)], "doc_id long, weight long")
+    with pytest.raises(ValueError, match="negative"):
+        pps_systematic_sample(bad, "weight", 10, "doc_id")
+    # n_target > total weight: step clamps to 1, every weight unit is a
+    # selection point, so exactly `total` (< n_target) picks exist —
+    # n_copies = w per row (the documented small-total semantics)
+    tiny = spark.createDataFrame([(1, 2), (2, 3)], "doc_id long, weight long")
+    out = {
+        r.doc_id: r.n_copies
+        for r in pps_systematic_sample(tiny, "weight", 10, "doc_id").collect()
+    }
+    assert out == {1: 2, 2: 3}
+
+
+def test_pps_plan_has_no_global_window(spark):
+    from metal_history_knowledge_graph_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("weight")
+    )
+    plan = pps_systematic_sample(df, "weight", 20, "doc_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the data-sized window partitions by _b; the only SinglePartition
+    # window allowed is over the bucket-total table (vocabulary-sized)
+    import re
+    data_windows = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "_boff" not in ln and "windowspecdefinition" in ln
+    ]
+    assert all("_b" in ln for ln in data_windows), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

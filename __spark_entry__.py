@@ -2116,6 +2116,47 @@ def _pps_oracle(n_target: int = 50, seed: int = 0) -> str:
     """
 
 
+def q_phrase_match(spark, sf_dir):
+    """Exact positional phrase search (operators/phrase.py): documents
+    containing the exact 3-token sequence 'merge data line', with
+    overlapping occurrence counts and first position — the
+    quoted-query operator next to q_bm25_topk's bag-of-words ranking.
+    Spark intersects per-term postings by position arithmetic
+    ((doc, pos) equi-joins, each side one term's postings); the DuckDB
+    oracle replays the sliding window over the shared tokenization
+    directly, so the join plan and the window scan must agree on every
+    (doc, count, first_pos)."""
+    from metal_history_knowledge_graph_spark.operators.phrase import phrase_match
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_match(docs, "merge data line").orderBy("doc_id")
+
+
+def _phrase_oracle(phrase: str = "merge data line") -> str:
+    terms = phrase.split()
+    toks = (
+        "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        "x -> length(x) > 0)"
+    )
+    cond = " AND ".join(
+        f"toks[i + {j}] = '{w}'" for j, w in enumerate(terms)
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {toks} AS toks FROM documents
+        ), hits AS (
+            SELECT doc_id,
+                   list_filter(
+                       generate_series(1, greatest(len(toks) - {len(terms) - 1}, 0)),
+                       i -> {cond}) AS starts
+            FROM t
+        )
+        SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_occurrences,
+               CAST(starts[1] - 1 AS BIGINT) AS first_pos
+        FROM hits WHERE len(starts) > 0 ORDER BY doc_id
+    """
+
+
 def _host_graph_oracle() -> str:
     """DuckDB replay of q_host_graph's full chain. The href pattern is
     imported from operators/links.HREF_PATTERN (single source); host
@@ -3140,6 +3181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anchor_text": q_anchor_text,
         "q_frontier": q_frontier,
         "q_pps_sample": q_pps_sample,
+        "q_phrase_match": q_phrase_match,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -4515,6 +4557,7 @@ def oracle_sql() -> dict[str, str]:
         "q_anchor_text": _anchor_text_oracle(),
         "q_frontier": _frontier_oracle(),
         "q_pps_sample": _pps_oracle(n_target=50, seed=0),
+        "q_phrase_match": _phrase_oracle("merge data line"),
         "q_sessionize": """
             WITH flagged AS (
                 SELECT user_id, ts, event_id, value,

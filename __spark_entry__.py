@@ -1344,6 +1344,24 @@ def q_hits(spark, sf_dir):
     return hits(e, n_iters=5).orderBy("node_id")
 
 
+def q_harmonic(spark, sf_dir):
+    """Sampled harmonic centrality (operators/graph_algos.
+    harmonic_sampled) over the derived graph: Σ scale div d(s, v) from
+    the 16 smallest-id sources within 6 hops — the
+    disconnected-graph-safe closeness variant for web host graphs,
+    sharing the betweenness sampler's multi-source BFS. The DuckDB
+    oracle replays the BFS as a recursive CTE and the floor-divided
+    roll-up exactly."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        harmonic_sampled,
+    )
+
+    e = _derived_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    )
+    return harmonic_sampled(e, n_sources=16, max_hops=6).orderBy("node_id")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-bounded sessionization (30-min) of the event log + per-session
     rollup (operators/temporal.sessionize) — every window partitioned by
@@ -3182,6 +3200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frontier": q_frontier,
         "q_pps_sample": q_pps_sample,
         "q_phrase_match": q_phrase_match,
+        "q_harmonic": q_harmonic,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -4554,6 +4573,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_pagerank": _pagerank_oracle(n_iters=5, damping=85, scale=10**12),
         "q_hits": _hits_oracle(n_iters=5, scale=10**9),
+        "q_harmonic": f"""
+            WITH RECURSIVE {_DERIVED_EDGES_SQL},
+            und AS (
+                SELECT src AS a, dst AS b FROM edges
+                UNION
+                SELECT dst AS a, src AS b FROM edges
+            ),
+            srcs AS (
+                SELECT a AS s FROM und GROUP BY a ORDER BY a LIMIT 16
+            ),
+            walk(s, node, hops) AS (
+                SELECT s, s, CAST(0 AS BIGINT) FROM srcs
+                UNION
+                SELECT walk.s, und.b, walk.hops + 1
+                FROM walk JOIN und ON und.a = walk.node
+                WHERE walk.hops < 6
+            ),
+            dist AS (
+                SELECT s, node, min(hops) AS d FROM walk GROUP BY s, node
+            ),
+            contrib AS (
+                SELECT node, CAST(sum(1000000000 // d) AS BIGINT) AS h
+                FROM dist WHERE d > 0 GROUP BY node
+            )
+            SELECT n.a AS node_id,
+                   CAST(coalesce(c.h, 0) AS BIGINT) AS harmonic_fixed
+            FROM (SELECT a FROM und GROUP BY a) n
+            LEFT JOIN contrib c ON c.node = n.a
+            ORDER BY node_id
+        """,
         "q_anchor_text": _anchor_text_oracle(),
         "q_frontier": _frontier_oracle(),
         "q_pps_sample": _pps_oracle(n_target=50, seed=0),

@@ -735,3 +735,43 @@ def hits(
             F.col("a").alias("auth_fixed"),
         )
     )
+
+
+def harmonic_sampled(
+    edges: DataFrame,
+    n_sources: int = 16,
+    max_hops: int = 6,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Sampled harmonic centrality: ``H(v) = Σ_s 1/d(s, v)`` over the
+    deterministic source sample (the ``n_sources`` smallest node ids —
+    the same sample and the same shared multi-source BFS the
+    betweenness sampler uses, so the two centralities cannot disagree
+    about distances). Harmonic is the closeness variant that stays
+    well-defined on DISCONNECTED graphs (unreachable pairs contribute
+    0 instead of poisoning a mean) — the right centrality for a web
+    host graph, which is never one component.
+
+    Fixed-point BIGINT: each reachable source contributes
+    ``scale div d`` — floor-divided, so the value replays bit-exactly
+    in SQL. Max value = n_sources·scale, far under 2^63.
+
+    Scale shape: the BFS is |sample|·|V| bounded state advanced by
+    frontier joins (no driver collect); the roll-up is one
+    partial-agg groupBy on node. Nodes unreached by every source
+    report 0 (present, not missing)."""
+    und = _undirected_pairs(edges)
+    sym, visited = _multi_source_bfs(und, n_sources, max_hops)
+    contrib = (
+        visited.filter(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(F.sum(F.expr(f"{scale}L div cast(dist as long)")).alias("h"))
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    return (
+        nodes.join(contrib, "node", "left")
+        .select(
+            F.col("node").alias("node_id"),
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("harmonic_fixed"),
+        )
+    )

@@ -266,3 +266,51 @@ def test_hits_mass_bounded_and_string_nodes(spark):
     assert all(0 <= r.auth_fixed <= HITS_SCALE for r in rows)
     assert sum(r.hub_fixed for r in rows) <= HITS_SCALE
     assert sum(r.auth_fixed for r in rows) <= HITS_SCALE
+
+
+# --- harmonic centrality --------------------------------------------------------
+
+def test_harmonic_sampled_exact_on_path_and_disconnected(spark):
+    """Path graph 0-1-2-3 plus isolated pair 10-11: harmonic from the
+    4 smallest sources; unreachable pairs contribute 0 (the
+    disconnected-safe property), distances floor-divide the scale."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        harmonic_sampled,
+    )
+
+    pairs = [(0, 1), (1, 2), (2, 3), (10, 11)]
+    out = {
+        r.node_id: r.harmonic_fixed
+        for r in harmonic_sampled(
+            _edges(spark, pairs), n_sources=4, max_hops=6, scale=1000
+        ).collect()
+    }
+    # sources = 4 smallest ids = {0, 1, 2, 3}; undirected path distances
+    # node 0: d(1)=1, d(2)=2, d(3)=3 -> 1000 + 500 + 333
+    assert out[0] == 1000 + 500 + 333
+    assert out[1] == 1000 + 1000 + 500
+    assert out[2] == 500 + 1000 + 1000
+    assert out[3] == 333 + 500 + 1000
+    # 10/11 unreachable from every source -> 0, but present
+    assert out[10] == 0 and out[11] == 0
+
+
+def test_harmonic_respects_hop_budget_and_partitioning(spark):
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        harmonic_sampled,
+    )
+
+    chain = [(i, i + 1) for i in range(10)]
+    e = _edges(spark, chain)
+    # with max_hops=2 node 5 sees only sources 3 and 4 (d=2, d=1)
+    out = {r.node_id: r.harmonic_fixed
+           for r in harmonic_sampled(e, n_sources=5, max_hops=2,
+                                     scale=1000).collect()}
+    assert out[5] == 500 + 1000
+    a = sorted(out.items())
+    b = sorted(
+        (r.node_id, r.harmonic_fixed)
+        for r in harmonic_sampled(e.repartition(7), n_sources=5, max_hops=2,
+                                  scale=1000).collect()
+    )
+    assert a == b

@@ -2175,6 +2175,170 @@ def _phrase_oracle(phrase: str = "merge data line") -> str:
     """
 
 
+_CRAWL_RULES_PATH = "/tmp/kg_crawl_rules.parquet"
+
+
+def q_crawl_plan(spark, sf_dir):
+    """Composed crawl-scheduling plan (plans/crawl.crawl_schedule):
+    raw discovered URLs (messy spellings: uppercase scheme, default
+    ports, tracking params, trailing slashes, duplicate forms) →
+    canonicalize + collapse → drop already-crawled → robots.txt
+    admission (Disallow /de/ with an Allow /de/1 carve-out) →
+    host-authority/depth priority → per-host politeness budget of 4.
+    The DuckDB oracle replays the ENTIRE chain in one statement — the
+    composed-plan oracle style of q_training_export/q_webtext_prep —
+    with the robots rules exported from the Spark parser."""
+    from metal_history_knowledge_graph_spark.operators.robots import parse_robots
+    from metal_history_knowledge_graph_spark.plans.crawl import crawl_schedule
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("http://"), F.col("source"))
+    raw = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("HTTP://"), F.col("source"), F.lit(":80/"),
+                        F.col("lang"), F.lit("/"), did,
+                        F.lit("?utm_source=x&b=2&a=1#f")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(base, F.lit("/"), F.col("lang"), F.lit("/"), did,
+                       F.lit("/")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(base, F.lit("/de/"), did))
+        .otherwise(F.concat(base, F.lit("/"), did))
+    )
+    dup = docs.filter((F.col("doc_id") % 4 == 3) & (F.col("doc_id") < 40)).select(
+        F.concat(F.lit("HTTP://"), F.col("source"), F.lit(":80/"), did,
+                 F.lit("#frag")).alias("url")
+    )
+    candidates = docs.select(raw.alias("url")).unionByName(dup)
+    seen = docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 4 == 3)) \
+        .select(F.concat(base, F.lit("/"), did).alias("url"))
+    robots = docs.select(F.col("source").alias("domain")).distinct().withColumn(
+        "robots_txt",
+        F.lit("User-agent: *\nDisallow: /de/\nAllow: /de/1\n\n"
+              "User-agent: gptbot\nDisallow: /\n"),
+    )
+    rules = parse_robots(robots)
+    rules.coalesce(1).write.mode("overwrite").parquet(_CRAWL_RULES_PATH)
+    scores = docs.groupBy(F.col("source").alias("host")).agg(
+        (F.count(F.lit(1)) * 1_000_000).cast("long").alias("rank_fixed")
+    )
+    out = crawl_schedule(candidates, rules, scores, seen=seen,
+                         per_host_budget=4)
+    return out.select(
+        "url", "host", F.col("depth").cast("long").alias("depth"),
+        "priority_fixed", "fetch_slot",
+    ).orderBy("host", "fetch_slot")
+
+
+def _crawl_plan_oracle() -> str:
+    """DuckDB replay of q_crawl_plan's full chain: synthesis →
+    generic canonicalization (the q_url_canon rule set) → duplicate
+    collapse → seen anti-join → longest-prefix robots decision over
+    the Spark-exported rules → depth/priority → budget window."""
+    host = (
+        "lower(regexp_replace(regexp_replace(regexp_extract({u}, "
+        "'^[hH][tT][tT][pP][sS]?://([^/?#]+)', 1), '^.*@', ''), "
+        "':\\d+$', ''))"
+    )
+    depth = (
+        "len(list_filter(string_split(regexp_replace(regexp_replace({u}, "
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''), '[?#].*$', ''), '/'), "
+        "x -> x <> ''))"
+    )
+    return rf"""
+        WITH cand AS (
+            SELECT CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 'HTTP://' || source || ':80/' || lang || '/'
+                     || CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#f'
+                WHEN 1 THEN 'http://' || source || '/' || lang || '/'
+                     || CAST(doc_id AS VARCHAR) || '/'
+                WHEN 2 THEN 'http://' || source || '/de/'
+                     || CAST(doc_id AS VARCHAR)
+                ELSE 'http://' || source || '/' || CAST(doc_id AS VARCHAR)
+            END AS url
+            FROM documents
+            UNION ALL
+            SELECT 'HTTP://' || source || ':80/' || CAST(doc_id AS VARCHAR)
+                   || '#frag'
+            FROM documents WHERE doc_id % 4 = 3 AND doc_id < 40
+        ), rawparts AS (
+            SELECT url,
+                lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth_raw,
+                regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS raw_path,
+                list_sort(list_filter(
+                    string_split(regexp_extract(url, '^[^#?]*\?([^#]*)', 1), '&'),
+                    x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)')
+                )) AS params
+            FROM cand
+        ), parts AS (
+            SELECT url, scheme, raw_path, params,
+                regexp_extract(auth_raw, '^(.*@)', 1)
+                  || lower(regexp_extract(auth_raw, '^(?:.*@)?([^@]*)$', 1)) AS authority
+            FROM rawparts
+        ), built AS (
+            SELECT url, scheme,
+                CASE WHEN scheme = 'http' THEN regexp_replace(authority, ':80$', '')
+                     WHEN scheme = 'https' THEN regexp_replace(authority, ':443$', '')
+                     ELSE authority END AS chost,
+                CASE WHEN raw_path = '' THEN '/'
+                     WHEN length(raw_path) > 1 AND raw_path LIKE '%/' THEN substr(raw_path, 1, length(raw_path) - 1)
+                     ELSE raw_path END AS cpath,
+                CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS cquery
+            FROM parts
+        ), canon AS (
+            SELECT DISTINCT scheme || '://' || chost || cpath || cquery AS url
+            FROM built WHERE scheme IN ('http', 'https')
+        ), seen AS (
+            SELECT 'http://' || source || '/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents WHERE doc_id % 10 = 0 AND doc_id % 4 = 3
+        ), fresh AS (
+            SELECT url FROM canon WHERE url NOT IN (SELECT url FROM seen)
+        ), withpath AS (
+            SELECT url,
+                   regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS domain,
+                   regexp_replace(url, '^[a-z]+://[^/]*', '') AS path
+            FROM fresh
+        ), rules AS (
+            SELECT * FROM '{_CRAWL_RULES_PATH}/*.parquet' WHERE agent = '*'
+        ), m AS (
+            SELECT w.url, w.domain, w.path, r.rule, r.rule_len, r.path_prefix
+            FROM withpath w LEFT JOIN rules r
+              ON w.domain = r.domain AND starts_with(w.path, r.path_prefix)
+        ), ranked AS (
+            SELECT url, rule,
+                   row_number() OVER (PARTITION BY url
+                       ORDER BY rule_len DESC, (rule <> 'allow') ASC,
+                                path_prefix ASC) AS rk
+            FROM m
+        ), admitted AS (
+            SELECT url FROM ranked
+            WHERE rk = 1 AND coalesce(rule <> 'disallow', TRUE)
+        ), scores AS (
+            SELECT source AS shost, CAST(count(*) * 1000000 AS BIGINT)
+                       AS rank_fixed
+            FROM documents GROUP BY source
+        ), prio AS (
+            SELECT a.url, {host.format(u="a.url")} AS host,
+                   CAST({depth.format(u="a.url")} AS BIGINT) AS depth,
+                   coalesce(s.rank_fixed, 0)
+                       // ({depth.format(u="a.url")} + 1) AS priority_fixed
+            FROM admitted a
+            LEFT JOIN scores s ON {host.format(u="a.url")} = s.shost
+        )
+        SELECT url, host, depth,
+               CAST(priority_fixed AS BIGINT) AS priority_fixed, fetch_slot
+        FROM (
+            SELECT url, host, depth, priority_fixed,
+                   row_number() OVER (PARTITION BY host
+                       ORDER BY priority_fixed DESC, url) AS fetch_slot
+            FROM prio
+        ) WHERE fetch_slot <= 4
+        ORDER BY host, fetch_slot
+    """
+
+
 def _host_graph_oracle() -> str:
     """DuckDB replay of q_host_graph's full chain. The href pattern is
     imported from operators/links.HREF_PATTERN (single source); host
@@ -3201,6 +3365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pps_sample": q_pps_sample,
         "q_phrase_match": q_phrase_match,
         "q_harmonic": q_harmonic,
+        "q_crawl_plan": q_crawl_plan,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -4607,6 +4772,7 @@ def oracle_sql() -> dict[str, str]:
         "q_frontier": _frontier_oracle(),
         "q_pps_sample": _pps_oracle(n_target=50, seed=0),
         "q_phrase_match": _phrase_oracle("merge data line"),
+        "q_crawl_plan": _crawl_plan_oracle(),
         "q_sessionize": """
             WITH flagged AS (
                 SELECT user_id, ts, event_id, value,

@@ -1,0 +1,80 @@
+"""Composed crawl-scheduling plan (plans/crawl.py): spelling collapse,
+seen-set removal, robots admission (incl. the per-agent variant),
+politeness budget, and scheme gating."""
+
+from pyspark.sql import functions as F
+
+from metal_history_knowledge_graph_spark.operators.robots import parse_robots
+from metal_history_knowledge_graph_spark.plans.crawl import crawl_schedule
+
+
+def _rules(spark, txt="User-agent: *\nDisallow: /private/\nAllow: /private/ok\n\n"
+                       "User-agent: gptbot\nDisallow: /\n"):
+    robots = spark.createDataFrame(
+        [("a.example", txt), ("b.example", txt)], "domain string, robots_txt string"
+    )
+    return parse_robots(robots)
+
+
+def _scores(spark):
+    return spark.createDataFrame(
+        [("a.example", 1_000_000), ("b.example", 500_000)],
+        "host string, rank_fixed long",
+    )
+
+
+def test_crawl_schedule_full_chain(spark):
+    candidates = spark.createDataFrame(
+        [
+            # three spellings of ONE canonical page
+            ("http://a.example/page?utm_source=x",),
+            ("HTTP://A.example:80/page",),
+            ("http://a.example/page/",),
+            # robots-blocked and its carve-out
+            ("http://a.example/private/secret",),
+            ("http://a.example/private/ok/1",),
+            # already crawled
+            ("http://a.example/old",),
+            # second host, deeper path (lower priority than /page)
+            ("http://b.example/x/y/z",),
+            ("http://b.example/top",),
+            # unschedulable scheme
+            ("mailto:someone@a.example",),
+        ],
+        "url string",
+    )
+    seen = spark.createDataFrame([("http://a.example/old",)], "url string")
+    out = crawl_schedule(
+        candidates, _rules(spark), _scores(spark), seen=seen, per_host_budget=5
+    )
+    rows = {r.url: r for r in out.collect()}
+    # spellings collapsed to one canonical
+    assert "http://a.example/page" in rows
+    assert len([u for u in rows if "page" in u]) == 1
+    # robots verdicts
+    assert "http://a.example/private/secret" not in rows
+    assert "http://a.example/private/ok/1" in rows
+    # seen + scheme gates
+    assert "http://a.example/old" not in rows
+    assert not any(u.startswith("mailto") for u in rows)
+    # priority: depth 1 beats depth 3 on the same host
+    assert rows["http://b.example/top"].fetch_slot < \
+        rows["http://b.example/x/y/z"].fetch_slot
+    # all slots within budget
+    assert all(r.fetch_slot <= 5 for r in rows.values())
+
+
+def test_crawl_schedule_budget_and_agent(spark):
+    candidates = spark.createDataFrame(
+        [(f"http://a.example/p/{i}",) for i in range(10)], "url string"
+    )
+    out = crawl_schedule(
+        candidates, _rules(spark), _scores(spark), per_host_budget=3
+    )
+    assert out.count() == 3
+    # the gptbot group blocks everything for that agent
+    gpt = crawl_schedule(
+        candidates, _rules(spark), _scores(spark), per_host_budget=3,
+        agent="gptbot",
+    )
+    assert gpt.count() == 0

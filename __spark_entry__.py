@@ -2175,6 +2175,172 @@ def _phrase_oracle(phrase: str = "merge data line") -> str:
     """
 
 
+def q_markup_stats(spark, sf_dir):
+    """Markup-level page statistics (operators/markup.py): tag /
+    link / script / style / paragraph / heading counts and the
+    visible-text permille over deterministic HTML — the structural
+    quality gate a webtext filter runs before any text pass. Every
+    count is a native regexp aggregate; the DuckDB oracle recomputes
+    all of them with len(regexp_extract_all) + a global-flag
+    regexp_replace from the same shared patterns."""
+    from metal_history_knowledge_graph_spark.operators.markup import markup_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    extra = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit('<a href="/l1">l</a><a href="/l2">l</a>'),
+    ).otherwise(F.lit("<h2>s</h2>"))
+    html = F.concat(
+        F.lit('<html><head><script src="x.js"></script><style>.a{}</style>'
+              "</head><body><h1>"),
+        F.col("source"), F.lit("</h1><p>"), F.col("text"),
+        F.lit('</p><p><a href="/x">more</a></p>'), extra,
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://"), F.col("source"), F.lit("/"), did)
+        .alias("url"),
+        html.alias("html"),
+    )
+    return markup_stats(pages).orderBy("url")
+
+
+def _markup_oracle() -> str:
+    from metal_history_knowledge_graph_spark.operators.markup import (
+        HEADING_PATTERN,
+        LINK_PATTERN,
+        PARA_PATTERN,
+        SCRIPT_PATTERN,
+        STYLE_PATTERN,
+        TAG_PATTERN,
+    )
+
+    def cnt(p):
+        return f"CAST(len(regexp_extract_all(html, '{p}')) AS BIGINT)"
+
+    return f"""
+        WITH pages AS (
+            SELECT 'http://' || source || '/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   '<html><head><script src="x.js"></script><style>.a{{}}</style>'
+                   || '</head><body><h1>' || source || '</h1><p>' || text
+                   || '</p><p><a href="/x">more</a></p>'
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN '<a href="/l1">l</a><a href="/l2">l</a>'
+                           ELSE '<h2>s</h2>' END
+                   || '</body></html>' AS html
+            FROM documents
+        )
+        SELECT url,
+               {cnt(TAG_PATTERN)} AS n_tags,
+               {cnt(LINK_PATTERN)} AS n_links,
+               {cnt(SCRIPT_PATTERN)} AS n_scripts,
+               {cnt(STYLE_PATTERN)} AS n_styles,
+               {cnt(PARA_PATTERN)} AS n_paras,
+               {cnt(HEADING_PATTERN)} AS n_headings,
+               CAST(length(html) AS BIGINT) AS html_chars,
+               CAST(length(regexp_replace(html, '{TAG_PATTERN}', '', 'g'))
+                   AS BIGINT) AS text_chars,
+               CAST((length(regexp_replace(html, '{TAG_PATTERN}', '', 'g'))
+                   * 1000) // greatest(length(html), 1) AS BIGINT)
+                   AS text_permille
+        FROM pages ORDER BY url
+    """
+
+
+def q_link_features(spark, sf_dir):
+    """Per-page outlink profile (operators/links.link_features):
+    internal/external/dead-scheme splits, distinct external hosts,
+    external permille — the URL-level link-farm/navigation-leaf
+    signal next to the host graph. Full-chain DuckDB replay over the
+    same deterministic HTML as q_host_graph (plus an absolute-URL
+    self-link branch so internal counts vary)."""
+    from metal_history_knowledge_graph_spark.operators.links import (
+        extract_links,
+        link_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    extra = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('<a href="http://'), F.col("source"),
+                 F.lit('/self">s</a>')),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<a href="http://'), F.col("lang"), F.lit(".example/p/"),
+        did, F.lit('">x</a> '),
+        F.lit("<a href='/local/"), did, F.lit("'>y</a> "),
+        F.lit('<a href="//cdn.example/lib.js">z</a> '),
+        F.lit('<a href="mailto:a@b">m</a>'), extra,
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://"), F.col("source"), F.lit("/"), did)
+        .alias("url"),
+        html.alias("html"),
+    )
+    return link_features(extract_links(pages)).orderBy("src_url")
+
+
+def _link_features_oracle() -> str:
+    from metal_history_knowledge_graph_spark.operators.links import HREF_PATTERN
+
+    pat = HREF_PATTERN.replace("'", "''")
+    host = (
+        "lower(regexp_replace(regexp_replace(regexp_extract({u}, "
+        "'^[hH][tT][tT][pP][sS]?://([^/?#]+)', 1), '^.*@', ''), "
+        "':\\d+$', ''))"
+    )
+    return f"""
+        WITH pages AS (
+            SELECT 'http://' || source || '/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   '<a href="http://' || lang || '.example/p/'
+                       || CAST(doc_id AS VARCHAR) || '">x</a> '
+                   || '<a href=''/local/' || CAST(doc_id AS VARCHAR)
+                       || '''>y</a> '
+                   || '<a href="//cdn.example/lib.js">z</a> '
+                   || '<a href="mailto:a@b">m</a>'
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN '<a href="http://' || source || '/self">s</a>'
+                           ELSE '' END AS html
+            FROM documents
+        ), hrefs AS (
+            SELECT url AS src_url, {host.format(u="url")} AS src_host,
+                   unnest(regexp_extract_all(html, '{pat}', 1)) AS href
+            FROM pages
+        ), res AS (
+            SELECT src_url, src_host,
+                   CASE WHEN href LIKE '//%' THEN 'http:' || href
+                        WHEN href LIKE '/%' THEN 'http://' || src_host || href
+                        ELSE href END AS dst_url
+            FROM hrefs
+        ), links AS (
+            SELECT src_url, src_host,
+                   CASE WHEN length({host.format(u="dst_url")}) > 0
+                        THEN {host.format(u="dst_url")} END AS dst_host
+            FROM res
+        )
+        SELECT src_url,
+               CAST(count(*) AS BIGINT) AS n_links,
+               CAST(count(dst_host) AS BIGINT) AS n_resolved,
+               CAST(sum(CASE WHEN dst_host = src_host THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_internal,
+               CAST(sum(CASE WHEN dst_host IS NOT NULL
+                             AND dst_host <> src_host THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_external,
+               CAST(count(DISTINCT CASE WHEN dst_host IS NOT NULL
+                          AND dst_host <> src_host THEN dst_host END)
+                   AS BIGINT) AS n_ext_hosts,
+               CAST((sum(CASE WHEN dst_host IS NOT NULL
+                              AND dst_host <> src_host THEN 1 ELSE 0 END)
+                     * 1000) // greatest(count(dst_host), 1) AS BIGINT)
+                   AS ext_permille
+        FROM links GROUP BY src_url ORDER BY src_url
+    """
+
+
 _CRAWL_RULES_PATH = "/tmp/kg_crawl_rules.parquet"
 
 
@@ -3366,6 +3532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase_match": q_phrase_match,
         "q_harmonic": q_harmonic,
         "q_crawl_plan": q_crawl_plan,
+        "q_markup_stats": q_markup_stats,
+        "q_link_features": q_link_features,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -4773,6 +4941,8 @@ def oracle_sql() -> dict[str, str]:
         "q_pps_sample": _pps_oracle(n_target=50, seed=0),
         "q_phrase_match": _phrase_oracle("merge data line"),
         "q_crawl_plan": _crawl_plan_oracle(),
+        "q_markup_stats": _markup_oracle(),
+        "q_link_features": _link_features_oracle(),
         "q_sessionize": """
             WITH flagged AS (
                 SELECT user_id, ts, event_id, value,

@@ -186,3 +186,39 @@ def anchor_terms(
         counted.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def link_features(links: DataFrame) -> DataFrame:
+    """(src_url, n_links, n_resolved, n_internal, n_external,
+    n_ext_hosts, ext_permille): per-PAGE outlink profile from the
+    extract_links table — the URL-level quality/spam signal next to
+    the host-level graph (a page whose links are 95% external
+    cross-host is a link farm; one with zero external links is a
+    navigation leaf). ``ext_permille`` = external ÷ resolved links in
+    integer permille (0 when nothing resolves).
+
+    One partial-agg groupBy on src_url; conditional counts fold
+    map-side, distinct host counting is the only expanded state and
+    it is bounded by the page's own link count."""
+    ext = F.col("dst_host").isNotNull() & (
+        F.col("dst_host") != F.col("src_host")
+    )
+    inte = F.col("dst_host").isNotNull() & (
+        F.col("dst_host") == F.col("src_host")
+    )
+    return (
+        links.groupBy("src_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.sum(F.col("dst_host").isNotNull().cast("long")).alias("n_resolved"),
+            F.sum(inte.cast("long")).alias("n_internal"),
+            F.sum(ext.cast("long")).alias("n_external"),
+            F.countDistinct(
+                F.when(ext, F.col("dst_host"))
+            ).cast("long").alias("n_ext_hosts"),
+        )
+        .withColumn(
+            "ext_permille",
+            F.expr("(n_external * 1000L) div greatest(n_resolved, 1L)"),
+        )
+    )

@@ -1362,6 +1362,23 @@ def q_harmonic(spark, sf_dir):
     return harmonic_sampled(e, n_sources=16, max_hops=6).orderBy("node_id")
 
 
+def q_link_pred(spark, sf_dir):
+    """Common-neighbor link prediction (operators/graph_algos.
+    link_prediction) over the derived graph: non-adjacent pairs with
+    ≥2 shared neighbors, scored by integer Jaccard permille of their
+    neighborhoods — the related-hosts / suggested-edges signal. One
+    wedge self-join + degree joins + an adjacency anti-join, replayed
+    exactly in DuckDB."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        link_prediction,
+    )
+
+    e = _derived_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    )
+    return link_prediction(e, min_common=2).orderBy("node_a", "node_b")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-bounded sessionization (30-min) of the event log + per-session
     rollup (operators/temporal.sessionize) — every window partitioned by
@@ -2338,6 +2355,83 @@ def _link_features_oracle() -> str:
                      * 1000) // greatest(count(dst_host), 1) AS BIGINT)
                    AS ext_permille
         FROM links GROUP BY src_url ORDER BY src_url
+    """
+
+
+def q_crawl_delay(spark, sf_dir):
+    """Crawl-delay politeness budgets (operators/robots.
+    parse_crawl_delays + crawl_budgets + the per-host budget override
+    in frontier.schedule_batch): each source's robots.txt declares a
+    deterministic Crawl-delay (1 + len(source) mod 4 seconds; a
+    slowbot group's 30 s must NOT leak into the '*' decision), a 10 s
+    window converts it to a fetch budget, and the schedule is cut to
+    that budget per host. Output is the per-host roll-up
+    (delay, budget, n_scheduled) — DuckDB replays delay extraction,
+    the window division, and the min(budget, candidates) cut."""
+    from metal_history_knowledge_graph_spark.operators.frontier import (
+        frontier_priorities,
+        schedule_batch,
+    )
+    from metal_history_knowledge_graph_spark.operators.robots import (
+        crawl_budgets,
+        parse_crawl_delays,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    robots = docs.select(F.col("source").alias("domain")).distinct().withColumn(
+        "robots_txt",
+        F.concat(
+            F.lit("User-agent: *\nCrawl-delay: "),
+            (F.lit(1) + F.length("domain") % 4).cast("string"),
+            F.lit("\nDisallow: /private/\n\nUser-agent: slowbot\n"
+                  "Crawl-delay: 30\n"),
+        ),
+    )
+    delays = parse_crawl_delays(robots)
+    budgets = crawl_budgets(delays, agent="*", window_s=10)
+    urls = docs.select(
+        F.concat(F.lit("http://"), F.col("source"), F.lit("/"), did)
+        .alias("url")
+    )
+    scores = docs.groupBy(F.col("source").alias("host")).agg(
+        (F.count(F.lit(1)) * 1_000_000).cast("long").alias("rank_fixed")
+    )
+    sched = schedule_batch(
+        frontier_priorities(urls, scores), per_host_budget=99,
+        host_budgets=budgets,
+    )
+    counts = sched.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_scheduled")
+    )
+    star = delays.filter(F.col("agent") == "*").select(
+        F.col("domain").alias("host"), "delay_s"
+    )
+    return (
+        budgets.join(star, "host")
+        .join(counts, "host", "left")
+        .select(
+            "host", "delay_s", "budget",
+            F.coalesce(F.col("n_scheduled"), F.lit(0)).cast("long")
+            .alias("n_scheduled"),
+        )
+        .orderBy("host")
+    )
+
+
+def _crawl_delay_oracle() -> str:
+    return """
+        WITH hosts AS (
+            SELECT source AS host, CAST(count(*) AS BIGINT) AS n_urls
+            FROM documents GROUP BY source
+        ), d AS (
+            SELECT host, n_urls,
+                   CAST(1 + length(host) % 4 AS BIGINT) AS delay_s
+            FROM hosts
+        )
+        SELECT host, delay_s, CAST(10 // delay_s AS BIGINT) AS budget,
+               least(CAST(10 // delay_s AS BIGINT), n_urls) AS n_scheduled
+        FROM d ORDER BY host
     """
 
 
@@ -3534,6 +3628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crawl_plan": q_crawl_plan,
         "q_markup_stats": q_markup_stats,
         "q_link_features": q_link_features,
+        "q_link_pred": q_link_pred,
+        "q_crawl_delay": q_crawl_delay,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -4942,7 +5038,34 @@ def oracle_sql() -> dict[str, str]:
         "q_phrase_match": _phrase_oracle("merge data line"),
         "q_crawl_plan": _crawl_plan_oracle(),
         "q_markup_stats": _markup_oracle(),
+        "q_crawl_delay": _crawl_delay_oracle(),
         "q_link_features": _link_features_oracle(),
+        "q_link_pred": f"""
+            WITH {_DERIVED_EDGES_SQL},
+            lund AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM edges WHERE src <> dst
+            ),
+            lsym AS (SELECT a, b FROM lund UNION ALL SELECT b, a FROM lund),
+            ldeg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM lsym GROUP BY a),
+            lcommon AS (
+                SELECT l.a AS pa, r.a AS pb, CAST(count(*) AS BIGINT) AS n_common
+                FROM lsym l JOIN lsym r ON l.b = r.b AND l.a < r.a
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            lcand AS (
+                SELECT pa, pb, n_common FROM lcommon c
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM lund u WHERE u.a = c.pa AND u.b = c.pb
+                )
+            )
+            SELECT pa AS node_a, pb AS node_b, n_common,
+                   CAST((n_common * 1000) // (da.deg + db.deg - n_common)
+                       AS BIGINT) AS jaccard_permille
+            FROM lcand JOIN ldeg da ON da.a = lcand.pa
+            JOIN ldeg db ON db.a = lcand.pb
+            ORDER BY node_a, node_b
+        """,
         "q_sessionize": """
             WITH flagged AS (
                 SELECT user_id, ts, event_id, value,

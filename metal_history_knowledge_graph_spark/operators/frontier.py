@@ -88,28 +88,46 @@ def frontier_priorities(
 def schedule_batch(
     priorities: DataFrame,
     per_host_budget: int = 10,
+    host_budgets: DataFrame | None = None,
 ) -> DataFrame:
     """The politeness cut: at most ``per_host_budget`` URLs per host,
     best-priority first — (url, host, depth, priority_fixed,
     fetch_slot) where fetch_slot is 1..budget within the host.
+    ``host_budgets`` (host, budget — e.g. robots.crawl_budgets from
+    Crawl-delay directives) overrides the default per host; a budget
+    of 0 skips the host for this window entirely.
 
     Two-phase exact top-k per host (see module docstring): phase 1
     ranks within (host, input partition) so a hot host's candidates
     spread over all reducers; phase 2 ranks the ≤ budget·n_partitions
     survivors per host exactly. Ordering key is (priority desc, url)
     — total, so the schedule is deterministic under any partitioning.
+    The budget table is vocabulary-sized and broadcast; both phases
+    cut at the per-host effective budget.
     """
     pre = priorities.withColumn("_pid", F.spark_partition_id())
+    if host_budgets is not None:
+        pre = pre.join(
+            F.broadcast(host_budgets.select("host", F.col("budget").alias("_hb"))),
+            "host",
+            "left",
+        )
+    else:
+        pre = pre.withColumn("_hb", F.lit(None).cast("long"))
+    pre = pre.withColumn(
+        "_budget", F.coalesce(F.col("_hb"), F.lit(per_host_budget)).cast("long")
+    )
     w1 = Window.partitionBy("host", "_pid").orderBy(
         F.desc("priority_fixed"), "url"
     )
     survivors = (
         pre.withColumn("_r", F.row_number().over(w1))
-        .filter(F.col("_r") <= per_host_budget)
-        .drop("_pid", "_r")
+        .filter(F.col("_r") <= F.col("_budget"))
+        .drop("_pid", "_r", "_hb")
     )
     w2 = Window.partitionBy("host").orderBy(F.desc("priority_fixed"), "url")
     return (
         survivors.withColumn("fetch_slot", F.row_number().over(w2).cast("long"))
-        .filter(F.col("fetch_slot") <= per_host_budget)
+        .filter(F.col("fetch_slot") <= F.col("_budget"))
+        .drop("_budget")
     )

@@ -775,3 +775,69 @@ def harmonic_sampled(
             F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("harmonic_fixed"),
         )
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    min_common: int = 1,
+    scale: int = 1000,
+) -> DataFrame:
+    """Common-neighbor link prediction over the undirected graph:
+    for every NON-adjacent pair with ≥ ``min_common`` shared
+    neighbors, (node_a, node_b, n_common, jaccard_permille) where
+    jaccard_permille = |Γa ∩ Γb|·scale div |Γa ∪ Γb| — the related-
+    hosts / suggested-edges signal (two hosts cited by the same
+    neighborhoods are related even when they never link each other).
+    Integer throughout, so the SQL oracle replays it exactly.
+
+    Scale shape — the classic triangle-style plan: common neighbors
+    come from ONE self-join of the symmetrized adjacency on the
+    shared middle node (wedge enumeration), grouped by the endpoint
+    pair; degrees join in from a node-sized table; existing edges
+    drop via a left anti. The wedge join is the O(Σ deg²) step every
+    link predictor pays — cap hub degrees upstream (cap_per_group on
+    the adjacency) when the graph has 10^6-degree hubs, exactly like
+    the triangle counter's guidance. No driver collect anywhere."""
+    # canonical a < b undirected edge set (_undirected_pairs only
+    # dedups DIRECTED pairs; the anti-join below needs one row per
+    # undirected edge)
+    und = (
+        _undirected_pairs(edges)
+        .select(
+            F.least(F.col("a"), F.col("b")).alias("a"),
+            F.greatest(F.col("a"), F.col("b")).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # wedges: a - m - b with a < b; count per (a, b)
+    left = sym.select(F.col("b").alias("m"), F.col("a").alias("pa"))
+    right = sym.select(F.col("b").alias("m"), F.col("a").alias("pb"))
+    common = (
+        left.join(right, "m")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    # drop already-adjacent pairs (und holds a<b by _undirected_pairs)
+    cand = common.join(
+        und.select(F.col("a").alias("pa"), F.col("b").alias("pb")),
+        ["pa", "pb"],
+        "left_anti",
+    )
+    return (
+        cand.join(deg.select(F.col("a").alias("pa"), F.col("deg").alias("da")), "pa")
+        .join(deg.select(F.col("a").alias("pb"), F.col("deg").alias("db")), "pb")
+        .select(
+            F.col("pa").alias("node_a"),
+            F.col("pb").alias("node_b"),
+            "n_common",
+            F.expr(f"(n_common * {scale}L) div (da + db - n_common)")
+            .cast("long").alias("jaccard_permille"),
+        )
+    )

@@ -214,3 +214,87 @@ def robots_decide(
             .alias("allowed"),
         )
     )
+
+
+def parse_crawl_delays(
+    df: DataFrame, domain_col: str = "domain", text_col: str = "robots_txt"
+) -> DataFrame:
+    """robots.txt bodies → (domain, agent, delay_s): the Crawl-delay
+    directive per agent group (non-standard but near-universal; the
+    politeness knob schedule_batch's per-host budgets consume). The
+    same line/group machinery as parse_robots, scoped to
+    user-agent/crawl-delay keys; non-numeric or negative values are
+    ignored, repeated values keep the MAX (the conservative reading).
+    Kept separate from parse_robots so the RFC 9309 rule grouping is
+    untouched by a directive the RFC does not define."""
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias("line_no", "raw"),
+    )
+    cleaned = lines.select(
+        "domain", "line_no",
+        F.trim(F.regexp_replace(F.col("raw"), r"#.*$", "")).alias("ln"),
+    )
+    kv = cleaned.select(
+        "domain", "line_no",
+        F.lower(F.trim(F.substring_index(F.col("ln"), ":", 1))).alias("key"),
+        F.when(
+            F.instr(F.col("ln"), ":") > 0,
+            F.trim(F.expr("substring(ln, instr(ln, ':') + 1)")),
+        ).otherwise(F.lit("")).alias("value"),
+    ).filter(F.col("key").isin("user-agent", "crawl-delay"))
+    w = Window.partitionBy("domain").orderBy("line_no")
+    kv = kv.withColumn("prev_key", F.lag("key").over(w)).withColumn(
+        "new_group",
+        (
+            (F.col("key") == "user-agent")
+            & (F.coalesce(F.col("prev_key"), F.lit("")) != "user-agent")
+        ).cast("int"),
+    ).withColumn("group_id", F.sum("new_group").over(w))
+    agents = kv.filter(F.col("key") == "user-agent").select(
+        "domain", "group_id", F.lower(F.col("value")).alias("agent")
+    )
+    delays = kv.filter(
+        (F.col("key") == "crawl-delay") & F.col("value").rlike(r"^\d+$")
+    ).select("domain", "group_id", F.col("value").cast("long").alias("delay_s"))
+    return (
+        delays.join(agents, ["domain", "group_id"])
+        .groupBy("domain", "agent")
+        .agg(F.max("delay_s").alias("delay_s"))
+    )
+
+
+def crawl_budgets(
+    delays: DataFrame,
+    agent: str = "*",
+    window_s: int = 60,
+    default_budget: int = 10,
+) -> DataFrame:
+    """(host, budget): how many fetches a politeness window of
+    ``window_s`` seconds allows per host — ``window_s div delay_s``,
+    exact-agent delay beating the '*' group, hosts without a delay
+    falling back to ``default_budget``, and a delay longer than the
+    window yielding 0 (the host sits this window out rather than
+    being hammered once anyway). Vocabulary-sized output — broadcast
+    it into schedule_batch."""
+    agent = agent.lower()
+    exact = delays.filter(F.col("agent") == agent).select(
+        F.col("domain").alias("host"), F.col("delay_s").alias("_d_exact")
+    )
+    wild = delays.filter(F.col("agent") == "*").select(
+        F.col("domain").alias("host"), F.col("delay_s").alias("_d_wild")
+    )
+    hosts = exact.select("host").unionByName(wild.select("host")).distinct()
+    return (
+        hosts.join(exact, "host", "left")
+        .join(wild, "host", "left")
+        .select(
+            "host",
+            F.expr(
+                f"CASE WHEN coalesce(_d_exact, _d_wild) IS NULL"
+                f" THEN {default_budget}L"
+                f" WHEN coalesce(_d_exact, _d_wild) <= 0 THEN {default_budget}L"
+                f" ELSE {window_s}L div coalesce(_d_exact, _d_wild) END"
+            ).cast("long").alias("budget"),
+        )
+    )

@@ -42,6 +42,7 @@ def crawl_schedule(
     seen: DataFrame | None = None,
     agent: str = "*",
     per_host_budget: int = 10,
+    host_budgets: DataFrame | None = None,
     url_col: str = "url",
 ) -> DataFrame:
     """(url, host, depth, priority_fixed, fetch_slot): the next fetch
@@ -86,4 +87,5 @@ def crawl_schedule(
     return schedule_batch(
         frontier_priorities(admitted, host_scores),
         per_host_budget=per_host_budget,
+        host_budgets=host_budgets,
     )

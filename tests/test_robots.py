@@ -197,3 +197,77 @@ def test_empty_exact_group_governs(spark):
     }
     assert mine == {"/a": True, "/b/c": True}
     assert anon == {"/a": False, "/b/c": False}
+
+
+# --- Crawl-delay budgets --------------------------------------------------------
+
+def test_parse_crawl_delays_groups_and_validation(spark):
+    from metal_history_knowledge_graph_spark.operators.robots import (
+        parse_crawl_delays,
+    )
+
+    txt = (
+        "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n\n"
+        "User-agent: slowbot\nCrawl-delay: 30\n\n"
+        "User-agent: badbot\nCrawl-delay: nope\n\n"   # non-numeric ignored
+        "User-agent: twice\nCrawl-delay: 3\nCrawl-delay: 7\n"  # max wins
+    )
+    df = spark.createDataFrame([("a.example", txt)],
+                               "domain string, robots_txt string")
+    got = {(r.domain, r.agent): r.delay_s
+           for r in parse_crawl_delays(df).collect()}
+    assert got == {
+        ("a.example", "*"): 2,
+        ("a.example", "slowbot"): 30,
+        ("a.example", "twice"): 7,
+    }
+
+
+def test_crawl_budgets_agent_precedence_and_window(spark):
+    from metal_history_knowledge_graph_spark.operators.robots import (
+        crawl_budgets,
+        parse_crawl_delays,
+    )
+
+    txt = "User-agent: *\nCrawl-delay: 2\n\nUser-agent: mybot\nCrawl-delay: 5\n"
+    df = spark.createDataFrame(
+        [("a.example", txt), ("b.example", "User-agent: *\nCrawl-delay: 120\n")],
+        "domain string, robots_txt string",
+    )
+    delays = parse_crawl_delays(df)
+    star = {r.host: r.budget
+            for r in crawl_budgets(delays, "*", window_s=60).collect()}
+    assert star == {"a.example": 30, "b.example": 0}  # 120s delay > window
+    mine = {r.host: r.budget
+            for r in crawl_budgets(delays, "mybot", window_s=60).collect()}
+    # exact agent beats '*'; hosts without an exact group fall to '*'
+    assert mine == {"a.example": 12, "b.example": 0}
+
+
+def test_schedule_batch_respects_host_budgets(spark):
+    from metal_history_knowledge_graph_spark.operators.frontier import (
+        frontier_priorities,
+        schedule_batch,
+    )
+
+    urls = spark.createDataFrame(
+        [(f"http://{h}/p/{i}",) for h in ("a.example", "b.example", "c.example")
+         for i in range(6)],
+        "url string",
+    )
+    scores = spark.createDataFrame(
+        [("a.example", 100), ("b.example", 100), ("c.example", 100)],
+        "host string, rank_fixed long",
+    )
+    budgets = spark.createDataFrame(
+        [("a.example", 2), ("b.example", 0)], "host string, budget long"
+    )
+    out = schedule_batch(
+        frontier_priorities(urls, scores), per_host_budget=4,
+        host_budgets=budgets,
+    )
+    counts = {r.host: r.n for r in
+              out.groupBy("host").agg(__import__("pyspark").sql.functions
+                                      .count("*").alias("n")).collect()}
+    # override caps a, zero-budget skips b, default covers c
+    assert counts == {"a.example": 2, "c.example": 4}

@@ -314,3 +314,50 @@ def test_harmonic_respects_hop_budget_and_partitioning(spark):
                                   scale=1000).collect()
     )
     assert a == b
+
+
+# --- link prediction ------------------------------------------------------------
+
+def test_link_prediction_hand_graph(spark):
+    """Square 0-1-2-3-0: the two diagonals are the only non-adjacent
+    pairs, each with 2 common neighbors and Jaccard 2/(2+2-2) = 1000
+    permille; adjacent pairs never appear."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        link_prediction,
+    )
+
+    square = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    got = {
+        (r.node_a, r.node_b): (r.n_common, r.jaccard_permille)
+        for r in link_prediction(_edges(spark, square), min_common=1).collect()
+    }
+    assert got == {(0, 2): (2, 1000), (1, 3): (2, 1000)}
+    # reversed-direction duplicates of the same undirected edge must
+    # not leak adjacent pairs through the anti-join
+    both_dirs = square + [(b, a) for a, b in square]
+    got2 = {
+        (r.node_a, r.node_b): r.n_common
+        for r in link_prediction(_edges(spark, both_dirs), min_common=1).collect()
+    }
+    assert set(got2) == {(0, 2), (1, 3)}
+
+
+def test_link_prediction_min_common_and_degrees(spark):
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        link_prediction,
+    )
+
+    # star center 9 with leaves 0..4 plus edge 0-1: leaves share only
+    # the center (n_common=1); 2 and 3 have degree 1 each
+    pairs = [(9, i) for i in range(5)] + [(0, 1)]
+    out = {
+        (r.node_a, r.node_b): (r.n_common, r.jaccard_permille)
+        for r in link_prediction(_edges(spark, pairs), min_common=1).collect()
+    }
+    # leaves 2,3: jaccard = 1*1000 div (1+1-1) = 1000
+    assert out[(2, 3)] == (1, 1000)
+    # 0 (deg 2) vs 2 (deg 1): 1000 div (2+1-1) = 500
+    assert out[(0, 2)] == (1, 500)
+    # 0-1 adjacent -> excluded
+    assert (0, 1) not in out
+    assert link_prediction(_edges(spark, pairs), min_common=2).count() == 0

@@ -2435,6 +2435,68 @@ def _crawl_delay_oracle() -> str:
     """
 
 
+def q_recrawl(spark, sf_dir):
+    """Recrawl/freshness scheduling (operators/frontier.
+    recrawl_priorities): the events table as a crawl history — each
+    user's events are fetches of one URL, event_type is the content
+    fingerprint — so change rates are observed (consecutive-fetch
+    fingerprint flips), staleness is integer seconds to the corpus
+    max timestamp, and recrawl_score = change_permille · staleness_s.
+    The DuckDB oracle replays the lag window, the floor-divided rate,
+    and the product."""
+    from metal_history_knowledge_graph_spark.operators.frontier import (
+        recrawl_priorities,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    history = ev.select(
+        F.concat(F.lit("http://h"), F.col("user_id").cast("string"),
+                 F.lit(".example/page")).alias("url"),
+        F.col("ts").alias("crawl_ts"),
+        F.col("event_type").alias("fingerprint"),
+    )
+    now = ev.agg(F.max("ts")).collect()[0][0]
+    return recrawl_priorities(history, now).orderBy("url")
+
+
+def _recrawl_oracle(default_change_permille: int = 500) -> str:
+    return f"""
+        WITH hist AS (
+            SELECT 'http://h' || CAST(user_id AS VARCHAR) || '.example/page'
+                       AS url,
+                   ts, event_type AS fp
+            FROM events
+        ), flagged AS (
+            SELECT url, ts,
+                   CASE WHEN fp <> lag(fp) OVER w THEN 1
+                        WHEN lag(fp) OVER w IS NULL THEN NULL
+                        ELSE 0 END AS changed
+            FROM hist
+            WINDOW w AS (PARTITION BY url ORDER BY ts, fp)
+        ), agg AS (
+            SELECT url, CAST(count(*) AS BIGINT) AS n_crawls,
+                   CAST(coalesce(sum(changed), 0) AS BIGINT) AS n_changes,
+                   max(ts) AS last_ts
+            FROM flagged GROUP BY url
+        ), scored AS (
+            SELECT url, n_crawls, n_changes,
+                   CASE WHEN n_crawls >= 2
+                        THEN (n_changes * 1000) // (n_crawls - 1)
+                        ELSE {default_change_permille} END AS change_permille,
+                   epoch_us(CAST((SELECT max(ts) FROM events) AS TIMESTAMP))
+                       // 1000000
+                       - epoch_us(CAST(last_ts AS TIMESTAMP)) // 1000000
+                       AS staleness_s
+            FROM agg
+        )
+        SELECT url, n_crawls, n_changes,
+               CAST(change_permille AS BIGINT) AS change_permille,
+               CAST(staleness_s AS BIGINT) AS staleness_s,
+               CAST(change_permille * staleness_s AS BIGINT) AS recrawl_score
+        FROM scored ORDER BY url
+    """
+
+
 _CRAWL_RULES_PATH = "/tmp/kg_crawl_rules.parquet"
 
 
@@ -3630,6 +3692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_link_features": q_link_features,
         "q_link_pred": q_link_pred,
         "q_crawl_delay": q_crawl_delay,
+        "q_recrawl": q_recrawl,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -5039,6 +5102,7 @@ def oracle_sql() -> dict[str, str]:
         "q_crawl_plan": _crawl_plan_oracle(),
         "q_markup_stats": _markup_oracle(),
         "q_crawl_delay": _crawl_delay_oracle(),
+        "q_recrawl": _recrawl_oracle(),
         "q_link_features": _link_features_oracle(),
         "q_link_pred": f"""
             WITH {_DERIVED_EDGES_SQL},

@@ -131,3 +131,64 @@ def schedule_batch(
         .filter(F.col("fetch_slot") <= F.col("_budget"))
         .drop("_budget")
     )
+
+
+def recrawl_priorities(
+    history: DataFrame,
+    now_ts,
+    url_col: str = "url",
+    ts_col: str = "crawl_ts",
+    fp_col: str = "fingerprint",
+    default_change_permille: int = 500,
+) -> DataFrame:
+    """(url, n_crawls, n_changes, change_permille, staleness_s,
+    recrawl_score): freshness scheduling from the crawl history — the
+    refetch side of the frontier (schedule_batch decides WHAT first
+    among new URLs; this decides WHEN a known URL is due again).
+
+    Change rate is observed, not guessed: consecutive fetches whose
+    content fingerprint differs count as changes, and
+    ``change_permille = changes·1000 div (crawls−1)`` (a URL seen once
+    has no observed rate and takes the ``default_change_permille``
+    prior). ``recrawl_score = change_permille · staleness_s`` — a page
+    that changes every fetch and is a day stale outranks a static page
+    a week stale by the standard freshness-rate product. All integer
+    arithmetic (epoch seconds, floor divides), so the SQL oracle
+    replays every score.
+
+    Scale shape: one window pass partitioned by url ordered by fetch
+    time (per-url history is short — bounded by the crawl cadence,
+    never corpus-sized), then one partial-agg groupBy. ``now_ts`` is a
+    literal timestamp the caller fixes (determinism: never wall-clock
+    inside the plan)."""
+    # fp tie-break keeps the lag deterministic when two fetches share
+    # a timestamp (same total order in the SQL oracle)
+    w = Window.partitionBy(url_col).orderBy(ts_col, fp_col)
+    flagged = history.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("ts"),
+        (
+            F.col(fp_col)
+            != F.lag(fp_col).over(w)
+        ).cast("long").alias("changed"),
+    )
+    agg = flagged.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_crawls"),
+        F.coalesce(F.sum("changed"), F.lit(0)).cast("long").alias("n_changes"),
+        F.max("ts").alias("_last"),
+    )
+    return agg.select(
+        "url", "n_crawls", "n_changes",
+        F.expr(
+            f"CASE WHEN n_crawls >= 2"
+            f" THEN (n_changes * 1000L) div (n_crawls - 1L)"
+            f" ELSE {default_change_permille}L END"
+        ).cast("long").alias("change_permille"),
+        (
+            F.unix_timestamp(F.lit(now_ts).cast("timestamp"))
+            - F.unix_timestamp(F.col("_last").cast("timestamp"))
+        ).cast("long").alias("staleness_s"),
+    ).withColumn(
+        "recrawl_score",
+        F.expr("change_permille * staleness_s").cast("long"),
+    )

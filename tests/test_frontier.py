@@ -90,3 +90,43 @@ def test_frontier_plan_is_jvm_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_recrawl_priorities_rates_and_staleness(spark):
+    from datetime import datetime
+
+    from metal_history_knowledge_graph_spark.operators.frontier import (
+        recrawl_priorities,
+    )
+
+    def ts(m):
+        return datetime(2026, 1, 1, 0, m)
+
+    hist = spark.createDataFrame(
+        [
+            # changes on every fetch (3 crawls, 2 changes)
+            ("u_hot", ts(0), "a"), ("u_hot", ts(10), "b"), ("u_hot", ts(20), "c"),
+            # never changes (3 crawls, 0 changes)
+            ("u_static", ts(0), "x"), ("u_static", ts(10), "x"),
+            ("u_static", ts(30), "x"),
+            # single observation -> default prior
+            ("u_new", ts(50), "y"),
+        ],
+        "url string, crawl_ts timestamp, fingerprint string",
+    )
+    out = {
+        r.url: r
+        for r in recrawl_priorities(hist, datetime(2026, 1, 1, 1, 0)).collect()
+    }
+    hot = out["u_hot"]
+    assert (hot.n_crawls, hot.n_changes, hot.change_permille) == (3, 2, 1000)
+    assert hot.staleness_s == 40 * 60
+    assert hot.recrawl_score == 1000 * 40 * 60
+    static = out["u_static"]
+    assert (static.n_changes, static.change_permille) == (0, 0)
+    assert static.recrawl_score == 0
+    new = out["u_new"]
+    assert new.change_permille == 500  # prior
+    assert new.staleness_s == 10 * 60
+    # the hot stale page outranks the fresher unknown one
+    assert hot.recrawl_score > new.recrawl_score

@@ -1327,6 +1327,65 @@ def q_pagerank(spark, sf_dir):
     return pagerank(e, n_iters=5).orderBy("node_id")
 
 
+def q_ppr(spark, sf_dir):
+    """Personalized (seed-teleport) PageRank (operators/graph_algos.
+    pagerank_personalized): teleport mass returns only to seeds 0..9,
+    so rank measures proximity to the seed set — the focused-crawl
+    scorer. Same fixed-point BIGINT trajectory as q_pagerank with the
+    teleport term gated to seeds; the chained-CTE DuckDB oracle
+    replays all 5 iterations bit-exactly, including the exact zeros
+    on unreachable nodes."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        pagerank_personalized,
+    )
+
+    e = _derived_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    )
+    seeds = spark.range(10).select(F.col("id").cast("long").alias("node"))
+    return pagerank_personalized(e, seeds, n_iters=5).orderBy("node_id")
+
+
+def _ppr_oracle(n_iters: int = 5, damping: int = 85, scale: int = 10**12,
+                n_seeds: int = 10) -> str:
+    """Chained-CTE replay of pagerank_personalized with seeds 0..9."""
+    ctes = [
+        f"WITH {_DERIVED_EDGES_SQL}",
+        f"pseeds AS (SELECT CAST(range AS BIGINT) AS node FROM range({n_seeds}))",
+        "pnodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges "
+        "UNION SELECT node FROM pseeds)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1)",
+        f"r0 AS (SELECT n.node, CAST(CASE WHEN s.node IS NOT NULL"
+        f" THEN {scale} // {n_seeds} ELSE 0 END AS BIGINT) AS r"
+        f" FROM pnodes n LEFT JOIN pseeds s ON n.node = s.node)",
+    ]
+    teleport = ((100 - damping) * scale) // (100 * n_seeds)
+    for k in range(1, n_iters + 1):
+        prev = f"r{k - 1}"
+        ctes.append(
+            f"r{k} AS (\n"
+            f"  SELECT p.node, CAST(\n"
+            f"    (CASE WHEN sd.node IS NOT NULL THEN {teleport} ELSE 0 END)\n"
+            f"    + ({damping} * coalesce(s.contrib, 0)) // 100\n"
+            f"  AS BIGINT) AS r\n"
+            f"  FROM pnodes p\n"
+            f"  LEFT JOIN pseeds sd ON p.node = sd.node\n"
+            f"  LEFT JOIN (\n"
+            f"    SELECT e2.dst AS node,\n"
+            f"           CAST(sum({prev}.r // deg.outdeg) AS BIGINT) AS contrib\n"
+            f"    FROM edges e2\n"
+            f"    JOIN {prev} ON e2.src = {prev}.node\n"
+            f"    JOIN deg ON e2.src = deg.src\n"
+            f"    GROUP BY e2.dst\n"
+            f"  ) s ON p.node = s.node\n"
+            f")"
+        )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT node AS node_id, r AS rank_fixed FROM r{n_iters} ORDER BY node_id"
+    )
+
+
 def q_hits(spark, sf_dir):
     """Fixed-point integer HITS hubs-and-authorities
     (operators/graph_algos.hits) over the derived functional graph —
@@ -2661,6 +2720,53 @@ def _crawl_plan_oracle() -> str:
     """
 
 
+def q_token_budget(spark, sf_dir):
+    """Budget-capped corpus selection (operators/sampling.
+    select_to_token_budget): keep the best-quality documents whose
+    cumulative token count fits a 100k budget — quality = a derived
+    integer score, order (score desc, doc_id), straddling document
+    dropped. The engine computes the global prefix over fixed score
+    buckets + broadcast offsets (no global sort); the oracle replays
+    the decision with one global window cumsum."""
+    from metal_history_knowledge_graph_spark.operators.sampling import (
+        select_to_token_budget,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("n_chars") % 997).cast("long").alias("score"),
+        (F.col("n_chars") % 503 + 1).cast("long").alias("tokens"),
+    )
+    out = select_to_token_budget(
+        docs, score_col="score", tokens_col="tokens", budget=100_000,
+        key_col="doc_id",
+    )
+    return out.select("doc_id", "score", "tokens", "cum_tokens") \
+        .orderBy("doc_id")
+
+
+def _token_budget_oracle(budget: int = 100_000) -> str:
+    return f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   CAST(n_chars % 997 AS BIGINT) AS score,
+                   CAST(n_chars % 503 + 1 AS BIGINT) AS tokens
+            FROM documents
+        ), cum AS (
+            SELECT doc_id, score, tokens,
+                   coalesce(CAST(sum(tokens) OVER (
+                       ORDER BY score DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS BIGINT), 0) AS w
+            FROM scored
+        )
+        SELECT doc_id, score, tokens,
+               CAST(w + tokens AS BIGINT) AS cum_tokens
+        FROM cum WHERE w + tokens <= {budget}
+        ORDER BY doc_id
+    """
+
+
 def _host_graph_oracle() -> str:
     """DuckDB replay of q_host_graph's full chain. The href pattern is
     imported from operators/links.HREF_PATTERN (single source); host
@@ -3693,6 +3799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_link_pred": q_link_pred,
         "q_crawl_delay": q_crawl_delay,
         "q_recrawl": q_recrawl,
+        "q_ppr": q_ppr,
+        "q_token_budget": q_token_budget,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -5103,6 +5211,8 @@ def oracle_sql() -> dict[str, str]:
         "q_markup_stats": _markup_oracle(),
         "q_crawl_delay": _crawl_delay_oracle(),
         "q_recrawl": _recrawl_oracle(),
+        "q_ppr": _ppr_oracle(n_iters=5, damping=85, scale=10**12, n_seeds=10),
+        "q_token_budget": _token_budget_oracle(budget=100_000),
         "q_link_features": _link_features_oracle(),
         "q_link_pred": f"""
             WITH {_DERIVED_EDGES_SQL},

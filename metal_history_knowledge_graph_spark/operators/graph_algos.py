@@ -841,3 +841,89 @@ def link_prediction(
             .cast("long").alias("jaccard_permille"),
         )
     )
+
+
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = PAGERANK_SCALE,
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank: teleport mass returns
+    ONLY to the ``seeds`` node set, so rank measures proximity to the
+    seeds — the focused-crawl scorer (seed the hosts you trust, rank
+    every host by how reachable it is from them, feed the scores to
+    frontier_priorities) and the related-entity ranker the global
+    pagerank cannot express.
+
+    Same fixed-point BIGINT trajectory as :func:`pagerank` (floor
+    divides, dangling mass dropped), with the teleport term gated to
+    seeds:
+
+        r0(v)      = [v ∈ S] · (scale div |S|)
+        r_{k+1}(v) = [v ∈ S] · ((100−d)·scale) div (100·|S|)
+                     + (d · Σ_{u→v} (r_k(u) div outdeg(u))) div 100
+
+    Non-seed nodes unreachable from S stay exactly 0 — a focused
+    crawl must not spend budget there, and the oracle checks the
+    zeros too. Scale shape identical to pagerank: per iteration one
+    edge⋈rank join + one partial-agg groupBy, lineage truncated per
+    round; seeds are vocabulary-sized (broadcast join).
+
+    ``seeds`` carries one column ``node``; seeds absent from the
+    graph still receive teleport mass (they are real pages — the
+    graph just has no links for them yet).
+    """
+    e = (
+        edges.select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed_nodes = seeds.select("node").distinct().localCheckpoint(eager=True)
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        raise ValueError("pagerank_personalized: empty seed set")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .unionByName(seed_nodes)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    is_seed = F.broadcast(seed_nodes.withColumn("_s", F.lit(1)))
+    base = nodes.join(is_seed, "node", "left")
+    teleport = ((100 - damping_pct) * scale) // (100 * n_seeds)
+    ranks = base.select(
+        "node",
+        F.when(F.col("_s").isNotNull(), F.lit(scale // n_seeds))
+        .otherwise(F.lit(0)).cast("long").alias("rank_fixed"),
+    )
+    for _ in range(n_iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_fixed div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            base.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("_s").isNotNull(), F.lit(teleport))
+                    .otherwise(F.lit(0))
+                    + F.expr(
+                        f"({damping_pct} * coalesce(contrib, 0L)) div 100"
+                    )
+                ).cast("long").alias("rank_fixed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("node").alias("node_id"), "rank_fixed")

@@ -329,3 +329,75 @@ def pps_systematic_sample(
         F.expr(f"{_f('_W + _wl')} - {_f('_W')}").cast("long"),
     ).filter(F.col("n_copies") > 0)
     return picked.drop("_ord", "_b", "_boff", "_W", "_wl")
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    score_col: str,
+    tokens_col: str,
+    budget: int,
+    key_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Budget-capped corpus selection: keep the best-scoring documents
+    whose cumulative token count fits ``budget`` — "give me the top
+    quality slice that is exactly N tokens", the selection step between
+    quality scoring and training export. Deterministic rule: documents
+    ordered by (score desc, key asc); a document is kept iff the
+    tokens of all strictly-better documents plus its own fit the
+    budget (``W_excl + tokens ≤ budget`` — the straddling document is
+    dropped, never truncated; truncation is the packer's job). Adds
+    ``cum_tokens`` = the inclusive prefix at each kept row.
+
+    Scale shape — the global prefix WITHOUT a global sort, same
+    two-pass trick as :func:`pps_systematic_sample` but ordered by a
+    VALUE (score) instead of a hash: scores bucketize into
+    ``n_buckets`` fixed ranges (monotone in the sort order, computed
+    from one min/max aggregate), bucket subtotals broadcast their
+    running offsets back, and the within-bucket cumsum windows on the
+    bucket key. Skewed score distributions skew bucket sizes but never
+    correctness; all arithmetic BIGINT (negative token counts raise —
+    corrupt input)."""
+    if budget < 0:
+        raise ValueError(f"select_to_token_budget: negative budget {budget}")
+    t = F.col(tokens_col).cast("long")
+    if df.filter(t < 0).limit(1).count():
+        raise ValueError(
+            f"select_to_token_budget: negative {tokens_col} values — corrupt input"
+        )
+    lo, hi = df.agg(
+        F.min(F.col(score_col).cast("long")),
+        F.max(F.col(score_col).cast("long")),
+    ).collect()[0]
+    if lo is None:
+        return df.withColumn("cum_tokens", F.lit(0).cast("long")).limit(0)
+    span = hi - lo + 1
+    s = F.col(score_col).cast("long")
+    rows = df.select(
+        "*",
+        F.expr(
+            f"(({hi}L - cast({score_col} as long)) * {n_buckets}L) div {span}L"
+        ).cast("long").alias("_b"),
+    )
+    bucket_tot = rows.groupBy("_b").agg(F.sum(t).alias("_bt"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_tot.select(
+        "_b", F.coalesce(F.sum("_bt").over(w_off), F.lit(0)).alias("_boff")
+    )
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy(s.desc(), key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = rows.join(F.broadcast(offsets), "_b").withColumn(
+        "_W",
+        (F.col("_boff") + F.coalesce(F.sum(t).over(w_in), F.lit(0))).cast("long"),
+    )
+    return (
+        cum.filter(F.expr(f"_W + cast({tokens_col} as long) <= {budget}L"))
+        .withColumn(
+            "cum_tokens",
+            F.expr(f"_W + cast({tokens_col} as long)").cast("long"),
+        )
+        .drop("_b", "_boff", "_W")
+    )

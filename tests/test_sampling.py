@@ -271,3 +271,62 @@ def test_pps_plan_has_no_global_window(spark):
     ]
     assert all("_b" in ln for ln in data_windows), plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- budget-capped selection -----------------------------------------------------
+
+def test_select_to_token_budget_exact_rule(spark):
+    from metal_history_knowledge_graph_spark.operators.sampling import (
+        select_to_token_budget,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, 90, 40), (2, 80, 40), (3, 80, 15), (4, 70, 40), (5, 60, 5),
+        ],
+        "doc_id long, score long, tokens long",
+    )
+    out = {
+        r.doc_id: r.cum_tokens
+        for r in select_to_token_budget(
+            docs, "score", "tokens", budget=100, key_col="doc_id"
+        ).collect()
+    }
+    # order: 1(40) 2(40) 3(15) 4(40) 5(5); exclusive prefixes
+    # 0/40/80/95/135 — doc 4 straddles and is dropped (never
+    # truncated), and doc 5's prefix still counts the better doc 4
+    # (the documented all-strictly-better-plus-self rule), so it
+    # drops too: no later small doc can jump a dropped straddler
+    assert out == {1: 40, 2: 80, 3: 95}
+
+
+def test_select_to_token_budget_invariance_and_guards(spark):
+    import pytest as _pytest
+
+    from metal_history_knowledge_graph_spark.operators.sampling import (
+        select_to_token_budget,
+    )
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 37 % 211).cast("long").alias("score"),
+        (F.col("id") % 29 + 1).cast("long").alias("tokens"),
+    )
+    a = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in select_to_token_budget(
+            docs.repartition(1), "score", "tokens", 2_000, "doc_id"
+        ).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in select_to_token_budget(
+            docs.repartition(13), "score", "tokens", 2_000, "doc_id",
+            n_buckets=7,
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+    assert max(c for _, c in a) <= 2_000
+    bad = spark.createDataFrame([(1, 5, -2)], "doc_id long, score long, tokens long")
+    with _pytest.raises(ValueError, match="negative"):
+        select_to_token_budget(bad, "score", "tokens", 10, "doc_id")

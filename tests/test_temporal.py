@@ -361,3 +361,30 @@ def test_link_prediction_min_common_and_degrees(spark):
     # 0-1 adjacent -> excluded
     assert (0, 1) not in out
     assert link_prediction(_edges(spark, pairs), min_common=2).count() == 0
+
+
+def test_personalized_pagerank_seed_locality(spark):
+    """Two disjoint rings; seeds live in ring A only — every ring-B
+    node must score exactly 0, seeds score highest, and ranks decay
+    with distance from the seeds."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        pagerank_personalized,
+    )
+
+    ring_a = [(i, (i + 1) % 5) for i in range(5)]           # nodes 0-4
+    ring_b = [(10 + i, 10 + (i + 1) % 5) for i in range(5)]  # nodes 10-14
+    e = _edges(spark, ring_a + ring_b)
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = {r.node_id: r.rank_fixed
+           for r in pagerank_personalized(e, seeds, n_iters=8).collect()}
+    assert all(out[10 + i] == 0 for i in range(5))
+    # every ring-A node is reachable from the seed and holds mass
+    assert all(out[i] > 0 for i in range(5))
+    # all mass lives in the seed's component: ring A sums to ~scale
+    # (floor-divide leakage only), ring B to exactly 0
+    assert sum(out[i] for i in range(5)) > 9 * 10**11
+    # a seed absent from the edge set still holds teleport mass
+    seeds2 = spark.createDataFrame([(99,)], "node long")
+    out2 = {r.node_id: r.rank_fixed
+            for r in pagerank_personalized(e, seeds2, n_iters=3).collect()}
+    assert out2[99] > 0 and all(v == 0 for k, v in out2.items() if k != 99)

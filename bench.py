@@ -132,7 +132,9 @@ def run_analytics(spark) -> dict[str, float]:
                  "q_hourly_events", "q_token_counts", "q_quality_scores",
                  "q_cosine_topk", "q_exact_dup_groups",
                  "q_pii_redact", "q_contamination",
-                 "q_bm25_topk", "q_webtext_prep", "q_kcore"):
+                 "q_bm25_topk", "q_webtext_prep", "q_kcore",
+                 "q_crawl_plan", "q_phrase_match", "q_pps_sample",
+                 "q_link_pred"):
         fn = e.queries()[name]
         t0 = time.time()
         fn(spark, SF_DIR).count()

@@ -244,3 +244,70 @@ def interval_join_attribution(
             F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
         ).cast("long").alias("lag_seconds"),
     )
+
+
+def stream_crawl_scheduler(
+    spark: SparkSession,
+    candidates: DataFrame,
+    robots_rules: DataFrame,
+    host_scores: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    per_host_budget: int = 10,
+    host_budgets: DataFrame | None = None,
+):
+    """Continuous frontier: a STREAM of discovered URLs → per-micro-
+    batch polite fetch batches, with a persistent seen-set so a URL
+    scheduled in batch N is never rescheduled in batch N+k (the
+    streaming twin of plans/crawl.crawl_schedule, same operators).
+
+    foreachBatch runs the full batch plan (canonicalize → collapse →
+    seen anti-join → robots → priority → politeness budget) and
+    appends BOTH the schedule (``schedule/`` — batch_id-partitioned)
+    and the scheduled canonical urls (``seen/`` — the compact
+    url-only table, the ``processed_urls`` pattern). Crash-replay
+    safety, stated precisely: the schedule is EXACTLY-once per
+    (url, batch) — a replayed batch whose ``batch_id=`` partition
+    already exists skips recomputation (the seen state has moved
+    under it, so recomputing would produce a DIFFERENT, possibly
+    empty, batch) and only re-appends that partition's urls to
+    ``seen``; ``seen`` itself tolerates duplicates because its only
+    consumer is an anti-join. The existence probe is a filesystem
+    check — swap in the Hadoop FileSystem API for object stores.
+    Robots rules and host scores are batch dims (vocabulary-sized,
+    re-read per batch at their current state — policy updates apply
+    from the next batch on).
+    """
+    import os
+
+    from ..plans.crawl import crawl_schedule
+
+    sched_dir = os.path.join(out_dir, "schedule")
+    seen_dir = os.path.join(out_dir, "seen")
+
+    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = os.path.join(sched_dir, f"batch_id={batch_id}")
+        if os.path.isdir(part):
+            # replay after the schedule write landed: just make sure
+            # the seen append happened too (duplicates are harmless)
+            spark.read.parquet(part).select("url") \
+                .write.mode("append").parquet(seen_dir)
+            return
+        try:
+            seen = spark.read.parquet(seen_dir)
+        except Exception:
+            seen = None
+        batch = crawl_schedule(
+            batch_df, robots_rules, host_scores, seen=seen,
+            per_host_budget=per_host_budget, host_budgets=host_budgets,
+        ).localCheckpoint(eager=True)  # freeze before the two writes
+        batch.withColumn("batch_id", F.lit(batch_id).cast("long")) \
+            .write.mode("append").partitionBy("batch_id").parquet(sched_dir)
+        batch.select("url").write.mode("append").parquet(seen_dir)
+
+    return (
+        candidates.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

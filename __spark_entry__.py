@@ -1386,6 +1386,67 @@ def _ppr_oracle(n_iters: int = 5, damping: int = 85, scale: int = 10**12,
     )
 
 
+def q_pagerank_weighted(spark, sf_dir):
+    """Edge-weighted PageRank (operators/graph_algos.pagerank_weighted)
+    over the derived graph with deterministic weights
+    ((src + dst) mod 7 + 1): rank splits over out-edges proportional
+    to weight — the host-graph variant where link counts matter. The
+    two-step floor divide ((r div W)·w) keeps every product bounded;
+    the chained-CTE DuckDB oracle replays the exact trajectory."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        pagerank_weighted,
+    )
+
+    e = _derived_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id"),
+        ((F.col("src") + F.col("dst")) % 7 + 1).cast("long").alias("weight"),
+    )
+    return pagerank_weighted(e, n_iters=5).orderBy("node_id")
+
+
+def _pagerank_weighted_oracle(
+    n_iters: int = 5, damping: int = 85, scale: int = 10**12
+) -> str:
+    """Chained-CTE replay of pagerank_weighted with the derived
+    weights; the (r // W) * w order of operations must match."""
+    ctes = [
+        f"WITH {_DERIVED_EDGES_SQL}",
+        "wedges AS MATERIALIZED (SELECT src, dst,"
+        " CAST((src + dst) % 7 + 1 AS BIGINT) AS w FROM edges)",
+        "wnodes AS (SELECT src AS node FROM wedges UNION SELECT dst FROM wedges)",
+        "wparams AS (SELECT count(*) AS n FROM wnodes)",
+        "wdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wtot"
+        " FROM wedges GROUP BY 1)",
+        f"w0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS r "
+        "FROM wnodes CROSS JOIN wparams)",
+    ]
+    for k in range(1, n_iters + 1):
+        prev = f"w{k - 1}"
+        ctes.append(
+            f"w{k} AS (\n"
+            f"  SELECT p.node, CAST(\n"
+            f"    (({100 - damping} * {scale}) // (100 * wparams.n))\n"
+            f"    + ({damping} * coalesce(s.contrib, 0)) // 100\n"
+            f"  AS BIGINT) AS r\n"
+            f"  FROM wnodes p CROSS JOIN wparams\n"
+            f"  LEFT JOIN (\n"
+            f"    SELECT e2.dst AS node,\n"
+            f"           CAST(sum(({prev}.r // wdeg.wtot) * e2.w) AS BIGINT)"
+            f" AS contrib\n"
+            f"    FROM wedges e2\n"
+            f"    JOIN {prev} ON e2.src = {prev}.node\n"
+            f"    JOIN wdeg ON e2.src = wdeg.src\n"
+            f"    GROUP BY e2.dst\n"
+            f"  ) s ON p.node = s.node\n"
+            f")"
+        )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT node AS node_id, r AS rank_fixed FROM w{n_iters}"
+        " ORDER BY node_id"
+    )
+
+
 def q_hits(spark, sf_dir):
     """Fixed-point integer HITS hubs-and-authorities
     (operators/graph_algos.hits) over the derived functional graph —
@@ -3801,6 +3862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_recrawl": q_recrawl,
         "q_ppr": q_ppr,
         "q_token_budget": q_token_budget,
+        "q_pagerank_weighted": q_pagerank_weighted,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -5213,6 +5275,7 @@ def oracle_sql() -> dict[str, str]:
         "q_recrawl": _recrawl_oracle(),
         "q_ppr": _ppr_oracle(n_iters=5, damping=85, scale=10**12, n_seeds=10),
         "q_token_budget": _token_budget_oracle(budget=100_000),
+        "q_pagerank_weighted": _pagerank_weighted_oracle(),
         "q_link_features": _link_features_oracle(),
         "q_link_pred": f"""
             WITH {_DERIVED_EDGES_SQL},

@@ -388,3 +388,42 @@ def test_personalized_pagerank_seed_locality(spark):
     out2 = {r.node_id: r.rank_fixed
             for r in pagerank_personalized(e, seeds2, n_iters=3).collect()}
     assert out2[99] > 0 and all(v == 0 for k, v in out2.items() if k != 99)
+
+
+def test_pagerank_weighted_degenerates_and_shifts_mass(spark):
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        pagerank,
+        pagerank_weighted,
+    )
+
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 0)]
+    # uniform weights == unweighted pagerank, bit for bit
+    e1 = spark.createDataFrame(
+        [(a, b, 1) for a, b in pairs], "subj_id long, obj_id long, weight long"
+    )
+    a = sorted((r.node_id, r.rank_fixed)
+               for r in pagerank_weighted(e1, n_iters=6).collect())
+    b = sorted((r.node_id, r.rank_fixed)
+               for r in pagerank(_edges(spark, pairs), n_iters=6).collect())
+    assert a == b
+    # skewed weight on 0->2 moves rank from 1 to 2
+    e2 = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 9), (1, 2, 1), (2, 0, 1), (3, 0, 1)],
+        "subj_id long, obj_id long, weight long",
+    )
+    w = {r.node_id: r.rank_fixed
+         for r in pagerank_weighted(e2, n_iters=6).collect()}
+    u = dict(b)
+    assert w[2] > u[2] and w[1] < u[1]
+    # duplicate edges accumulate their weights (multigraph fold)
+    e3 = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 4), (0, 2, 5), (1, 2, 1), (2, 0, 1), (3, 0, 1)],
+        "subj_id long, obj_id long, weight long",
+    )
+    w3 = {r.node_id: r.rank_fixed
+          for r in pagerank_weighted(e3, n_iters=6).collect()}
+    assert w3 == w
+    import pytest as _pytest
+    bad = spark.createDataFrame([(0, 1, 0)], "subj_id long, obj_id long, weight long")
+    with _pytest.raises(ValueError, match="non-positive"):
+        pagerank_weighted(bad)

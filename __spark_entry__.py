@@ -604,6 +604,59 @@ def q_exact_dup_groups(spark, sf_dir):
     )
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware exact dedup (operators/dedup.dedup_keep_best):
+    duplicate copies injected with DIFFERENT quality scores; the
+    survivor per fingerprint is the best-scoring copy (ties by min
+    id), with n_dropped accounting for downstream mix weighting. The
+    DuckDB oracle replays the fingerprint, the (score desc, id) rank,
+    and the group counts."""
+    from metal_history_knowledge_graph_spark.operators.dedup import dedup_keep_best
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", ((F.col("doc_id") * 13) % 101).cast("long").alias("score")
+    )
+    injected = docs.unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text",
+            (((F.col("doc_id") + 100000) * 13) % 101).cast("long").alias("score"),
+        )
+    )
+    out = dedup_keep_best(injected, score_col="score")
+    return (
+        out.filter(F.col("n_dropped") > 0)
+        .select("doc_id", "score", "n_dropped")
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_keep_best_oracle() -> str:
+    return r"""
+        WITH all_docs AS (
+            SELECT doc_id, text,
+                   CAST((doc_id * 13) % 101 AS BIGINT) AS score
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text,
+                   CAST(((doc_id + 100000) * 13) % 101 AS BIGINT)
+            FROM documents WHERE doc_id < 50
+        ), fp AS (
+            SELECT doc_id, score,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+            FROM all_docs
+        ), ranked AS (
+            SELECT doc_id, score,
+                   row_number() OVER (PARTITION BY f
+                       ORDER BY score DESC, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY f) AS n
+            FROM fp
+        )
+        SELECT doc_id, score, CAST(n - 1 AS BIGINT) AS n_dropped
+        FROM ranked WHERE rn = 1 AND n >= 2
+        ORDER BY doc_id
+    """
+
+
 def q_wordset_jaccard(spark, sf_dir):
     """Word-set Jaccard pairs over a bounded doc subset — the exact
     n-gram dedup decision function with an ANSI-SQL oracle."""
@@ -3863,6 +3916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ppr": q_ppr,
         "q_token_budget": q_token_budget,
         "q_pagerank_weighted": q_pagerank_weighted,
+        "q_dedup_keep_best": q_dedup_keep_best,
         # KG pipeline (non-SQL-expressible → rows-only check)
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
@@ -5276,6 +5330,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ppr": _ppr_oracle(n_iters=5, damping=85, scale=10**12, n_seeds=10),
         "q_token_budget": _token_budget_oracle(budget=100_000),
         "q_pagerank_weighted": _pagerank_weighted_oracle(),
+        "q_dedup_keep_best": _dedup_keep_best_oracle(),
         "q_link_features": _link_features_oracle(),
         "q_link_pred": f"""
             WITH {_DERIVED_EDGES_SQL},

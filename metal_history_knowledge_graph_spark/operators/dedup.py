@@ -639,3 +639,33 @@ def containment_pairs(
             F.round(F.col("_c"), 4).alias("containment"),
         )
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact dedup that keeps the BEST-scoring copy per fingerprint
+    instead of the min id — the production rule when duplicates differ
+    in metadata quality (the same article crawled from an AMP mirror,
+    a print view, and the canonical page: keep the copy the quality
+    scorer ranked highest, drop the rest). Ties break on ascending id,
+    so the choice is total and replayable.
+
+    Same single-shuffle shape as :func:`dedup_exact` (window per
+    fingerprint); emits ``n_dropped`` per surviving row so the mix
+    accounting downstream can weight survivors by their duplication
+    count (mix_sources consumes it for frequency-aware sampling)."""
+    fp = with_fingerprint(df, text_col)
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy("fingerprint")
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_dropped", (F.count(F.lit(1)).over(wc) - 1).cast("long"))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fingerprint")
+    )

@@ -283,3 +283,24 @@ def test_normalize_unicode_forms(spark):
 
     with _pytest.raises(ValueError):
         normalize_unicode(df, "text", form="XX")
+
+
+def test_dedup_keep_best_picks_top_score(spark):
+    """Best-scoring copy survives per fingerprint, ties break by min
+    id, n_dropped counts the rest; singletons report 0."""
+    from metal_history_knowledge_graph_spark.operators.dedup import (
+        dedup_keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Same  Article", 10),
+            (2, "same article", 90),     # normalized-identical, best score
+            (3, "SAME ARTICLE  ", 90),   # tied score, higher id -> loses
+            (4, "unique doc", 5),
+        ],
+        "doc_id long, text string, score long",
+    )
+    out = {r.doc_id: (r.score, r.n_dropped)
+           for r in dedup_keep_best(docs, "score").collect()}
+    assert out == {2: (90, 2), 4: (5, 0)}

@@ -78,3 +78,35 @@ def test_crawl_schedule_budget_and_agent(spark):
         agent="gptbot",
     )
     assert gpt.count() == 0
+
+
+def test_crawl_plan_broadcasts_vocabulary_dims(spark):
+    """The seen anti-join and the per-host budget join must broadcast
+    their vocabulary-sized sides — a shuffled anti-join against a
+    seen-set dim would move the whole candidate table."""
+    from metal_history_knowledge_graph_spark.operators.robots import (
+        crawl_budgets,
+        parse_crawl_delays,
+    )
+
+    candidates = spark.createDataFrame(
+        [(f"http://a.example/p/{i}",) for i in range(50)], "url string"
+    )
+    seen = spark.createDataFrame([("http://a.example/p/1",)], "url string")
+    delays = parse_crawl_delays(spark.createDataFrame(
+        [("a.example", "User-agent: *\nCrawl-delay: 2\n")],
+        "domain string, robots_txt string",
+    ))
+    budgets = crawl_budgets(delays, window_s=60)
+    out = crawl_schedule(
+        candidates, _rules(spark), _scores(spark), seen=seen,
+        per_host_budget=5, host_budgets=budgets,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the anti-join against seen is a broadcast build, not a shuffle
+    assert any(
+        "BroadcastHashJoin" in ln and "LeftAnti, BuildRight" in ln
+        for ln in plan.splitlines()
+    ), plan
+    assert plan.count("BroadcastHashJoin") >= 2  # seen + budgets (+ robots)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

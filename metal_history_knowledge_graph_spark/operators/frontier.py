@@ -107,11 +107,12 @@ def schedule_batch(
     """
     pre = priorities.withColumn("_pid", F.spark_partition_id())
     if host_budgets is not None:
-        pre = pre.join(
-            F.broadcast(host_budgets.select("host", F.col("budget").alias("_hb"))),
-            "host",
-            "left",
-        )
+        # fold duplicate host rows to the MIN budget — a duplicated
+        # dim row would otherwise multiply every candidate of that
+        # host through the join, and the conservative (most polite)
+        # budget is the only safe merge
+        hb = host_budgets.groupBy("host").agg(F.min("budget").alias("_hb"))
+        pre = pre.join(F.broadcast(hb), "host", "left")
     else:
         pre = pre.withColumn("_hb", F.lit(None).cast("long"))
     pre = pre.withColumn(

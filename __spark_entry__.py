@@ -2670,9 +2670,6 @@ def _recrawl_oracle(default_change_permille: int = 500) -> str:
     """
 
 
-_CRAWL_RULES_PATH = "/tmp/kg_crawl_rules.parquet"
-
-
 def q_crawl_plan(spark, sf_dir):
     """Composed crawl-scheduling plan (plans/crawl.crawl_schedule):
     raw discovered URLs (messy spellings: uppercase scheme, default
@@ -2681,8 +2678,12 @@ def q_crawl_plan(spark, sf_dir):
     admission (Disallow /de/ with an Allow /de/1 carve-out) →
     host-authority/depth priority → per-host politeness budget of 4.
     The DuckDB oracle replays the ENTIRE chain in one statement — the
-    composed-plan oracle style of q_training_export/q_webtext_prep —
-    with the robots rules exported from the Spark parser."""
+    composed-plan oracle style of q_training_export/q_webtext_prep.
+    The robots.txt body is a fixed literal, so its two ``*``-group
+    rules are statically known and inlined in the oracle (no exported
+    side-effect file — a fixed /tmp path made the oracle depend on the
+    query having just run in the same process; parse_robots itself is
+    oracle-checked by q_robots_filter/q_crawl_delay)."""
     from metal_history_knowledge_graph_spark.operators.robots import parse_robots
     from metal_history_knowledge_graph_spark.plans.crawl import crawl_schedule
 
@@ -2714,7 +2715,6 @@ def q_crawl_plan(spark, sf_dir):
               "User-agent: gptbot\nDisallow: /\n"),
     )
     rules = parse_robots(robots)
-    rules.coalesce(1).write.mode("overwrite").parquet(_CRAWL_RULES_PATH)
     scores = docs.groupBy(F.col("source").alias("host")).agg(
         (F.count(F.lit(1)) * 1_000_000).cast("long").alias("rank_fixed")
     )
@@ -2730,7 +2730,9 @@ def _crawl_plan_oracle() -> str:
     """DuckDB replay of q_crawl_plan's full chain: synthesis →
     generic canonicalization (the q_url_canon rule set) → duplicate
     collapse → seen anti-join → longest-prefix robots decision over
-    the Spark-exported rules → depth/priority → budget window."""
+    the statically-known '*'-group rules of the fixed robots.txt
+    literal (inlined — no exported file, no run-order dependency) →
+    depth/priority → budget window."""
     host = (
         "lower(regexp_replace(regexp_replace(regexp_extract({u}, "
         "'^[hH][tT][tT][pP][sS]?://([^/?#]+)', 1), '^.*@', ''), "
@@ -2796,7 +2798,14 @@ def _crawl_plan_oracle() -> str:
                    regexp_replace(url, '^[a-z]+://[^/]*', '') AS path
             FROM fresh
         ), rules AS (
-            SELECT * FROM '{_CRAWL_RULES_PATH}/*.parquet' WHERE agent = '*'
+            -- the '*'-group rules of the fixed robots.txt literal,
+            -- one copy per domain (parse_robots output shape; the
+            -- parser itself is oracle-checked by q_robots_filter)
+            SELECT d.domain, r.rule, r.rule_len, r.path_prefix
+            FROM (SELECT DISTINCT source AS domain FROM documents) d
+            CROSS JOIN (VALUES ('disallow', 4, '/de/'),
+                               ('allow', 5, '/de/1'))
+                 AS r(rule, rule_len, path_prefix)
         ), m AS (
             SELECT w.url, w.domain, w.path, r.rule, r.rule_len, r.path_prefix
             FROM withpath w LEFT JOIN rules r

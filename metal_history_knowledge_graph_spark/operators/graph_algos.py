@@ -674,8 +674,9 @@ def hits(
 
     Scale shape: per iteration two node-keyed hash joins of the edge
     table against node-sized score tables and two partial-agg
-    groupBys; one scalar total per half-step (collected — a single
-    row, not data); ``localCheckpoint`` per iteration truncates the
+    groupBys; the L1 total per half-step is a 1-row aggregate folded
+    back via broadcast cross-join (in-plan — no driver collect on the
+    iteration path); ``localCheckpoint`` per iteration truncates the
     iterative lineage. Node ids may be any equi-joinable type
     (BIGINT entity ids or host strings alike).
 
@@ -704,16 +705,29 @@ def hits(
         )
     hubs = nodes.withColumn("h", F.lit(scale // n).cast("long"))
     auths = None
+    # L1 normalizers stay IN-PLAN: the half-step total is a 1-row
+    # aggregate cross-joined back as a broadcast (the bm25 totals
+    # pattern) instead of a scalar .collect() — so each half-step is
+    # ONE job (the eager checkpoint), not a checkpoint + a collect,
+    # and the iteration count stays off the driver's critical path.
+    # Arithmetic is unchanged (integer floor-divide of the same
+    # BIGINT sums), so trajectories are bit-identical to the collect
+    # formulation — pinned by the float-reference test and the q_hits
+    # DuckDB replay. greatest(tot, 1) replays max(tot, 1); the raw
+    # table is checkpointed because two consumers (the total and the
+    # normalize join) would otherwise re-run the edge join.
     for _ in range(n_iters):
         a_raw = (
             e.join(hubs.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("h").alias("raw"))
         ).localCheckpoint(eager=True)
-        tot_a = a_raw.agg(F.sum("raw")).collect()[0][0] or 0
-        auths = nodes.join(a_raw, "node", "left").select(
+        tot_a = a_raw.agg(F.coalesce(F.sum("raw"), F.lit(0)).alias("_tot"))
+        auths = nodes.join(a_raw, "node", "left").crossJoin(
+            F.broadcast(tot_a)
+        ).select(
             "node",
-            F.expr(f"(coalesce(raw, 0L) * {scale}L) div {max(tot_a, 1)}L")
+            F.expr(f"(coalesce(raw, 0L) * {scale}L) div greatest(_tot, 1L)")
             .cast("long").alias("a"),
         ).localCheckpoint(eager=True)
         h_raw = (
@@ -721,10 +735,12 @@ def hits(
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("a").alias("raw"))
         ).localCheckpoint(eager=True)
-        tot_h = h_raw.agg(F.sum("raw")).collect()[0][0] or 0
-        hubs = nodes.join(h_raw, "node", "left").select(
+        tot_h = h_raw.agg(F.coalesce(F.sum("raw"), F.lit(0)).alias("_tot"))
+        hubs = nodes.join(h_raw, "node", "left").crossJoin(
+            F.broadcast(tot_h)
+        ).select(
             "node",
-            F.expr(f"(coalesce(raw, 0L) * {scale}L) div {max(tot_h, 1)}L")
+            F.expr(f"(coalesce(raw, 0L) * {scale}L) div greatest(_tot, 1L)")
             .cast("long").alias("h"),
         ).localCheckpoint(eager=True)
     return (
@@ -968,8 +984,10 @@ def pagerank_weighted(
         )
         .filter(F.col("src") != F.col("dst"))
     )
-    if e.filter(F.col("w") <= 0).limit(1).count():
-        raise ValueError("pagerank_weighted: non-positive weights — corrupt input")
+    # isNull() must be explicit: NULL <= 0 is NULL, so a bare w <= 0
+    # filter would let NULL-weight edges silently vanish from the sums
+    if e.filter(F.col("w").isNull() | (F.col("w") <= 0)).limit(1).count():
+        raise ValueError("pagerank_weighted: null/non-positive weights — corrupt input")
     e = (
         e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
         .localCheckpoint(eager=True)

@@ -278,10 +278,12 @@ def pps_systematic_sample(
     import hashlib
 
     w = F.col(weight_col).cast("long")
-    neg = df.filter(w < 0).limit(1).count()
+    # isNull() must be explicit: NULL < 0 is NULL, so a bare w < 0
+    # filter would let NULL-weight rows slip past the corruption guard
+    neg = df.filter(w.isNull() | (w < 0)).limit(1).count()
     if neg:
         raise ValueError(
-            f"pps_systematic_sample: negative {weight_col} values — corrupt input"
+            f"pps_systematic_sample: null/negative {weight_col} values — corrupt input"
         )
     total = df.agg(F.sum(F.when(w > 0, w).otherwise(F.lit(0)))).collect()[0][0] or 0
     if total == 0:

@@ -12,9 +12,12 @@ discovered hrefs to a polite, robots-compliant fetch batch.
       → per-host politeness budget cut (two-phase top-k)
 
 Everything stays one lazy DataFrame chain: canonicalization is a
-narrow expression tree, the seen-set anti-join and the robots rule
-join broadcast their vocabulary-sized sides, and the only data-sized
-shuffles are the canonical-dedup aggregation and the politeness cut's
+narrow expression tree, the robots-rule and host-budget joins
+broadcast their genuinely vocabulary-sized sides, the seen-set
+anti-join is left to Catalyst/AQE (``seen`` is the unbounded crawl
+history — broadcast while small, shuffled once it outgrows the
+threshold), and the only data-sized shuffles are the canonical-dedup
+aggregation, the seen anti-join at scale, and the politeness cut's
 two window passes. No stage re-reads the corpus.
 
 Oracle: q_crawl_plan replays the ENTIRE chain in DuckDB — URL
@@ -60,8 +63,14 @@ def crawl_schedule(
         .distinct()
     )
     if seen is not None:
+        # No broadcast hint: ``seen`` is the accumulated crawl history
+        # (stream_crawl_scheduler appends every scheduled URL forever),
+        # NOT a vocabulary-sized dim — forcing a broadcast here would
+        # OOM at Common-Crawl scale. Catalyst/AQE picks broadcast when
+        # the set is measurably small and a shuffled anti-join once it
+        # grows past the threshold.
         canon = canon.join(
-            F.broadcast(seen.select(F.col(url_col).alias("url")).distinct()),
+            seen.select(F.col(url_col).alias("url")).distinct(),
             "url",
             "left_anti",
         )

@@ -267,13 +267,20 @@ def stream_crawl_scheduler(
     and the scheduled canonical urls (``seen/`` — the compact
     url-only table, the ``processed_urls`` pattern). Crash-replay
     safety, stated precisely: the schedule is EXACTLY-once per
-    (url, batch) — a replayed batch whose ``batch_id=`` partition
-    already exists skips recomputation (the seen state has moved
-    under it, so recomputing would produce a DIFFERENT, possibly
-    empty, batch) and only re-appends that partition's urls to
-    ``seen``; ``seen`` itself tolerates duplicates because its only
-    consumer is an anti-join. The existence probe is a filesystem
-    check — swap in the Hadoop FileSystem API for object stores.
+    (url, batch). The commit point is an atomic ``_COMMITTED`` marker
+    touched inside the ``batch_id=`` partition AFTER the schedule
+    write completes (a bare directory probe would mistake a
+    crash-mid-commit partial partition for a finished batch and
+    silently drop the batch's remaining urls). A replayed batch whose
+    marker exists skips recomputation (the seen state has moved under
+    it, so recomputing would produce a DIFFERENT, possibly empty,
+    batch) and only re-appends that partition's urls to ``seen``; a
+    partial partition WITHOUT the marker is scrubbed and recomputed —
+    safe because the ``seen`` append is sequenced after the marker, so
+    a crashed attempt never advanced the seen state. ``seen`` itself
+    tolerates duplicates because its only consumer is an anti-join.
+    The probe/scrub are filesystem calls — swap in the Hadoop
+    FileSystem API for object stores.
     Robots rules and host scores are batch dims (vocabulary-sized,
     re-read per batch at their current state — policy updates apply
     from the next batch on).
@@ -286,13 +293,23 @@ def stream_crawl_scheduler(
     seen_dir = os.path.join(out_dir, "seen")
 
     def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
         part = os.path.join(sched_dir, f"batch_id={batch_id}")
-        if os.path.isdir(part):
-            # replay after the schedule write landed: just make sure
-            # the seen append happened too (duplicates are harmless)
-            spark.read.parquet(part).select("url") \
-                .write.mode("append").parquet(seen_dir)
+        marker = os.path.join(part, "_COMMITTED")  # _-prefix: parquet-invisible
+        if os.path.exists(marker):
+            # replay after the schedule committed: just make sure the
+            # seen append happened too (duplicates are harmless);
+            # a committed-empty batch has the marker but no data files
+            if any(not f.startswith(("_", ".")) for f in os.listdir(part)):
+                spark.read.parquet(part).select("url") \
+                    .write.mode("append").parquet(seen_dir)
             return
+        if os.path.isdir(part):
+            # crash mid-commit left a partial partition: scrub it and
+            # recompute — seen was never advanced (append is sequenced
+            # after the marker), so the recomputed batch is complete
+            shutil.rmtree(part)
         try:
             seen = spark.read.parquet(seen_dir)
         except Exception:
@@ -303,6 +320,9 @@ def stream_crawl_scheduler(
         ).localCheckpoint(eager=True)  # freeze before the two writes
         batch.withColumn("batch_id", F.lit(batch_id).cast("long")) \
             .write.mode("append").partitionBy("batch_id").parquet(sched_dir)
+        os.makedirs(part, exist_ok=True)  # empty batch writes no partition dir
+        with open(marker, "a"):
+            pass  # the atomic commit point
         batch.select("url").write.mode("append").parquet(seen_dir)
 
     return (

@@ -81,9 +81,11 @@ def test_crawl_schedule_budget_and_agent(spark):
 
 
 def test_crawl_plan_broadcasts_vocabulary_dims(spark):
-    """The seen anti-join and the per-host budget join must broadcast
-    their vocabulary-sized sides — a shuffled anti-join against a
-    seen-set dim would move the whole candidate table."""
+    """The robots and per-host budget joins broadcast their genuinely
+    vocabulary-sized sides. The seen anti-join must NOT carry a forced
+    broadcast hint (seen is the unbounded crawl history — a hard-coded
+    broadcast would OOM at Common-Crawl scale); its physical strategy
+    is left entirely to Catalyst/AQE."""
     from metal_history_knowledge_graph_spark.operators.robots import (
         crawl_budgets,
         parse_crawl_delays,
@@ -102,11 +104,19 @@ def test_crawl_plan_broadcasts_vocabulary_dims(spark):
         candidates, _rules(spark), _scores(spark), seen=seen,
         per_host_budget=5, host_budgets=budgets,
     )
+    out.collect()  # finalize the adaptive plan before inspecting it
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # the anti-join against seen is a broadcast build, not a shuffle
-    assert any(
-        "BroadcastHashJoin" in ln and "LeftAnti, BuildRight" in ln
-        for ln in plan.splitlines()
-    ), plan
-    assert plan.count("BroadcastHashJoin") >= 2  # seen + budgets (+ robots)
+    # the genuinely bounded dims (robots verdicts, host budgets) are
+    # broadcast builds; the seen anti-join's strategy is whatever the
+    # optimizer picks for the current seen size (SMJ is the correct
+    # shape once the history outgrows the broadcast threshold)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "LeftAnti" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the seen side must NOT be pinned by a broadcast hint: the
+    # optimized logical plan carries hints only for the bounded dims,
+    # so at history scale AQE is free to shuffle the anti-join
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    assert not any(
+        "LeftAnti" in ln and "Hint" in ln for ln in logical.splitlines()
+    ), logical

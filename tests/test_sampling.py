@@ -241,6 +241,11 @@ def test_pps_rejects_negative_weights_and_small_totals(spark):
     bad = spark.createDataFrame([(1, 5), (2, -3)], "doc_id long, weight long")
     with pytest.raises(ValueError, match="negative"):
         pps_systematic_sample(bad, "weight", 10, "doc_id")
+    # NULL weights hit the same guard (NULL < 0 is NULL, so without an
+    # explicit isNull() check they'd slip past and be silently dropped)
+    bad_null = spark.createDataFrame([(1, 5), (2, None)], "doc_id long, weight long")
+    with pytest.raises(ValueError, match="null/negative"):
+        pps_systematic_sample(bad_null, "weight", 10, "doc_id")
     # n_target > total weight: step clamps to 1, every weight unit is a
     # selection point, so exactly `total` (< n_target) picks exist —
     # n_copies = w per row (the documented small-total semantics)

@@ -323,9 +323,31 @@ def test_stream_crawl_scheduler_never_reschedules(spark, tmp_path):
     # seen (what a replay does) is harmless to the anti-join consumer
     part0 = os.path.join(out, "schedule", "batch_id=0")
     assert os.path.isdir(part0)
+    # the commit point is the atomic _COMMITTED marker, not the dir
+    assert os.path.exists(os.path.join(part0, "_COMMITTED"))
     n_before = s2.count()
     seen_before = spark.read.parquet(os.path.join(out, "seen")).count()
     spark.read.parquet(part0).select("url").write.mode("append") \
         .parquet(os.path.join(out, "seen"))
     assert spark.read.parquet(os.path.join(out, "schedule")).count() == n_before
     assert spark.read.parquet(os.path.join(out, "seen")).count() > seen_before
+
+    # crash-mid-commit replay: a partial batch_id= partition WITHOUT
+    # the marker (the schedule write died before committing) must be
+    # scrubbed and recomputed, not mistaken for a finished batch —
+    # otherwise the batch's remaining urls silently vanish
+    stray_part = os.path.join(out, "schedule", "batch_id=2")
+    spark.createDataFrame(
+        [("http://a.example/STRAY", "a.example", 1, 1, 1)],
+        "url string, host string, depth int, priority_fixed long, fetch_slot long",
+    ).coalesce(1).write.mode("overwrite").parquet(stray_part)
+    assert not os.path.exists(os.path.join(stray_part, "_COMMITTED"))
+    spark.createDataFrame(
+        [("http://a.example/four",)], "url string"
+    ).write.mode("append").parquet(src)
+    run()
+    s3 = spark.read.parquet(os.path.join(out, "schedule"))
+    urls3 = {r.url for r in s3.collect()}
+    assert "http://a.example/STRAY" not in urls3  # partial scrubbed
+    assert "http://a.example/four" in urls3  # batch recomputed in full
+    assert os.path.exists(os.path.join(stray_part, "_COMMITTED"))

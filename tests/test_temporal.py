@@ -427,3 +427,10 @@ def test_pagerank_weighted_degenerates_and_shifts_mass(spark):
     bad = spark.createDataFrame([(0, 1, 0)], "subj_id long, obj_id long, weight long")
     with _pytest.raises(ValueError, match="non-positive"):
         pagerank_weighted(bad)
+    # NULL weights are corrupt input too — a bare w <= 0 filter would
+    # evaluate NULL <= 0 to NULL and let the edge silently vanish
+    bad_null = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, None)], "subj_id long, obj_id long, weight long"
+    )
+    with _pytest.raises(ValueError, match="null/non-positive"):
+        pagerank_weighted(bad_null)

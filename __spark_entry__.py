@@ -2033,6 +2033,25 @@ def q_prefix_join(spark, sf_dir):
     return prefix_filter_pairs(docs, threshold=0.5)
 
 
+def q_prefix_groups(spark, sf_dir):
+    """The O(docs) dedup DELIVERABLE on top of q_prefix_join's exact
+    pair evidence (operators/dedup.group_representatives, VERDICT r3
+    #8): pairs → connected components → (doc_id, rep_id = min id of
+    the transitive group, group_size, keep), singletons included so
+    the verdict is total over the corpus. Oracle replays the exact
+    all-pairs Jaccard decisions, closes them with a recursive CTE, and
+    fills singletons from the full documents table."""
+    from metal_history_knowledge_graph_spark.operators.dedup import (
+        group_representatives,
+        prefix_filter_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = prefix_filter_pairs(docs, threshold=0.5)
+    return group_representatives(pairs, docs=docs.select("doc_id")) \
+        .orderBy("doc_id")
+
+
 def q_host_graph(spark, sf_dir):
     """Hyperlink extraction → host-level link graph
     (operators/links.py — the webtext→graph bridge feeding pagerank /
@@ -3428,10 +3447,36 @@ def kg_orphans(spark, sf_dir):
     )
 
 
-# --- KG pipeline catalog (rows-only: not SQL-expressible) ---------------------
+_KG_EC_FORMS_PATH = "/tmp/kg_ec_forms.parquet"
+_KG_EC_PAIRS_PATH = "/tmp/kg_ec_pairs.parquet"
+
 
 def kg_entity_counts(spark, sf_dir):
+    """Per-type canonical entity count + mention mass, as a decision
+    oracle (upgraded from rows-only, VERDICT r3 #4): exports the folded
+    surface forms WITH their per-form mention counts plus the verified
+    LSH pairs; the DuckDB oracle closes the pair graph transitively
+    (the kg_canon_counts pattern) and must reproduce BOTH numbers —
+    n_entities from the closure's group count, n_mentions because the
+    per-group sum of form counts is invariant under the grouping
+    (merge_rules sums n_mentions across a group's forms)."""
+    from metal_history_knowledge_graph_spark.operators.canonicalize import (
+        candidate_pairs_lsh,
+        surface_forms,
+        verify_pairs,
+    )
+    from metal_history_knowledge_graph_spark.operators.extract import mentions_of
+
     store = _kg_store(spark, sf_dir)
+    mentions = mentions_of(store.read("extracted"))
+    forms = surface_forms(mentions).localCheckpoint(eager=True)
+    pairs = verify_pairs(candidate_pairs_lsh(forms))
+    forms.select("entity_type", "form_norm", "n_mentions").write.mode(
+        "overwrite"
+    ).parquet(_KG_EC_FORMS_PATH)
+    pairs.select(
+        "entity_type", F.col("left").alias("lhs"), F.col("right").alias("rhs")
+    ).write.mode("overwrite").parquet(_KG_EC_PAIRS_PATH)
     return (
         store.read("entities")
         .groupBy("entity_type")
@@ -3441,21 +3486,71 @@ def kg_entity_counts(spark, sf_dir):
     )
 
 
+_KG_TRIPLES_RELS_PATH = "/tmp/kg_triples_rels.parquet"
+_KG_TRIPLES_ENTS_PATH = "/tmp/kg_triples_ents.parquet"
+_KG_TRIPLES_RES_PATH = "/tmp/kg_triples_res.parquet"
+_KG_TRIPLES_PROV_PATH = "/tmp/kg_triples_prov.parquet"
+
+
 def kg_triples(spark, sf_dir):
+    """Full canonical edge list with names and exact n_sources, as a
+    decision oracle (upgraded from rows-only, VERDICT r3 #4): exports
+    the raw relationship candidates, canonical entities, the resolution
+    map WITH canonical names, and the committed (edge_key, url)
+    provenance pairs. The DuckDB oracle replays the whole of
+    operators/triples.py — inference, alias-normalization + whitelist,
+    resolution, post-resolution (pred, subj, obj) dedup — then attaches
+    names from the resolution map and recomputes each edge's exact
+    n_sources by re-deriving edge_key = md5(pred|subj_id|obj_id) over
+    the exported provenance pairs (operators/triples.py build_triples'
+    edge_key + finalize_edges' pooled counts)."""
+    from metal_history_knowledge_graph_spark.operators.extract import (
+        relationships_of,
+    )
+
     store = _kg_store(spark, sf_dir)
+    relationships_of(store.read("extracted")).select(
+        "rel_type", "from_entity_type", "from_entity_name",
+        "to_entity_type", "to_entity_name",
+    ).write.mode("overwrite").parquet(_KG_TRIPLES_RELS_PATH)
+    store.read("entities").select(
+        "entity_type", "canonical_name", "attrs_json"
+    ).write.mode("overwrite").parquet(_KG_TRIPLES_ENTS_PATH)
+    store.read("resolution").select(
+        "entity_type", "form_norm", "canonical_id", "canonical_name"
+    ).write.mode("overwrite").parquet(_KG_TRIPLES_RES_PATH)
+    store.read("edge_provenance").select("edge_key", "url").write.mode(
+        "overwrite"
+    ).parquet(_KG_TRIPLES_PROV_PATH)
     return store.read("edges").select(
         "pred", "subj_type", "subj_name", "obj_type", "obj_name", "n_sources"
-    ).orderBy("pred", "subj_name", "obj_name")
+    ).orderBy("pred", "subj_name", "obj_name", "subj_type", "obj_type",
+              "n_sources")
+
+
+_KG_BHAM_EDGES_PATH = "/tmp/kg_bham_edges.parquet"
+_KG_BHAM_LOCS_PATH = "/tmp/kg_bham_locs.parquet"
 
 
 def kg_birmingham(spark, sf_dir):
+    """The reference's flagship lookup (bands formed in Birmingham),
+    as a decision oracle (upgraded from rows-only, VERDICT r3 #4):
+    exports the FORMED_IN edge endpoints and the location dim; the
+    DuckDB oracle replays the broadcast join + city filter."""
     store = _kg_store(spark, sf_dir)
     ents = store.read("entities")
+    edges = store.read("edges")
+    edges.filter(F.col("pred") == "FORMED_IN").select(
+        "subj_name", "obj_id", "n_sources"
+    ).write.mode("overwrite").parquet(_KG_BHAM_EDGES_PATH)
+    ents.filter(F.col("entity_type") == "locations").select(
+        "canonical_id", "canonical_name"
+    ).write.mode("overwrite").parquet(_KG_BHAM_LOCS_PATH)
     locations = ents.filter(F.col("entity_type") == "locations").select(
         F.col("canonical_id").alias("obj_id"), F.col("canonical_name").alias("city")
     )
     return (
-        store.read("edges").filter(F.col("pred") == "FORMED_IN")
+        edges.filter(F.col("pred") == "FORMED_IN")
         .join(F.broadcast(locations), "obj_id")
         .filter(F.col("city") == "Birmingham")
         .select(F.col("subj_name").alias("band"), "city", "n_sources")
@@ -3647,12 +3742,24 @@ def td_lsh_topk(spark, sf_dir):
     )
 
 
+_KG_COMP_EDGES_PATH = "/tmp/kg_comp_edges.parquet"
+
+
 def kg_components(spark, sf_dir):
-    """Connected components of the entity graph (rows-only)."""
+    """Connected components of the REAL entity graph, as a decision
+    oracle (upgraded from rows-only, VERDICT r3 #4): exports the edge
+    endpoint pairs; the DuckDB oracle independently closes the
+    undirected graph transitively (recursive CTE, min-label = the
+    union-find root convention of graph_algos.graph_components) and
+    must reproduce every (component_id, n_nodes) row."""
     from metal_history_knowledge_graph_spark.operators.graph_algos import component_sizes
 
     store = _kg_store(spark, sf_dir)
-    return component_sizes(store.read("edges"))
+    edges = store.read("edges")
+    edges.select("subj_id", "obj_id").write.mode("overwrite").parquet(
+        _KG_COMP_EDGES_PATH
+    )
+    return component_sizes(edges)
 
 
 def kg_betweenness(spark, sf_dir):
@@ -3898,6 +4005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nfc_normalize": q_nfc_normalize,
         "q_lm_score": q_lm_score,
         "q_prefix_join": q_prefix_join,
+        "q_prefix_groups": q_prefix_groups,
         "q_kcore": q_kcore,
         "td_pq_topk": td_pq_topk,
         "td_ivfpq_topk": td_ivfpq_topk,
@@ -4630,6 +4738,150 @@ def oracle_sql() -> dict[str, str]:
             FROM ents e
             WHERE NOT EXISTS (SELECT 1 FROM eids WHERE eids.id = e.canonical_id)
             GROUP BY entity_type ORDER BY entity_type
+        """,
+        # kg_canon_counts' transitive-closure replay, extended with the
+        # mention mass: Σ n_mentions per type is invariant under the
+        # grouping (merge_rules sums the group's form counts), so the
+        # closure must reproduce both columns.
+        "kg_entity_counts": f"""
+            WITH RECURSIVE forms AS (
+                SELECT entity_type, form_norm, n_mentions
+                FROM '{_KG_EC_FORMS_PATH}/*.parquet'
+            ), pairs AS (
+                SELECT entity_type, lhs, rhs
+                FROM '{_KG_EC_PAIRS_PATH}/*.parquet'
+            ), sym AS (
+                SELECT entity_type, lhs AS a, rhs AS b FROM pairs
+                UNION
+                SELECT entity_type, rhs AS a, lhs AS b FROM pairs
+            ), reach AS (
+                SELECT entity_type, a AS src, a AS node FROM sym
+                UNION
+                SELECT r.entity_type, r.src, s.b AS node
+                FROM reach r JOIN sym s
+                  ON r.entity_type = s.entity_type AND r.node = s.a
+            ), labels AS (
+                SELECT entity_type, src AS form_norm, min(node) AS label
+                FROM reach GROUP BY entity_type, src
+            ), all_labels AS (
+                SELECT f.entity_type, f.form_norm, f.n_mentions,
+                       coalesce(l.label, f.form_norm) AS label
+                FROM forms f LEFT JOIN labels l
+                  USING (entity_type, form_norm)
+            )
+            SELECT entity_type,
+                   CAST(count(DISTINCT label) AS BIGINT) AS n_entities,
+                   CAST(sum(n_mentions) AS BIGINT) AS n_mentions
+            FROM all_labels GROUP BY entity_type ORDER BY entity_type
+        """,
+        # kg_edge_replay's full triples.py replay, extended to the edge
+        # LIST with names + exact n_sources: resolution carries the
+        # canonical names, and n_sources re-derives the engine's
+        # edge_key = md5(pred|subj_id|obj_id) over the exported
+        # committed provenance pairs.
+        "kg_triples": f"""
+            WITH rels AS (
+                SELECT * FROM '{_KG_TRIPLES_RELS_PATH}/*.parquet'
+            ), ents AS (
+                SELECT * FROM '{_KG_TRIPLES_ENTS_PATH}/*.parquet'
+            ), res AS (
+                SELECT * FROM '{_KG_TRIPLES_RES_PATH}/*.parquet'
+            ), member_of AS (
+                SELECT 'MEMBER_OF' AS rel_type,
+                       'person' AS from_entity_type,
+                       canonical_name AS from_entity_name,
+                       'band' AS to_entity_type,
+                       unnest(CAST(attrs_json->'$.associated_bands'
+                                   AS VARCHAR[])) AS to_entity_name
+                FROM ents WHERE entity_type = 'people'
+            ), released AS (
+                SELECT 'RELEASED', 'band',
+                       json_extract_string(attrs_json, '$.artist'),
+                       'album', canonical_name
+                FROM ents WHERE entity_type = 'albums'
+                  AND json_extract_string(attrs_json, '$.artist') IS NOT NULL
+            ), contains_track AS (
+                SELECT 'CONTAINS_TRACK', 'album',
+                       json_extract_string(attrs_json, '$.album'),
+                       'song', canonical_name
+                FROM ents WHERE entity_type = 'songs'
+                  AND json_extract_string(attrs_json, '$.album') IS NOT NULL
+            ), cand AS (
+                SELECT rel_type, from_entity_type, from_entity_name,
+                       to_entity_type, to_entity_name FROM rels
+                UNION ALL SELECT * FROM member_of
+                UNION ALL SELECT * FROM released
+                UNION ALL SELECT * FROM contains_track
+            ), norm AS (
+                SELECT * FROM (
+                    SELECT {_alias_case} AS pred,
+                           {_plural_case('from_entity_type')} AS subj_etype,
+                           lower(trim(from_entity_name)) AS subj_norm,
+                           {_plural_case('to_entity_type')} AS obj_etype,
+                           lower(trim(to_entity_name)) AS obj_norm
+                    FROM cand
+                ) WHERE pred IN ({_whitelist})
+            ), resolved AS (
+                SELECT DISTINCT n.pred,
+                       rs.canonical_id AS subj_id,
+                       n.subj_etype AS subj_type,
+                       rs.canonical_name AS subj_name,
+                       ro.canonical_id AS obj_id,
+                       n.obj_etype AS obj_type,
+                       ro.canonical_name AS obj_name
+                FROM norm n
+                JOIN res rs ON rs.entity_type = n.subj_etype
+                           AND rs.form_norm = n.subj_norm
+                JOIN res ro ON ro.entity_type = n.obj_etype
+                           AND ro.form_norm = n.obj_norm
+            ), prov AS (
+                SELECT edge_key, count(DISTINCT url) AS n_sources
+                FROM '{_KG_TRIPLES_PROV_PATH}/*.parquet'
+                GROUP BY edge_key
+            )
+            SELECT r.pred, r.subj_type, r.subj_name, r.obj_type, r.obj_name,
+                   CAST(coalesce(p.n_sources, 0) AS INTEGER) AS n_sources
+            FROM resolved r
+            LEFT JOIN prov p
+              ON p.edge_key = md5(r.pred || '|'
+                                  || CAST(r.subj_id AS VARCHAR) || '|'
+                                  || CAST(r.obj_id AS VARCHAR))
+            ORDER BY pred, subj_name, obj_name, subj_type, obj_type,
+                     n_sources
+        """,
+        # Undirected transitive closure over the exported entity-edge
+        # endpoints; min reachable node = graph_components' union-find
+        # root convention.
+        "kg_components": f"""
+            WITH RECURSIVE e AS (
+                SELECT subj_id AS a, obj_id AS b
+                FROM '{_KG_COMP_EDGES_PATH}/*.parquet'
+                WHERE subj_id <> obj_id
+            ), sym AS (
+                SELECT a, b FROM e UNION SELECT b, a FROM e
+            ), reach AS (
+                SELECT a AS src, a AS node FROM sym
+                UNION
+                SELECT r.src, s.b AS node
+                FROM reach r JOIN sym s ON r.node = s.a
+            ), labels AS (
+                SELECT src AS node_id, min(node) AS component_id
+                FROM reach GROUP BY src
+            )
+            SELECT component_id, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM labels GROUP BY component_id
+            ORDER BY n_nodes DESC, component_id
+        """,
+        # Broadcast-join + city-filter replay over the exported
+        # FORMED_IN endpoints and location dim.
+        "kg_birmingham": f"""
+            SELECT e.subj_name AS band, l.canonical_name AS city,
+                   e.n_sources
+            FROM '{_KG_BHAM_EDGES_PATH}/*.parquet' e
+            JOIN '{_KG_BHAM_LOCS_PATH}/*.parquet' l
+              ON e.obj_id = l.canonical_id
+            WHERE l.canonical_name = 'Birmingham'
+            ORDER BY band
         """,
         "q_shard_stats": """
             SELECT CAST(('0x' || substr(md5('shard:2|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
@@ -5576,6 +5828,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE length(list_intersect(a.words, b.words))::DOUBLE
                   / (length(a.words) + length(b.words)
                      - length(list_intersect(a.words, b.words))) >= 0.5
+        """,
+        # same exact pair decisions as q_prefix_join, closed
+        # transitively (recursive CTE) + singleton fill from the full
+        # documents table — the O(docs) decision-table replay
+        "q_prefix_groups": f"""
+            WITH RECURSIVE d AS (
+                SELECT doc_id, list_distinct({toks}) AS words
+                FROM documents
+                WHERE {toks} IS NOT NULL AND length({toks}) > 0
+            ), pairs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM d a JOIN d b ON a.doc_id < b.doc_id
+                WHERE length(list_intersect(a.words, b.words))::DOUBLE
+                      / (length(a.words) + length(b.words)
+                         - length(list_intersect(a.words, b.words))) >= 0.5
+            ), sym AS (
+                SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+            ), reach AS (
+                SELECT a AS src, a AS node FROM sym
+                UNION
+                SELECT r.src, s.b AS node
+                FROM reach r JOIN sym s ON r.node = s.a
+            ), labels AS (
+                SELECT src AS doc_id, min(node) AS rep_id
+                FROM reach GROUP BY src
+            ), all_docs AS (
+                SELECT dd.doc_id, coalesce(l.rep_id, dd.doc_id) AS rep_id
+                FROM documents dd LEFT JOIN labels l USING (doc_id)
+            ), sizes AS (
+                SELECT rep_id, CAST(count(*) AS BIGINT) AS group_size
+                FROM all_docs GROUP BY rep_id
+            )
+            SELECT a.doc_id, a.rep_id, s.group_size,
+                   a.doc_id = a.rep_id AS keep
+            FROM all_docs a JOIN sizes s USING (rep_id)
+            ORDER BY doc_id
         """,
         # host graph: same synthesized HTML, shared HREF_PATTERN,
         # same resolution/normalization chain replayed in RE2

@@ -669,3 +669,59 @@ def dedup_keep_best(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "fingerprint")
     )
+
+
+def group_representatives(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """O(docs) dedup DECISION TABLE from an O(pairs) similarity edge
+    list: ``(doc_id, rep_id, group_size, keep)``. Any pair generator
+    in this module (``prefix_filter_pairs``, ``minhash_lsh_pairs``,
+    ``simhash_pairs``, ``ngram_jaccard_pairs``) emits the evidence;
+    this wrapper turns it into the deliverable a dedup pass actually
+    ships — at web scale a near-dup-dense corpus yields ~O(n·k) pairs
+    (8.93M on the sf0.1 bench corpus) but only O(n) keep/drop rows.
+
+    Semantics: groups are the CONNECTED COMPONENTS of the pair graph
+    (A~B, B~C groups all three even when A,C were never compared —
+    exactly the q_dup_groups closure), ``rep_id`` is the group's min
+    doc id (the union-by-min root convention), ``keep`` marks the one
+    representative per group. Pass ``docs`` (any DataFrame carrying
+    ``id_col``) to also emit singletons — docs with no near-dup edge —
+    as kept groups of size 1, making the output a TOTAL decision over
+    the corpus instead of a verdict only on paired docs.
+
+    Scale shape: components via :func:`graph_algos.graph_components`
+    (driver union-find while the pair graph is vocabulary-sized,
+    distributed min-label propagation beyond); the singleton fill is
+    one left-anti join; sizes are one partial-agg groupBy on group
+    keys joined back node-keyed. No step is pair-quadratic.
+    """
+    from .graph_algos import graph_components
+
+    comp = graph_components(
+        pairs.select(F.col(a_col).alias("subj_id"), F.col(b_col).alias("obj_id"))
+    )
+    grouped = comp.select(
+        F.col("node_id").alias(id_col), F.col("component_id").alias("rep_id")
+    )
+    if docs is not None:
+        singles = (
+            docs.select(id_col).distinct()
+            .join(grouped.select(id_col), id_col, "left_anti")
+            .select(F.col(id_col), F.col(id_col).cast("long").alias("rep_id"))
+        )
+        grouped = grouped.unionByName(singles)
+    sizes = grouped.groupBy("rep_id").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return grouped.join(sizes, "rep_id").select(
+        id_col,
+        "rep_id",
+        "group_size",
+        (F.col(id_col) == F.col("rep_id")).alias("keep"),
+    )

@@ -79,3 +79,36 @@ def test_no_cartesian_in_plan(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_group_representatives_transitive_and_total(spark):
+    """pairs → O(docs) decision table: transitive closure groups A~B~C
+    even when A,C were never emitted as a pair; rep = min id; keep
+    marks exactly one doc per group; singletons from ``docs`` appear
+    as kept groups of size 1."""
+    from metal_history_knowledge_graph_spark.operators.dedup import (
+        group_representatives,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 42)], "doc_id long"
+    )
+    rows = {r.doc_id: r for r in group_representatives(pairs, docs=docs).collect()}
+    assert set(rows) == {1, 2, 3, 10, 11, 42}
+    # transitive group 1-2-3: rep 1, size 3, only 1 kept
+    assert all(rows[d].rep_id == 1 and rows[d].group_size == 3 for d in (1, 2, 3))
+    assert [rows[d].keep for d in (1, 2, 3)] == [True, False, False]
+    # pair group 10-11
+    assert rows[10].rep_id == 10 and rows[11].rep_id == 10
+    assert rows[10].group_size == 2 and rows[10].keep and not rows[11].keep
+    # singleton 42: its own kept group of size 1
+    assert rows[42].rep_id == 42 and rows[42].group_size == 1 and rows[42].keep
+    # without docs, the verdict covers only paired ids
+    paired = group_representatives(pairs).collect()
+    assert {r.doc_id for r in paired} == {1, 2, 3, 10, 11}
+    # exactly one keeper per group, always
+    keeps = [r for r in paired if r.keep]
+    assert sorted(r.doc_id for r in keeps) == [1, 10]

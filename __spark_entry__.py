@@ -3904,15 +3904,91 @@ def kg_quality(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's CORRECTNESS gate
     verifies the first 50 entries, so every one of those carries an
-    exact DuckDB oracle — the 13 oracle-backed queries the r2 window
-    missed (VERDICT r2 next-step #1) lead, followed by td_ivf_topk's
-    new decision oracle (#2). The 13 oracle-backed entries displaced
-    past the window (q_point_lookup … q_latest_event) hold green
-    driver rows in CORRECTNESS_r02 and stay pinned every run by
-    tests/test_oracle_parity.py, which checks ALL oracle pairs
-    regardless of position. Rows-only kg_* entries sit at the tail."""
+    exact DuckDB oracle. Round-4 rotation (VERDICT r3 next-step #1):
+    the window now holds exactly the 50 oracle-backed queries the
+    driver has never hashed — the round-3 operator families (spans,
+    bm25/rrf, sketches, bpe, warc, robots, zorder, pq/ivfpq, links,
+    frontier, crawl plan, …). The 50 displaced entries hold green
+    driver rows in CORRECTNESS_r03 (and the 14 relational ones in
+    CORRECTNESS_r02 too); every displaced pair stays pinned each run
+    by tests/test_oracle_parity.py, which checks ALL oracle pairs
+    regardless of position. Immediately after the window sit the five
+    oracles NEW this round (kg_entity_counts, kg_triples,
+    kg_components, kg_birmingham, q_prefix_groups — parity-green at
+    sf0.001 and sf0.01, candidates for the round-5 rotation), then the
+    remaining oracle-backed catalog, then the rows-only kg_* tail."""
     return {
-        # — the 13 oracle-backed queries promoted into the driver window —
+        # ---- driver window: the 50 never-driver-hashed oracles ----
+        "q_webtext_prep": q_webtext_prep,
+        "q_prefix_join": q_prefix_join,
+        "q_containment": q_containment,
+        "q_kcore": q_kcore,
+        "td_pq_topk": td_pq_topk,
+        "td_ivfpq_topk": td_ivfpq_topk,
+        "q_hll_cardinality": q_hll_cardinality,
+        "q_warc_roundtrip": q_warc_roundtrip,
+        "q_bpe_pairs": q_bpe_pairs,
+        "q_robots_filter": q_robots_filter,
+        "q_crawl_delay": q_crawl_delay,
+        "q_zorder": q_zorder,
+        "q_components_inc": q_components_inc,
+        "q_host_graph": q_host_graph,
+        "q_hits": q_hits,
+        "q_anchor_text": q_anchor_text,
+        "q_frontier": q_frontier,
+        "q_pps_sample": q_pps_sample,
+        "q_phrase_match": q_phrase_match,
+        "q_harmonic": q_harmonic,
+        "q_crawl_plan": q_crawl_plan,
+        "q_markup_stats": q_markup_stats,
+        "q_link_features": q_link_features,
+        "q_link_pred": q_link_pred,
+        "q_recrawl": q_recrawl,
+        "q_ppr": q_ppr,
+        "q_token_budget": q_token_budget,
+        "q_pagerank_weighted": q_pagerank_weighted,
+        "q_dedup_keep_best": q_dedup_keep_best,
+        "q_dup_spans": q_dup_spans,
+        "q_boilerplate": q_boilerplate,
+        "q_span_scrub": q_span_scrub,
+        "q_bm25_topk": q_bm25_topk,
+        "q_rrf_fusion": q_rrf_fusion,
+        "q_bloom_probe": q_bloom_probe,
+        "q_cms_estimate": q_cms_estimate,
+        "q_vocab_coverage": q_vocab_coverage,
+        "td_minhash_probe": td_minhash_probe,
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_cap_per_group": q_cap_per_group,
+        "q_within_doc_dedup": q_within_doc_dedup,
+        "q_nfc_normalize": q_nfc_normalize,
+        "q_lm_score": q_lm_score,
+        "q_neardup_bands": q_neardup_bands,
+        "td_lsh_topk": td_lsh_topk,
+        "q_click_attribution": q_click_attribution,
+        "q_latest_event": q_latest_event,
+        "q_word_freq": q_word_freq,
+        "q_ivf_fullprobe": q_ivf_fullprobe,
+        "q_triangles": q_triangles,
+        # ---- end of the driver's 50-row window (50 entries above) ----
+        # oracles NEW this round — parity-green both scales, never yet
+        # in a driver window: first in line for the round-5 rotation
+        "kg_entity_counts": kg_entity_counts,
+        "kg_triples": kg_triples,
+        "kg_components": kg_components,
+        "kg_birmingham": kg_birmingham,
+        "q_prefix_groups": q_prefix_groups,
+        # oracle-backed, green driver rows in CORRECTNESS_r02
+        "q_point_lookup": q_point_lookup,
+        "q_anti_join": q_anti_join,
+        "q_window_rank": q_window_rank,
+        "q_degree": q_degree,
+        "q_hourly_events": q_hourly_events,
+        "q_mix_sources": q_mix_sources,
+        "q_shard_stats": q_shard_stats,
+        "q_path_enum": q_path_enum,
+        "q_path_stats": q_path_stats,
+        "q_collect_list": q_collect_list,
+        # oracle-backed, green driver rows in CORRECTNESS_r03
         "kg_canon_counts": kg_canon_counts,
         "kg_edge_replay": kg_edge_replay,
         "kg_orphans": kg_orphans,
@@ -3926,9 +4002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_stats": q_source_stats,
         "td_minhash_pairs": td_minhash_pairs,
         "td_simhash_pairs": td_simhash_pairs,
-        # — newly-oracled this round —
         "td_ivf_topk": td_ivf_topk,
-        # relational / analytic operator classes (SURVEY §2.8)
         "q_pricing_summary": q_pricing_summary,
         "q_filter_sort_paginate": q_filter_sort_paginate,
         "q_join_topn": q_join_topn,
@@ -3938,7 +4012,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_substring_rank": q_substring_rank,
         "q_multihop_join": q_multihop_join,
         "q_percentiles": q_percentiles,
-        # training-data operators
         "q_token_counts": q_token_counts,
         "q_quality_scores": q_quality_scores,
         "q_lang_id": q_lang_id,
@@ -3957,92 +4030,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_training_export": q_training_export,
         "q_hybrid_rank": q_hybrid_rank,
         "q_media_features": q_media_features,
-        # graph algorithms over derived edges (oracle-checked)
         "q_components": q_components,
         "q_bfs_hops": q_bfs_hops,
         "q_mutual_edges": q_mutual_edges,
         "q_betweenness": q_betweenness,
         "q_clustering": q_clustering,
         "q_pagerank": q_pagerank,
-        # temporal / event-log operators
         "q_sessionize": q_sessionize,
         "q_asof_join": q_asof_join,
-        # retrieval-quality metrics (new this round, end-to-end oracle)
         "q_search_quality": q_search_quality,
-        # ---- end of the driver's 50-row window (50 entries above) ----
-        # oracle-backed (green driver rows in CORRECTNESS_r02; pinned
-        # by the parity suite each run)
-        "q_point_lookup": q_point_lookup,
-        "q_anti_join": q_anti_join,
-        "q_window_rank": q_window_rank,
-        "q_degree": q_degree,
-        "q_hourly_events": q_hourly_events,
-        "q_mix_sources": q_mix_sources,
-        "q_shard_stats": q_shard_stats,
-        "q_ivf_fullprobe": q_ivf_fullprobe,
-        "q_triangles": q_triangles,
-        "q_path_enum": q_path_enum,
-        "q_path_stats": q_path_stats,
-        "q_collect_list": q_collect_list,
-        "q_word_freq": q_word_freq,
-        "q_latest_event": q_latest_event,
-        # oracle-backed, new this round (parity-pinned)
-        "q_neardup_bands": q_neardup_bands,
-        "td_lsh_topk": td_lsh_topk,
-        "q_dup_spans": q_dup_spans,
-        "q_boilerplate": q_boilerplate,
-        "q_span_scrub": q_span_scrub,
-        "q_bm25_topk": q_bm25_topk,
-        "q_rrf_fusion": q_rrf_fusion,
-        "q_bloom_probe": q_bloom_probe,
-        "q_cms_estimate": q_cms_estimate,
-        "q_webtext_prep": q_webtext_prep,
-        "q_vocab_coverage": q_vocab_coverage,
-        "td_minhash_probe": td_minhash_probe,
-        "q_snapshot_diff": q_snapshot_diff,
-        "q_cap_per_group": q_cap_per_group,
-        "q_within_doc_dedup": q_within_doc_dedup,
-        "q_nfc_normalize": q_nfc_normalize,
-        "q_lm_score": q_lm_score,
-        "q_prefix_join": q_prefix_join,
-        "q_prefix_groups": q_prefix_groups,
-        "q_kcore": q_kcore,
-        "td_pq_topk": td_pq_topk,
-        "td_ivfpq_topk": td_ivfpq_topk,
-        "q_hll_cardinality": q_hll_cardinality,
-        "q_warc_roundtrip": q_warc_roundtrip,
-        "q_bpe_pairs": q_bpe_pairs,
-        "q_click_attribution": q_click_attribution,
-        "q_robots_filter": q_robots_filter,
-        "q_zorder": q_zorder,
-        "q_components_inc": q_components_inc,
-        "q_containment": q_containment,
-        "q_host_graph": q_host_graph,
-        "q_hits": q_hits,
-        "q_anchor_text": q_anchor_text,
-        "q_frontier": q_frontier,
-        "q_pps_sample": q_pps_sample,
-        "q_phrase_match": q_phrase_match,
-        "q_harmonic": q_harmonic,
-        "q_crawl_plan": q_crawl_plan,
-        "q_markup_stats": q_markup_stats,
-        "q_link_features": q_link_features,
-        "q_link_pred": q_link_pred,
-        "q_crawl_delay": q_crawl_delay,
-        "q_recrawl": q_recrawl,
-        "q_ppr": q_ppr,
-        "q_token_budget": q_token_budget,
-        "q_pagerank_weighted": q_pagerank_weighted,
-        "q_dedup_keep_best": q_dedup_keep_best,
         # KG pipeline (non-SQL-expressible → rows-only check)
-        "kg_entity_counts": kg_entity_counts,
-        "kg_triples": kg_triples,
-        "kg_birmingham": kg_birmingham,
         "kg_album_tracks": kg_album_tracks,
         "kg_cooccurrence": kg_cooccurrence,
         "kg_dedup_variants": kg_dedup_variants,
         "kg_chunk_stats": kg_chunk_stats,
-        "kg_components": kg_components,
         "kg_betweenness": kg_betweenness,
         "kg_pagerank": kg_pagerank,
         "kg_path_analysis": kg_path_analysis,

@@ -234,15 +234,24 @@ def default_bench() -> dict:
                 out["scaling"] = json.load(f)
         except (OSError, json.JSONDecodeError):
             pass
-    # Second north-rule datapoint: the round-3 span-dedup family
-    # (scripts/bench_spans_scaling.py writes SPANS_SCALING.json).
-    spans_path = os.path.join(REPO, "SPANS_SCALING.json")
-    if os.path.isfile(spans_path):
-        try:
-            with open(spans_path) as f:
-                out["spans_scaling"] = json.load(f)
-        except (OSError, json.JSONDecodeError):
-            pass
+    # Further recorded datapoints, each written once by its script:
+    # SPANS_SCALING.json (bench_spans_scaling.py — second north-rule
+    # point), FRONTIER_SCALING.json (bench_frontier_skew.py — the
+    # hot-host politeness cut under 90%-one-host skew), and
+    # STREAM_CRAWL_RECORDED.json (bench_stream_crawl.py — 3-batch
+    # streaming scheduler walls + seen growth).
+    for key, fname in (
+        ("spans_scaling", "SPANS_SCALING.json"),
+        ("frontier_scaling", "FRONTIER_SCALING.json"),
+        ("stream_crawl", "STREAM_CRAWL_RECORDED.json"),
+    ):
+        p = os.path.join(REPO, fname)
+        if os.path.isfile(p):
+            try:
+                with open(p) as f:
+                    out[key] = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                pass
     return out
 
 

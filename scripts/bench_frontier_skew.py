@@ -1,0 +1,152 @@
+#!/usr/bin/env python3
+"""Hot-host politeness-cut scaling bench (VERDICT r3 #5): the
+two-phase exact per-host top-k (operators/frontier.schedule_batch) is
+proven lossless in tests; this measures it under REAL skew — 10⁷
+candidate URLs with 90% on ONE host — at two parallelism levels
+(north-rule methodology: same job, same input, N vs 4N cores, fresh
+JVM per level, repeats+min; see BENCH.md for the steal caveat and why
+3-vs-12 is the faithful analogue on this 32-core box).
+
+A naive single-window cut would drag the 9M hot-host rows through one
+reducer and scale at ~0; the two-phase cut's phase 1 partitions by
+(host, input-partition-id) so the hot host spreads over every core —
+the scaling efficiency documents exactly that.
+
+Usage: python scripts/bench_frontier_skew.py [--n 10000000]
+       [--low 3 --high 12 --repeats 2] [--budget 10]
+Prints one JSON line and writes FRONTIER_SCALING.json (embedded by
+bench.py under ``frontier_scaling``).
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_COLD_HOSTS = 9973  # prime: spreads the cold 10% evenly
+
+WORKER = r"""
+import json, sys, time
+cpus = int(sys.argv[1]); budget = int(sys.argv[2])
+corpus_path = sys.argv[3]
+sys.path.insert(0, %(repo)r)
+from metal_history_knowledge_graph_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(app_name=f"frontier-skew-{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=cpus,
+                  extra_confs={"spark.driver.memory": f"{max(8, 2 * cpus)}g"})
+spark.sparkContext.setLogLevel("ERROR")
+from metal_history_knowledge_graph_spark.operators.frontier import (
+    frontier_priorities, schedule_batch,
+)
+cand = spark.read.parquet(corpus_path)
+cand.count()  # warm the scan
+scores = spark.range(%(n_cold)d + 1).select(
+    F.when(F.col("id") == 0, F.lit("hot.example"))
+     .otherwise(F.concat(F.lit("h"), F.col("id").cast("string"),
+                         F.lit(".example"))).alias("host"),
+    (F.pmod(F.xxhash64("id"), 1000000) + 1).cast("long").alias("rank_fixed"),
+)
+
+def j0():
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+
+a = j0()
+t0 = time.time()
+out = schedule_batch(frontier_priorities(cand, scores), per_host_budget=budget)
+n = out.count()
+wall = time.time() - t0
+b = j0()
+d = [y - x for x, y in zip(a, b)]
+steal = round(100.0 * d[7] / (sum(d) or 1), 2)
+print(json.dumps({"cpus": cpus, "rows": n, "wall": round(wall, 3),
+                  "steal_pct": steal}))
+spark.stop()
+"""
+
+
+def gen_corpus(path: str, n: int) -> None:
+    """10⁷ candidate URLs, 90% on hot.example, written as 96 even
+    files (BENCH.md: even splits → integral task waves at 3/12)."""
+    from pyspark.sql import functions as F
+
+    from metal_history_knowledge_graph_spark.session import get_spark
+
+    spark = get_spark(app_name="frontier-skew-gen", master="local[8]",
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    host = (
+        F.when(F.pmod(F.col("id"), 10) < 9, F.lit("hot.example"))
+        .otherwise(F.concat(
+            F.lit("h"),
+            (F.pmod(F.xxhash64("id"), N_COLD_HOSTS) + 1).cast("string"),
+            F.lit(".example"),
+        ))
+    )
+    depth_path = F.substring(
+        F.lit("d/d/d/"), F.lit(1), (F.pmod(F.col("id"), 4) * 2).cast("int")
+    )
+    df = spark.range(n).select(
+        F.concat(F.lit("http://"), host, F.lit("/"), depth_path,
+                 F.col("id").cast("string")).alias("url")
+    ).repartition(96)
+    df.write.mode("overwrite").parquet(path)
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10_000_000)
+    ap.add_argument("--low", type=int, default=3)
+    ap.add_argument("--high", type=int, default=12)
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--budget", type=int, default=10)
+    args = ap.parse_args()
+
+    corpus = f"/tmp/frontier_skew_{args.n}"
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        gen_corpus(corpus, args.n)
+
+    worker_src = WORKER % {"repo": REPO, "n_cold": N_COLD_HOSTS}
+    runs: dict[int, list[dict]] = {args.low: [], args.high: []}
+    for _ in range(args.repeats):
+        for cpus in (args.low, args.high):
+            out = subprocess.run(
+                [sys.executable, "-c", worker_src, str(cpus),
+                 str(args.budget), corpus],
+                capture_output=True, text=True, check=True,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            runs[cpus].append(json.loads(line))
+
+    best = {c: min(rs, key=lambda r: r["wall"]) for c, rs in runs.items()}
+    lo, hi = best[args.low]["wall"], best[args.high]["wall"]
+    speedup = lo / hi
+    eff = speedup / (args.high / args.low)
+    result = {
+        "metric": "frontier_hot_host_scaling_efficiency",
+        "value": round(eff, 4), "unit": "ratio",
+        "queries": {
+            f"wall_local{args.low}": lo, f"wall_local{args.high}": hi,
+            "speedup": round(speedup, 3),
+            f"urls_per_sec_local{args.low}": round(args.n / lo, 0),
+            f"urls_per_sec_local{args.high}": round(args.n / hi, 0),
+        },
+        "candidates": args.n,
+        "hot_share_pct": 90,
+        "scheduled_rows": best[args.high]["rows"],
+        "runs": {str(c): [{"wall": r["wall"], "steal_pct": r["steal_pct"]}
+                          for r in rs] for c, rs in runs.items()},
+    }
+    with open(os.path.join(REPO, "FRONTIER_SCALING.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

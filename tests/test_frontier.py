@@ -92,6 +92,37 @@ def test_frontier_plan_is_jvm_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_schedule_two_phase_plan_order(spark):
+    """Skew-safety plan gate (VERDICT r3 #5): the politeness cut's
+    phase-1 exchange is keyed by (host, _pid) — a hot host's
+    candidates spread over ALL reducers — and the host-only exchange
+    happens AFTER phase 1's budget filter, i.e. over at most
+    budget·n_partitions survivors per host, never the raw candidate
+    stream."""
+    # priorities arrive in ARBITRARY partitioning (round-robin models
+    # a crawl stream; an input already partitioned by host would let
+    # both windows reuse that layout and hide the exchange order)
+    prio = spark.createDataFrame(
+        [(f"http://hot.example/{i}", "hot.example", 1, 100 - i)
+         for i in range(200)],
+        "url string, host string, depth int, priority_fixed long",
+    ).repartition(8)
+    out = schedule_batch(prio, per_host_budget=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    # bottom-up tree print: the LAST host exchange is the deepest one
+    ex = [i for i, ln in enumerate(lines)
+          if "Exchange hashpartitioning" in ln and "host" in ln]
+    assert len(ex) >= 2, plan
+    phase2_i, phase1_i = ex[0], ex[-1]
+    assert "_pid" in lines[phase1_i], lines[phase1_i]   # spread by input pid
+    assert "_pid" not in lines[phase2_i], lines[phase2_i]  # host-only, phase 2
+    # phase 2's host-only exchange consumes the phase-1-filtered
+    # survivors: the budget filter/rank-limit sits between the two
+    between = "\n".join(lines[phase2_i:phase1_i])
+    assert "WindowGroupLimit" in between or "_r" in between, between
+
+
 def test_recrawl_priorities_rates_and_staleness(spark):
     from datetime import datetime
 

@@ -2017,6 +2017,50 @@ def q_lm_score(spark, sf_dir):
     )
 
 
+_DSIR_LR_PATH = "/tmp/kg_dsir_lr.parquet"
+_DSIR_N_BUCKETS = 4096
+_DSIR_K = 100
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (operators/dsir — Xie et al. 2023):
+    weight every document by how much its hashed unigram+bigram
+    distribution looks like the TARGET slice (here: the 'en' docs)
+    versus the raw corpus, and select the top-100. Decision oracle
+    (the q_lm_score trusted-export pattern): Spark exports the
+    ≤ 4096-row (bucket → lr_micro) ratio table plus the unseen-bucket
+    constant as a sentinel row; DuckDB re-featurizes every document
+    INDEPENDENTLY (same md5 bucket hash, same token/bigram grammar),
+    joins the exported table, and must land on bit-identical BIGINT
+    dot products, floor-divides, and the same top-k cut (weight desc,
+    doc_id — a total order). The two ln()s per bucket are pinned
+    against math.log in pytest."""
+    from metal_history_knowledge_graph_spark.operators.dsir import (
+        dsir_logratio_table,
+        dsir_select,
+        dsir_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    lr, params = dsir_logratio_table(target, docs, n_buckets=_DSIR_N_BUCKETS)
+    lr = lr.localCheckpoint(eager=True)
+    unseen = params["unseen_lr_micro"]
+    # sentinel bucket -1 carries the unseen-bucket constant so the
+    # static oracle SQL can read it (no run-order side channel beyond
+    # the export itself, which this query writes fresh every call)
+    lr.unionByName(spark.createDataFrame(
+        [(-1, unseen)], "bucket long, lr_micro long"
+    )).coalesce(1).write.mode("overwrite").parquet(_DSIR_LR_PATH)
+    weighted = dsir_weights(
+        docs, lr, n_buckets=_DSIR_N_BUCKETS, unseen_lr_micro=unseen
+    )
+    return dsir_select(weighted, k=_DSIR_K).select(
+        "doc_id", "lang", "n_grams", "weight_micro",
+        "weight_per_gram_micro",
+    )
+
+
 def q_prefix_join(spark, sf_dir):
     """EXACT set-similarity self-join via prefix filtering
     (operators/dedup.prefix_filter_pairs — the All-Pairs/PPJoin
@@ -3977,6 +4021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_components": kg_components,
         "kg_birmingham": kg_birmingham,
         "q_prefix_groups": q_prefix_groups,
+        "q_dsir_select": q_dsir_select,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -6069,6 +6114,56 @@ def oracle_sql() -> dict[str, str]:
             FROM documents doc
             LEFT JOIN per ON doc.doc_id = per.doc_id
             CROSS JOIN p
+        """,
+        # DSIR replay: independent re-featurization (same token
+        # grammar, same bigram join, same md5 bucket hash) joined
+        # against the exported ≤4096-row log-ratio table; BIGINT dot
+        # products; FLOOR per-gram divide replayed with exact integer
+        # arithmetic (w - (((w % n) + n) % n)) // n because DuckDB's
+        # // truncates toward zero (-7 // 2 = -3) while the Spark side
+        # pins floor; same (weight desc, doc_id) top-k cut.
+        "q_dsir_select": f"""
+            WITH lrtab AS (
+                SELECT bucket, lr_micro FROM '{_DSIR_LR_PATH}/*.parquet'
+                WHERE bucket >= 0
+            ), unseen AS (
+                SELECT lr_micro AS u FROM '{_DSIR_LR_PATH}/*.parquet'
+                WHERE bucket = -1
+            ), toksed AS (
+                SELECT doc_id, lang, {toks} AS t FROM documents
+            ), grams AS (
+                SELECT doc_id, unnest(list_concat(
+                    t,
+                    CASE WHEN length(t) >= 2 THEN
+                        list_transform(generate_series(1, length(t) - 1),
+                                       i -> t[i] || ' ' || t[i + 1])
+                    ELSE CAST([] AS VARCHAR[]) END)) AS g
+                FROM toksed
+            ), occ AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('dsir:' || g), 1, 15))::UBIGINT
+                            % {_DSIR_N_BUCKETS} AS BIGINT) AS bucket
+                FROM grams
+            ), per AS (
+                SELECT o.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_grams,
+                       CAST(sum(coalesce(l.lr_micro, (SELECT u FROM unseen)))
+                            AS BIGINT) AS weight_micro
+                FROM occ o LEFT JOIN lrtab l USING (bucket)
+                GROUP BY o.doc_id
+            )
+            SELECT d.doc_id, d.lang,
+                   coalesce(p.n_grams, 0) AS n_grams,
+                   coalesce(p.weight_micro, 0) AS weight_micro,
+                   CASE WHEN coalesce(p.n_grams, 0) > 0
+                        THEN (p.weight_micro
+                              - (((p.weight_micro % p.n_grams)
+                                  + p.n_grams) % p.n_grams))
+                             // p.n_grams
+                        ELSE 0 END AS weight_per_gram_micro
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            ORDER BY weight_micro DESC, d.doc_id
+            LIMIT {_DSIR_K}
         """,
         "q_snapshot_diff": r"""
             WITH fp AS (

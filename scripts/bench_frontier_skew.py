@@ -38,7 +38,18 @@ from metal_history_knowledge_graph_spark.session import get_spark
 from pyspark.sql import functions as F
 spark = get_spark(app_name=f"frontier-skew-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=cpus,
-                  extra_confs={"spark.driver.memory": f"{max(8, 2 * cpus)}g"})
+                  extra_confs={
+                      "spark.driver.memory": f"{max(8, 2 * cpus)}g",
+                      # keep the 96 even corpus files as 96 input
+                      # splits (BENCH.md: even-split rule); the
+                      # default 128MB splits would coalesce them to
+                      # ~4 partitions, leaving spark_partition_id()
+                      # with ~4 values — phase 1 of the politeness
+                      # cut could then spread the hot host over only
+                      # ~4 reducers no matter how many cores run
+                      "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+                      "spark.sql.files.openCostInBytes": str(128 * 1024),
+                  })
 spark.sparkContext.setLogLevel("ERROR")
 from metal_history_knowledge_graph_spark.operators.frontier import (
     frontier_priorities, schedule_batch,

@@ -2061,6 +2061,45 @@ def q_dsir_select(spark, sf_dir):
     )
 
 
+_SEMDEDUP_CENTROIDS_PATH = "/tmp/kg_semdedup_centroids.parquet"
+_SEMDEDUP_TAU = 0.35
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (operators/semdedup — Abbas et al. 2023): k-means the
+    embeddings, within-cluster cosine pairs >= tau, connected dup
+    groups, one representative kept per group. Injects 25 exact
+    duplicates; tau=0.35 also catches natural within-cluster pairs so
+    multi-member components form. FULL replay oracle: only the 8-row
+    centroid table is exported; DuckDB re-derives unit vectors,
+    replays the argmax-dot assignment (bit-exact left folds, ties ->
+    lowest cluster), the 4dp-rounded pair decision, the recursive-CTE
+    closure, and min-id election. rep_rule='min_id' here because a
+    float-ORDERED election would be 1-ulp flaky cross-engine (the
+    q_cosine_neardup membership convention); the paper's
+    low-centroid-sim rule is pinned in tests/test_semdedup.py.
+    Membership-only output (no float columns)."""
+    from metal_history_knowledge_graph_spark.operators.semdedup import semdedup
+
+    embs = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dups = embs.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    dec, centroids = semdedup(
+        embs.unionByName(dups), n_clusters=8, threshold=_SEMDEDUP_TAU,
+        rep_rule="min_id",
+    )
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cluster long, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(_SEMDEDUP_CENTROIDS_PATH)
+    return dec.select(
+        "vec_id", "cluster", "group_rep", "group_size", "keep_flag"
+    ).orderBy("vec_id")
+
+
 def q_prefix_join(spark, sf_dir):
     """EXACT set-similarity self-join via prefix filtering
     (operators/dedup.prefix_filter_pairs — the All-Pairs/PPJoin
@@ -4022,6 +4061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_birmingham": kg_birmingham,
         "q_prefix_groups": q_prefix_groups,
         "q_dsir_select": q_dsir_select,
+        "q_semdedup": q_semdedup,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -6164,6 +6204,76 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN per p USING (doc_id)
             ORDER BY weight_micro DESC, d.doc_id
             LIMIT {_DSIR_K}
+        """,
+        # SemDeDup full replay: only the 8-row centroid table is
+        # trusted (k-means trajectory is pytest-pinned via ivf_build);
+        # unit vectors, the argmax-dot assignment (bit-exact left
+        # folds, ties -> lowest cluster), the 4dp within-cluster pair
+        # decision, the component closure, and min-id election are all
+        # re-derived. No float column reaches the output hash.
+        "q_semdedup": f"""
+            WITH RECURSIVE cent AS (
+                SELECT cluster, centroid
+                FROM '{_SEMDEDUP_CENTROIDS_PATH}/*.parquet'
+            ), inp AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000, embedding::DOUBLE[]
+                FROM embeddings WHERE vec_id < 25
+            ), unitv AS (
+                SELECT vec_id,
+                       CASE WHEN n > 0
+                            THEN list_transform(v, x -> x / n)
+                            ELSE v END AS u
+                FROM (SELECT vec_id, v,
+                             sqrt(list_reduce(
+                                 list_prepend(0.0, list_transform(
+                                     v, y -> y * y)),
+                                 (a, b) -> a + b)) AS n
+                      FROM inp)
+            ), asg AS (
+                SELECT vec_id, u, cluster FROM (
+                    SELECT uv.vec_id, uv.u, c.cluster,
+                           row_number() OVER (
+                               PARTITION BY uv.vec_id
+                               ORDER BY list_reduce(
+                                   list_prepend(0.0, list_transform(
+                                       generate_series(1, len(c.centroid)),
+                                       i -> uv.u[i] * c.centroid[i])),
+                                   (a, b) -> a + b) DESC,
+                               c.cluster) AS rk
+                    FROM unitv uv CROSS JOIN cent c)
+                WHERE rk = 1
+            ), pairs AS (
+                SELECT a.vec_id AS x, b.vec_id AS y
+                FROM asg a JOIN asg b
+                  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                WHERE round(list_reduce(
+                          list_prepend(0.0, list_transform(
+                              generate_series(1, len(a.u)),
+                              i -> a.u[i] * b.u[i])),
+                          (s, t) -> s + t), 4) >= {_SEMDEDUP_TAU}
+            ), sym AS (
+                SELECT x AS a, y AS b FROM pairs
+                UNION
+                SELECT y AS a, x AS b FROM pairs
+            ), reach AS (
+                SELECT a AS src, a AS node FROM sym
+                UNION
+                SELECT r.src, s.b AS node
+                FROM reach r JOIN sym s ON r.node = s.a
+            ), gsize AS (
+                SELECT src AS vec_id, CAST(min(node) AS BIGINT) AS group_rep,
+                       CAST(count(*) AS BIGINT) AS group_size
+                FROM reach GROUP BY src
+            )
+            SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+                   coalesce(g.group_rep, a.vec_id) AS group_rep,
+                   coalesce(g.group_size, 1) AS group_size,
+                   CAST(CASE WHEN coalesce(g.group_rep, a.vec_id) = a.vec_id
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+            FROM asg a LEFT JOIN gsize g USING (vec_id)
+            ORDER BY a.vec_id
         """,
         "q_snapshot_diff": r"""
             WITH fp AS (

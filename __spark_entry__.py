@@ -3641,32 +3641,109 @@ def kg_birmingham(spark, sf_dir):
     )
 
 
+_KG_AT_RELS_PATH = "/tmp/kg_at_rels.parquet"
+_KG_AT_ENTS_PATH = "/tmp/kg_at_ents.parquet"
+_KG_AT_RES_PATH = "/tmp/kg_at_res.parquet"
+_KG_CO_RELS_PATH = "/tmp/kg_co_rels.parquet"
+_KG_CO_ENTS_PATH = "/tmp/kg_co_ents.parquet"
+_KG_CO_RES_PATH = "/tmp/kg_co_res.parquet"
+
+
+def _export_triples_inputs(store, rels_path, ents_path, res_path):
+    """The kg_triples/kg_edge_replay trusted-export triple: raw
+    relationship candidates, canonical entities (for inference), and
+    the resolution map with names — enough for an oracle to re-derive
+    the full named edge list from scratch."""
+    from metal_history_knowledge_graph_spark.operators.extract import (
+        relationships_of,
+    )
+
+    relationships_of(store.read("extracted")).select(
+        "rel_type", "from_entity_type", "from_entity_name",
+        "to_entity_type", "to_entity_name",
+    ).write.mode("overwrite").parquet(rels_path)
+    store.read("entities").select(
+        "entity_type", "canonical_name", "attrs_json"
+    ).write.mode("overwrite").parquet(ents_path)
+    store.read("resolution").select(
+        "entity_type", "form_norm", "canonical_id", "canonical_name"
+    ).write.mode("overwrite").parquet(res_path)
+
+
 def kg_album_tracks(spark, sf_dir):
-    """Album → track listing via CONTAINS_TRACK (rows-only)."""
+    """Album → track listing via CONTAINS_TRACK, as a decision oracle
+    (upgraded from rows-only, r4): exports the triples.py inputs and
+    the DuckDB oracle re-derives the FULL edge list (inference +
+    alias/whitelist + resolution + dedup — the kg_triples replay) and
+    projects the CONTAINS_TRACK slice, so the read query is checked
+    against edges derived independently of the store."""
     from metal_history_knowledge_graph_spark.plans.queries import album_tracks
 
     store = _kg_store(spark, sf_dir)
+    _export_triples_inputs(store, _KG_AT_RELS_PATH, _KG_AT_ENTS_PATH,
+                           _KG_AT_RES_PATH)
     return album_tracks(store.read("edges"))
 
 
 def kg_cooccurrence(spark, sf_dir):
     """Band co-mention pairs over MENTIONED_WITH|CONTEMPORARY_OF
-    (rows-only; reference web_graph.py:181-186)."""
+    (reference web_graph.py:181-186), as a decision oracle (upgraded
+    from rows-only, r4): the DuckDB oracle re-derives the edge list
+    from the exported triples.py inputs, then replays the undirected
+    least/greatest normalization, the sorted-distinct predicate list,
+    and the per-pair link count."""
     from metal_history_knowledge_graph_spark.plans.queries import band_cooccurrence
 
     store = _kg_store(spark, sf_dir)
+    _export_triples_inputs(store, _KG_CO_RELS_PATH, _KG_CO_ENTS_PATH,
+                           _KG_CO_RES_PATH)
     return band_cooccurrence(store.read("edges")).withColumn(
         "predicates", F.array_join("predicates", ",")
     )
 
 
+_KG_DV_FORMS_PATH = "/tmp/kg_dv_forms.parquet"
+_KG_DV_VARS_PATH = "/tmp/kg_dv_vars.parquet"
+_KG_DV_PAIRS_PATH = "/tmp/kg_dv_pairs.parquet"
+
+
 def kg_dedup_variants(spark, sf_dir):
+    """Multi-form canonical entities with their variation counts, as a
+    decision oracle (upgraded from rows-only, r4): exports the folded
+    surface forms (with first-seen order keys, first names and
+    exploded name variations) plus the verified LSH pairs; the DuckDB
+    oracle closes the pair graph transitively (kg_canon_counts
+    pattern), ELECTS each group's canonical name by the pinned
+    (first_seen, form_norm) total order — the merge_rules
+    first-dict-wins semantics — counts member forms and distinct name
+    variations, and keeps groups with n_forms > 1."""
+    from metal_history_knowledge_graph_spark.operators.canonicalize import (
+        candidate_pairs_lsh,
+        surface_forms,
+        verify_pairs,
+    )
+    from metal_history_knowledge_graph_spark.operators.extract import mentions_of
+
     store = _kg_store(spark, sf_dir)
+    mentions = mentions_of(store.read("extracted"))
+    forms = surface_forms(mentions).localCheckpoint(eager=True)
+    pairs = verify_pairs(candidate_pairs_lsh(forms))
+    forms.select("entity_type", "form_norm", "first_seen",
+                 "first_name").write.mode("overwrite").parquet(
+        _KG_DV_FORMS_PATH)
+    forms.select(
+        "entity_type", "form_norm",
+        F.explode_outer("variations").alias("variation"),
+    ).write.mode("overwrite").parquet(_KG_DV_VARS_PATH)
+    pairs.select(
+        "entity_type", F.col("left").alias("lhs"), F.col("right").alias("rhs")
+    ).write.mode("overwrite").parquet(_KG_DV_PAIRS_PATH)
     return (
         store.read("entities")
         .filter(F.col("n_forms") > 1)
-        .select("entity_type", "canonical_name", "n_forms",
-                F.size("variations").alias("n_variations"))
+        .select("entity_type", "canonical_name",
+                F.col("n_forms").cast("long").alias("n_forms"),
+                F.size("variations").cast("long").alias("n_variations"))
         .orderBy("entity_type", "canonical_name")
     )
 
@@ -4062,6 +4139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prefix_groups": q_prefix_groups,
         "q_dsir_select": q_dsir_select,
         "q_semdedup": q_semdedup,
+        "kg_album_tracks": kg_album_tracks,
+        "kg_cooccurrence": kg_cooccurrence,
+        "kg_dedup_variants": kg_dedup_variants,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -4125,9 +4205,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_search_quality": q_search_quality,
         # KG pipeline (non-SQL-expressible → rows-only check)
-        "kg_album_tracks": kg_album_tracks,
-        "kg_cooccurrence": kg_cooccurrence,
-        "kg_dedup_variants": kg_dedup_variants,
         "kg_chunk_stats": kg_chunk_stats,
         "kg_betweenness": kg_betweenness,
         "kg_pagerank": kg_pagerank,
@@ -4161,6 +4238,69 @@ def oracle_sql() -> dict[str, str]:
             + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in sorted(SINGULAR_TO_PLURAL.items()))
             + " ELSE NULL END"
         )
+
+    def _edge_replay_cte(rels_path, ents_path, res_path):
+        """The full triples.py replay as a reusable CTE chain ending in
+        ``resolved`` (pred, subj_id, subj_type, subj_name, obj_id,
+        obj_type, obj_name) — the body shared by kg_edge_replay /
+        kg_triples, parameterized on export paths so each query's
+        oracle reads its OWN fresh export (no cross-query run-order
+        side channel)."""
+        return f"""rels AS (
+                SELECT * FROM '{rels_path}/*.parquet'
+            ), ents AS (
+                SELECT * FROM '{ents_path}/*.parquet'
+            ), res AS (
+                SELECT * FROM '{res_path}/*.parquet'
+            ), member_of AS (
+                SELECT 'MEMBER_OF' AS rel_type,
+                       'person' AS from_entity_type,
+                       canonical_name AS from_entity_name,
+                       'band' AS to_entity_type,
+                       unnest(CAST(attrs_json->'$.associated_bands'
+                                   AS VARCHAR[])) AS to_entity_name
+                FROM ents WHERE entity_type = 'people'
+            ), released AS (
+                SELECT 'RELEASED', 'band',
+                       json_extract_string(attrs_json, '$.artist'),
+                       'album', canonical_name
+                FROM ents WHERE entity_type = 'albums'
+                  AND json_extract_string(attrs_json, '$.artist') IS NOT NULL
+            ), contains_track AS (
+                SELECT 'CONTAINS_TRACK', 'album',
+                       json_extract_string(attrs_json, '$.album'),
+                       'song', canonical_name
+                FROM ents WHERE entity_type = 'songs'
+                  AND json_extract_string(attrs_json, '$.album') IS NOT NULL
+            ), cand AS (
+                SELECT rel_type, from_entity_type, from_entity_name,
+                       to_entity_type, to_entity_name FROM rels
+                UNION ALL SELECT * FROM member_of
+                UNION ALL SELECT * FROM released
+                UNION ALL SELECT * FROM contains_track
+            ), norm AS (
+                SELECT * FROM (
+                    SELECT {_alias_case} AS pred,
+                           {_plural_case('from_entity_type')} AS subj_etype,
+                           lower(trim(from_entity_name)) AS subj_norm,
+                           {_plural_case('to_entity_type')} AS obj_etype,
+                           lower(trim(to_entity_name)) AS obj_norm
+                    FROM cand
+                ) WHERE pred IN ({_whitelist})
+            ), resolved AS (
+                SELECT DISTINCT n.pred,
+                       rs.canonical_id AS subj_id,
+                       n.subj_etype AS subj_type,
+                       rs.canonical_name AS subj_name,
+                       ro.canonical_id AS obj_id,
+                       n.obj_etype AS obj_type,
+                       ro.canonical_name AS obj_name
+                FROM norm n
+                JOIN res rs ON rs.entity_type = n.subj_etype
+                           AND rs.form_norm = n.subj_norm
+                JOIN res ro ON ro.entity_type = n.obj_etype
+                           AND ro.form_norm = n.obj_norm
+            )"""
 
     # shared by td_minhash_pairs and q_dup_groups: injected-dup corpus →
     # word-3-gram shingle sets → exact all-pairs Jaccard (the decision
@@ -4934,6 +5074,93 @@ def oracle_sql() -> dict[str, str]:
                                   || CAST(r.obj_id AS VARCHAR))
             ORDER BY pred, subj_name, obj_name, subj_type, obj_type,
                      n_sources
+        """,
+        # Read-side slice over an INDEPENDENTLY re-derived edge list
+        # (the full triples.py replay over this query's own exports).
+        "kg_album_tracks": f"""
+            WITH {_edge_replay_cte(_KG_AT_RELS_PATH, _KG_AT_ENTS_PATH,
+                                   _KG_AT_RES_PATH)}
+            SELECT subj_name AS album, obj_name AS track
+            FROM resolved
+            WHERE pred = 'CONTAINS_TRACK'
+            ORDER BY album, track
+        """,
+        # Same re-derived edge list; replays the undirected
+        # least/greatest pair normalization, the sorted-distinct
+        # predicate list, and the per-pair link count.
+        "kg_cooccurrence": f"""
+            WITH {_edge_replay_cte(_KG_CO_RELS_PATH, _KG_CO_ENTS_PATH,
+                                   _KG_CO_RES_PATH)}
+            SELECT least(subj_name, obj_name) AS band1,
+                   greatest(subj_name, obj_name) AS band2,
+                   array_to_string(list_sort(list_distinct(list(pred))),
+                                   ',') AS predicates,
+                   CAST(count(*) AS BIGINT) AS n_links
+            FROM resolved
+            WHERE pred IN ('MENTIONED_WITH', 'CONTEMPORARY_OF')
+            GROUP BY band1, band2
+            ORDER BY band1, band2
+        """,
+        # Transitive closure over the verified-pair graph (the
+        # kg_canon_counts pattern) + canonical-name ELECTION by the
+        # pinned (first_seen, form_norm) total order (merge_rules
+        # first-dict-wins), member-form count, distinct-variation
+        # count, multi-form filter.
+        "kg_dedup_variants": f"""
+            WITH RECURSIVE forms AS (
+                SELECT entity_type, form_norm, first_seen, first_name
+                FROM '{_KG_DV_FORMS_PATH}/*.parquet'
+            ), vars AS (
+                SELECT entity_type, form_norm, variation
+                FROM '{_KG_DV_VARS_PATH}/*.parquet'
+            ), pairs AS (
+                SELECT entity_type, lhs, rhs
+                FROM '{_KG_DV_PAIRS_PATH}/*.parquet'
+            ), sym AS (
+                SELECT entity_type, lhs AS a, rhs AS b FROM pairs
+                UNION
+                SELECT entity_type, rhs AS a, lhs AS b FROM pairs
+            ), reach AS (
+                SELECT entity_type, a AS src, a AS node FROM sym
+                UNION
+                SELECT r.entity_type, r.src, s.b AS node
+                FROM reach r JOIN sym s
+                  ON r.entity_type = s.entity_type AND r.node = s.a
+            ), labels AS (
+                SELECT entity_type, src AS form_norm, min(node) AS label
+                FROM reach GROUP BY entity_type, src
+            ), member AS (
+                SELECT f.entity_type, f.form_norm, f.first_seen,
+                       f.first_name,
+                       coalesce(l.label, f.form_norm) AS label
+                FROM forms f LEFT JOIN labels l
+                  USING (entity_type, form_norm)
+            ), elected AS (
+                SELECT entity_type, label, first_name AS canonical_name
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY entity_type, label
+                          ORDER BY first_seen, form_norm) AS rk
+                      FROM member)
+                WHERE rk = 1
+            ), sized AS (
+                SELECT m.entity_type, m.label,
+                       CAST(count(*) AS BIGINT) AS n_forms
+                FROM member m GROUP BY m.entity_type, m.label
+            ), varcount AS (
+                SELECT m.entity_type, m.label,
+                       CAST(count(DISTINCT v.variation) AS BIGINT)
+                           AS n_variations
+                FROM member m JOIN vars v
+                  USING (entity_type, form_norm)
+                GROUP BY m.entity_type, m.label
+            )
+            SELECT e.entity_type, e.canonical_name, s.n_forms,
+                   coalesce(v.n_variations, 0) AS n_variations
+            FROM elected e
+            JOIN sized s USING (entity_type, label)
+            LEFT JOIN varcount v USING (entity_type, label)
+            WHERE s.n_forms > 1
+            ORDER BY e.entity_type, e.canonical_name
         """,
         # Undirected transitive closure over the exported entity-edge
         # endpoints; min reachable node = graph_components' union-find

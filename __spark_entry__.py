@@ -1018,13 +1018,20 @@ _DERIVED_EDGES_SQL = f"""
 """
 
 
-def _pagerank_oracle(n_iters: int = 5, damping: int = 85, scale: int = 10**12) -> str:
+def _pagerank_oracle(n_iters: int = 5, damping: int = 85, scale: int = 10**12,
+                     edges_sql: str | None = None,
+                     final_sql: str | None = None) -> str:
     """Chained-CTE DuckDB replay of operators/graph_algos.pagerank:
     one CTE per iteration, all arithmetic integer floor-divides, so the
     oracle reproduces the Spark trajectory bit-exactly (DuckDB sum()
-    yields HUGEINT — cast back to BIGINT at every step)."""
+    yields HUGEINT — cast back to BIGINT at every step).
+
+    ``edges_sql`` overrides the edge-list CTE (must define ``edges``
+    with DISTINCT self-loop-free (src, dst) — the operator's own input
+    normalization); ``final_sql`` overrides the final SELECT (referring
+    to ``r{n_iters}``) for variants that join names / cut a top-k."""
     ctes = [
-        f"WITH {_DERIVED_EDGES_SQL}",
+        f"WITH {edges_sql or _DERIVED_EDGES_SQL}",
         "pnodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
         "params AS (SELECT count(*) AS n FROM pnodes)",
         "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1)",
@@ -1050,10 +1057,10 @@ def _pagerank_oracle(n_iters: int = 5, damping: int = 85, scale: int = 10**12) -
             f"  ) s ON p.node = s.node\n"
             f")"
         )
-    return (
-        ",\n".join(ctes)
-        + f"\nSELECT node AS node_id, r AS rank_fixed FROM r{n_iters} ORDER BY node_id"
+    final = final_sql or (
+        f"SELECT node AS node_id, r AS rank_fixed FROM r{n_iters} ORDER BY node_id"
     )
+    return ",\n".join(ctes) + "\n" + final
 
 
 def _hits_oracle(n_iters: int = 5, scale: int = 10**9) -> str:
@@ -3748,13 +3755,32 @@ def kg_dedup_variants(spark, sf_dir):
     )
 
 
+_KG_CS_CHUNKS_PATH = "/tmp/kg_cs_chunks.parquet"
+
+
 def kg_chunk_stats(spark, sf_dir):
+    """Per-url chunk counts/sizes over the stored chunks table, as a
+    decision oracle (upgraded from rows-only, r4): the entry re-runs
+    the chunking stage FRESH from the deterministic source pages
+    (sources/corpus.generate_pages, seed 42 — the same input the
+    pipeline consumed) and exports (url, char_count); the DuckDB
+    oracle aggregates that independent recompute, so a stale, resumed,
+    or corrupted store (or a chunker drift between pipeline runs)
+    hash-mismatches."""
+    from metal_history_knowledge_graph_spark.operators.chunk import chunk_pages
+    from metal_history_knowledge_graph_spark.sources.corpus import generate_pages
+
     store = _kg_store(spark, sf_dir)
+    n_pages = 300 if "0.01" in os.path.basename(
+        os.path.abspath(sf_dir).rstrip("/")) else 120
+    chunk_pages(generate_pages(spark, n_pages, seed=42)).select(
+        "url", "char_count"
+    ).write.mode("overwrite").parquet(_KG_CS_CHUNKS_PATH)
     return (
         store.read("chunks")
         .groupBy("url")
         .agg(F.count(F.lit(1)).alias("n_chunks"),
-             F.sum("char_count").alias("total_chars"))
+             F.sum("char_count").cast("long").alias("total_chars"))
         .orderBy("url")
     )
 
@@ -3922,18 +3948,37 @@ def kg_components(spark, sf_dir):
     return component_sizes(edges)
 
 
+_KG_BT_EDGES_PATH = "/tmp/kg_bt_edges.parquet"
+
+
 def kg_betweenness(spark, sf_dir):
-    """Sampled-BFS betweenness over the entity graph (rows-only)."""
+    """Sampled-BFS betweenness over the entity graph, as a decision
+    oracle (upgraded from rows-only, r4): exports the raw edge
+    endpoints; the DuckDB oracle independently symmetrizes, BFS-walks
+    the 16 smallest-id sources to depth 6, rebuilds the min-parent
+    shortest-path trees and counts interior nodes — the q_betweenness
+    recursive-CTE replay pointed at the REAL entity graph."""
     from metal_history_knowledge_graph_spark.operators.graph_algos import betweenness_sampled
 
     store = _kg_store(spark, sf_dir)
-    return betweenness_sampled(store.read("edges")).limit(20)
+    edges = store.read("edges")
+    edges.select("subj_id", "obj_id").write.mode("overwrite").parquet(
+        _KG_BT_EDGES_PATH
+    )
+    return betweenness_sampled(edges).limit(20)
+
+
+_KG_PR_EDGES_PATH = "/tmp/kg_pr_edges.parquet"
+_KG_PR_NAMES_PATH = "/tmp/kg_pr_names.parquet"
 
 
 def kg_pagerank(spark, sf_dir):
-    """Fixed-point PageRank over the real entity graph (rows-only here;
-    the exact-oracle variant runs on the derived graph: q_pagerank).
-    Top-20 most central canonical entities with names attached."""
+    """Fixed-point PageRank over the real entity graph, as a decision
+    oracle (upgraded from rows-only, r4): exports the raw edge
+    endpoints + the id→name dim; the DuckDB oracle replays all 8
+    iterations of the BIGINT floor-divide trajectory (the q_pagerank
+    chained-CTE replay pointed at the REAL entity graph), attaches
+    names, and must reproduce the top-20 bit-exactly."""
     from metal_history_knowledge_graph_spark.operators.graph_algos import pagerank
 
     store = _kg_store(spark, sf_dir)
@@ -3943,6 +3988,10 @@ def kg_pagerank(spark, sf_dir):
         .select(F.col("canonical_id").alias("node_id"), "canonical_name")
         .distinct()
     )
+    edges.select("subj_id", "obj_id").write.mode("overwrite").parquet(
+        _KG_PR_EDGES_PATH
+    )
+    names.write.mode("overwrite").parquet(_KG_PR_NAMES_PATH)
     return (
         pagerank(edges, n_iters=8)
         .join(F.broadcast(names), "node_id")
@@ -3951,19 +4000,28 @@ def kg_pagerank(spark, sf_dir):
     )
 
 
+_KG_PA_EDGES_PATH = "/tmp/kg_pa_edges.parquet"
+
+
 def kg_path_analysis(spark, sf_dir):
     """Longest predicate chains over the real entity graph with the
     full node-name path attached — BOTH reference path queries:
     influence chains (graph_metrics.py:358-377) and genre evolution
-    (graph_metrics.py:380-399). Rows-only — the exact-oracle sibling
-    for the enumeration decision is q_path_enum, for the BFS-distance
-    decision q_path_stats."""
+    (graph_metrics.py:380-399). Decision oracle (upgraded from
+    rows-only, r4): exports the per-predicate edge slices with both
+    endpoint names; the DuckDB oracle independently enumerates every
+    node-simple path to 4 hops (recursive CTE carrying the name chain
+    string), applies the min-name-per-node dim and the per-predicate
+    (hops DESC, chain_str) top-10 cut."""
     from metal_history_knowledge_graph_spark.operators.graph_algos import (
         longest_chains,
     )
 
     store = _kg_store(spark, sf_dir)
     edges = store.read("edges")
+    edges.filter(F.col("pred").isin("INFLUENCED_BY", "EVOLVED_INTO")).select(
+        "pred", "subj_id", "obj_id", "subj_name", "obj_name"
+    ).write.mode("overwrite").parquet(_KG_PA_EDGES_PATH)
     out = None
     for pred in ("INFLUENCED_BY", "EVOLVED_INTO"):
         chains = longest_chains(edges, pred=pred, max_hops=4, top_n=10) \
@@ -4142,6 +4200,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_album_tracks": kg_album_tracks,
         "kg_cooccurrence": kg_cooccurrence,
         "kg_dedup_variants": kg_dedup_variants,
+        "kg_chunk_stats": kg_chunk_stats,
+        "kg_betweenness": kg_betweenness,
+        "kg_pagerank": kg_pagerank,
+        "kg_path_analysis": kg_path_analysis,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -4205,10 +4267,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_search_quality": q_search_quality,
         # KG pipeline (non-SQL-expressible → rows-only check)
-        "kg_chunk_stats": kg_chunk_stats,
-        "kg_betweenness": kg_betweenness,
-        "kg_pagerank": kg_pagerank,
-        "kg_path_analysis": kg_path_analysis,
         "kg_validation": kg_validation,
         "kg_hybrid_search": kg_hybrid_search,
         "kg_intent_search": kg_intent_search,
@@ -5184,6 +5242,120 @@ def oracle_sql() -> dict[str, str]:
             SELECT component_id, CAST(count(*) AS BIGINT) AS n_nodes
             FROM labels GROUP BY component_id
             ORDER BY n_nodes DESC, component_id
+        """,
+        # Independent aggregation of the FRESH chunk recompute exported
+        # by the entry (chunk_pages over the deterministic source
+        # pages) — the store-read Spark side must match it exactly.
+        "kg_chunk_stats": f"""
+            SELECT url, count(*) AS n_chunks,
+                   CAST(sum(char_count) AS BIGINT) AS total_chars
+            FROM '{_KG_CS_CHUNKS_PATH}/*.parquet'
+            GROUP BY url ORDER BY url
+        """,
+        # q_pagerank's chained-CTE BIGINT replay pointed at the REAL
+        # entity graph (8 iterations), names attached, top-20 cut.
+        "kg_pagerank": _pagerank_oracle(
+            n_iters=8, damping=85, scale=10**12,
+            edges_sql=f"""edges AS (
+                SELECT DISTINCT subj_id AS src, obj_id AS dst
+                FROM '{_KG_PR_EDGES_PATH}/*.parquet'
+                WHERE subj_id <> obj_id
+            )""",
+            final_sql=f"""
+            SELECT r8.node AS node_id, r8.r AS rank_fixed, n.canonical_name
+            FROM r8 JOIN '{_KG_PR_NAMES_PATH}/*.parquet' n
+              ON n.node_id = r8.node
+            ORDER BY rank_fixed DESC, node_id LIMIT 20""",
+        ),
+        # q_betweenness's min-parent shortest-path-tree replay pointed
+        # at the REAL entity graph: 16 smallest-id sources, depth ≤ 6,
+        # interior-node counts, top-20 (betweenness DESC, node_id).
+        "kg_betweenness": f"""
+            WITH RECURSIVE e AS (
+                SELECT subj_id AS x, obj_id AS y
+                FROM '{_KG_BT_EDGES_PATH}/*.parquet'
+                WHERE subj_id <> obj_id
+            ),
+            und AS (
+                SELECT x AS a, y AS b FROM e
+                UNION
+                SELECT y AS a, x AS b FROM e
+            ),
+            srcs AS (
+                SELECT a AS s FROM und GROUP BY a ORDER BY a LIMIT 16
+            ),
+            walk(s, node, hops) AS (
+                SELECT s, s, CAST(0 AS BIGINT) FROM srcs
+                UNION
+                SELECT walk.s, und.b, walk.hops + 1
+                FROM walk JOIN und ON und.a = walk.node
+                WHERE walk.hops < 6
+            ),
+            dist AS (
+                SELECT s, node, min(hops) AS d FROM walk GROUP BY s, node
+            ),
+            parents AS (
+                SELECT c.s, c.node, min(p.node) AS parent
+                FROM dist c
+                JOIN und ON und.b = c.node
+                JOIN dist p ON p.s = c.s AND p.node = und.a
+                             AND p.d = c.d - 1
+                WHERE c.d > 0
+                GROUP BY c.s, c.node
+            ),
+            chain(s, dst, cur) AS (
+                SELECT s, node, parent FROM parents WHERE parent <> s
+                UNION
+                SELECT c.s, c.dst, p.parent
+                FROM chain c
+                JOIN parents p ON p.s = c.s AND p.node = c.cur
+                WHERE p.parent <> c.s
+            )
+            SELECT cur AS node_id, count(*) AS betweenness
+            FROM chain GROUP BY cur
+            ORDER BY betweenness DESC, node_id LIMIT 20
+        """,
+        # Independent path enumeration with the name chain built inside
+        # the recursion; min-name-per-node dim, per-predicate
+        # (hops DESC, chain_str) top-10 — longest_chains' exact cut.
+        "kg_path_analysis": f"""
+            WITH RECURSIVE pe AS (
+                SELECT * FROM '{_KG_PA_EDGES_PATH}/*.parquet'
+            ),
+            e AS (
+                SELECT DISTINCT pred, subj_id AS src, obj_id AS dst
+                FROM pe WHERE subj_id <> obj_id
+            ),
+            names AS (
+                SELECT pred, node, min(name) AS name FROM (
+                    SELECT pred, subj_id AS node, subj_name AS name FROM pe
+                    UNION ALL
+                    SELECT pred, obj_id, obj_name FROM pe
+                ) GROUP BY pred, node
+            ),
+            walk(pred, dst, path, chain_str, hops) AS (
+                SELECT e.pred, e.dst, [e.src, e.dst],
+                       ns.name || ' -> ' || nd.name, CAST(1 AS BIGINT)
+                FROM e
+                JOIN names ns ON ns.pred = e.pred AND ns.node = e.src
+                JOIN names nd ON nd.pred = e.pred AND nd.node = e.dst
+                UNION ALL
+                SELECT w.pred, e.dst, list_append(w.path, e.dst),
+                       w.chain_str || ' -> ' || nd.name, w.hops + 1
+                FROM walk w
+                JOIN e ON e.pred = w.pred AND e.src = w.dst
+                JOIN names nd ON nd.pred = e.pred AND nd.node = e.dst
+                WHERE w.hops < 4 AND NOT list_contains(w.path, e.dst)
+            )
+            SELECT pred, hops, chain_str FROM (
+                SELECT pred, hops, chain_str,
+                       row_number() OVER (
+                           PARTITION BY pred
+                           ORDER BY hops DESC, chain_str
+                       ) AS rn
+                FROM walk
+            ) WHERE rn <= 10
+            ORDER BY pred, hops DESC, chain_str
         """,
         # Broadcast-join + city-filter replay over the exported
         # FORMED_IN endpoints and location dim.

@@ -4030,16 +4030,30 @@ def kg_path_analysis(spark, sf_dir):
     return out
 
 
+_KG_VAL_ENTS_PATH = "/tmp/kg_val_ents.parquet"
+
+
 def kg_validation(spark, sf_dir):
-    """Entity validation issue counts per rule (rows-only)."""
+    """Entity validation issue counts per (type, severity, rule), as a
+    decision oracle (upgraded from rows-only, r4): exports the RAW
+    entity rows (type, names, attrs_json); the DuckDB oracle replays
+    every rule from scratch — including the attrs_json unpacking the
+    Spark side does via from_json (json_extract_string/TRY_CAST/
+    json_array_length on the DuckDB side) — and the duplicate-name
+    check, then aggregates. A drifted rule predicate, a json-decoding
+    change, or a store-side duplicate hash-mismatches."""
     from metal_history_knowledge_graph_spark.operators.validate import validate_entities
 
     store = _kg_store(spark, sf_dir)
+    ents = store.read("entities")
+    ents.select("entity_type", "canonical_name", "name_norm",
+                "attrs_json").write.mode("overwrite").parquet(
+        _KG_VAL_ENTS_PATH)
     return (
-        validate_entities(store.read("entities"))
-        .groupBy("severity", "rule")
+        validate_entities(ents)
+        .groupBy("entity_type", "severity", "rule")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("severity", "rule")
+        .orderBy("entity_type", "severity", "rule")
     )
 
 
@@ -4103,19 +4117,62 @@ def kg_monitor(spark, sf_dir):
     return row.select("n_entities", "n_edges", "f1", "search_mrr")
 
 
+def _export_prf_inputs(store, truth, edges_path, vars_path, truth_path):
+    """Trusted-export triple for the quality-gate replay: keyed edges,
+    the per-entity variation vocabulary (lowered, with canonical_name
+    folded in — plans/quality._variation_map's content), and the
+    deterministic corpus truth. Enough for an oracle to re-derive
+    matched_edges / matched_truth and the P/R/F1 arithmetic from
+    scratch."""
+    store.read("edges").select(
+        "edge_key", "pred", "subj_id", "obj_id"
+    ).write.mode("overwrite").parquet(edges_path)
+    (
+        store.read("entities")
+        .select(
+            "canonical_id",
+            F.explode(
+                F.array_union("variations", F.array("canonical_name"))
+            ).alias("var"),
+        )
+        .withColumn("var", F.lower(F.trim("var")))
+        .distinct()
+        .write.mode("overwrite").parquet(vars_path)
+    )
+    truth.select("pred", "subj_name", "obj_name").write.mode(
+        "overwrite").parquet(truth_path)
+
+
+_KG_QL_EDGES_PATH = "/tmp/kg_ql_edges.parquet"
+_KG_QL_VARS_PATH = "/tmp/kg_ql_vars.parquet"
+_KG_QL_TRUTH_PATH = "/tmp/kg_ql_truth.parquet"
+
+
 def kg_quality(spark, sf_dir):
-    """Triple P/R vs the corpus oracle — the north-rule gate as a query."""
+    """Triple P/R vs the corpus oracle — the north-rule gate as a
+    query, now itself a decision oracle (upgraded from rows-only, r4):
+    exports keyed edges + variation vocabulary + the deterministic
+    truth; the DuckDB oracle re-derives the variation-set triple
+    matching and the P/R/F1 arithmetic from scratch. Ratios are
+    integer micro-units (floor-divide) so both engines agree
+    bit-exactly with no float-rounding seam."""
     from metal_history_knowledge_graph_spark.plans.quality import triple_prf
     from metal_history_knowledge_graph_spark.sources.corpus import generate_truth
 
     store = _kg_store(spark, sf_dir)
     n_pages = 300 if "0.01" in os.path.basename(os.path.abspath(sf_dir)) else 120
     truth = generate_truth(spark, n_pages, seed=42)
+    _export_prf_inputs(store, truth, _KG_QL_EDGES_PATH, _KG_QL_VARS_PATH,
+                       _KG_QL_TRUTH_PATH)
     prf = triple_prf(store.read("edges"), truth, store.read("entities"))
+    pm = (10**6 * prf["matched_edges"]) // prf["n_edges"] if prf["n_edges"] else 0
+    rm = (10**6 * prf["matched_truth"]) // prf["n_truth"] if prf["n_truth"] else 0
+    f1m = (2 * pm * rm) // (pm + rm) if (pm + rm) else 0
     return spark.createDataFrame(
-        [(round(prf["precision"], 4), round(prf["recall"], 4), round(prf["f1"], 4),
-          prf["n_edges"], prf["n_truth"])],
-        "precision double, recall double, f1 double, n_edges long, n_truth long",
+        [(pm, rm, f1m, prf["n_edges"], prf["n_truth"],
+          prf["matched_edges"], prf["matched_truth"])],
+        "precision_micro long, recall_micro long, f1_micro long, "
+        "n_edges long, n_truth long, matched_edges long, matched_truth long",
     )
 
 
@@ -4204,6 +4261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_betweenness": kg_betweenness,
         "kg_pagerank": kg_pagerank,
         "kg_path_analysis": kg_path_analysis,
+        "kg_validation": kg_validation,
+        "kg_quality": kg_quality,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -4267,11 +4326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_search_quality": q_search_quality,
         # KG pipeline (non-SQL-expressible → rows-only check)
-        "kg_validation": kg_validation,
         "kg_hybrid_search": kg_hybrid_search,
         "kg_intent_search": kg_intent_search,
         "kg_monitor": kg_monitor,
-        "kg_quality": kg_quality,
     }
 
 
@@ -5356,6 +5413,133 @@ def oracle_sql() -> dict[str, str]:
                 FROM walk
             ) WHERE rn <= 10
             ORDER BY pred, hops DESC, chain_str
+        """,
+        # Full rule replay over the RAW exported entity rows, including
+        # the attrs_json unpacking the Spark side does via from_json.
+        "kg_validation": f"""
+            WITH ents AS (
+                SELECT * FROM '{_KG_VAL_ENTS_PATH}/*.parquet'
+            ),
+            b AS (
+                SELECT canonical_name,
+                       CASE WHEN json_valid(attrs_json) THEN TRY_CAST(
+                           json_extract_string(attrs_json, '$.formed_year')
+                           AS INTEGER) END AS formed_year,
+                       CASE WHEN json_valid(attrs_json) THEN
+                           json_extract_string(attrs_json, '$.origin_city')
+                           END AS origin_city,
+                       CASE WHEN json_valid(attrs_json) THEN
+                           json_extract_string(attrs_json, '$.origin_country')
+                           END AS origin_country
+                FROM ents WHERE entity_type = 'bands'
+            ),
+            al AS (
+                SELECT canonical_name,
+                       CASE WHEN json_valid(attrs_json) THEN TRY_CAST(
+                           json_extract_string(attrs_json, '$.release_year')
+                           AS INTEGER) END AS release_year,
+                       CASE WHEN json_valid(attrs_json) THEN
+                           json_extract_string(attrs_json, '$.artist')
+                           END AS artist
+                FROM ents WHERE entity_type = 'albums'
+            ),
+            p AS (
+                SELECT canonical_name,
+                       CASE WHEN json_valid(attrs_json) THEN
+                           json_array_length(attrs_json, '$.instruments')
+                           END AS n_instr,
+                       CASE WHEN json_valid(attrs_json) THEN
+                           json_array_length(attrs_json, '$.associated_bands')
+                           END AS n_ab
+                FROM ents WHERE entity_type = 'people'
+            ),
+            g AS (
+                SELECT name_norm FROM ents WHERE entity_type = 'subgenres'
+            ),
+            issues AS (
+                SELECT 'bands' AS entity_type, 'error' AS severity,
+                       'missing_name' AS rule FROM b
+                WHERE canonical_name IS NULL OR trim(canonical_name) = ''
+                UNION ALL SELECT 'bands', 'error', 'year_out_of_range' FROM b
+                WHERE formed_year IS NOT NULL
+                  AND formed_year NOT BETWEEN 1960 AND 2026
+                UNION ALL SELECT 'bands', 'warning', 'missing_formed_year'
+                FROM b WHERE formed_year IS NULL
+                UNION ALL SELECT 'bands', 'warning', 'missing_origin' FROM b
+                WHERE origin_city IS NULL AND origin_country IS NULL
+                UNION ALL SELECT 'bands', 'warning', 'name_too_long' FROM b
+                WHERE length(canonical_name) > 100
+                UNION ALL SELECT 'albums', 'error', 'year_out_of_range'
+                FROM al WHERE release_year IS NOT NULL
+                  AND release_year NOT BETWEEN 1968 AND 2026
+                UNION ALL SELECT 'albums', 'warning', 'missing_artist'
+                FROM al WHERE artist IS NULL
+                UNION ALL SELECT 'albums', 'warning', 'missing_release_year'
+                FROM al WHERE release_year IS NULL
+                UNION ALL SELECT 'people', 'warning', 'no_instruments'
+                FROM p WHERE coalesce(n_instr, 0) = 0
+                UNION ALL SELECT 'people', 'warning', 'no_associated_bands'
+                FROM p WHERE coalesce(n_ab, 0) = 0
+                UNION ALL SELECT 'subgenres', 'warning', 'unknown_subgenre'
+                FROM g WHERE name_norm NOT IN (
+                    'heavy metal', 'thrash metal', 'doom metal',
+                    'black metal', 'death metal', 'power metal',
+                    'speed metal', 'groove metal', 'progressive metal',
+                    'hard rock')
+                UNION ALL SELECT entity_type, 'error', 'duplicate_name'
+                FROM (
+                    SELECT entity_type, name_norm FROM ents
+                    GROUP BY entity_type, name_norm HAVING count(*) > 1
+                )
+            )
+            SELECT entity_type, severity, rule, count(*) AS n
+            FROM issues GROUP BY entity_type, severity, rule
+            ORDER BY entity_type, severity, rule
+        """,
+        # From-scratch replay of plans/quality.triple_prf: variation-set
+        # triple matching + P/R/F1 in integer micro-units.
+        "kg_quality": f"""
+            WITH e AS (SELECT * FROM '{_KG_QL_EDGES_PATH}/*.parquet'),
+            t AS (
+                SELECT DISTINCT pred, lower(trim(subj_name)) AS subj,
+                       lower(trim(obj_name)) AS obj
+                FROM '{_KG_QL_TRUTH_PATH}/*.parquet'
+            ),
+            v AS (SELECT * FROM '{_KG_QL_VARS_PATH}/*.parquet'),
+            m AS (
+                SELECT e.edge_key, t.pred, t.subj, t.obj
+                FROM e
+                JOIN v sv ON sv.canonical_id = e.subj_id
+                JOIN v ov ON ov.canonical_id = e.obj_id
+                JOIN t ON e.pred = t.pred AND sv.var = t.subj
+                      AND ov.var = t.obj
+            ),
+            c AS (
+                SELECT
+                    (SELECT count(DISTINCT edge_key) FROM e) AS n_edges,
+                    (SELECT count(*) FROM t) AS n_truth,
+                    (SELECT count(DISTINCT edge_key) FROM m) AS me,
+                    (SELECT count(*) FROM
+                        (SELECT DISTINCT pred, subj, obj FROM m)) AS mt
+            ),
+            mic AS (
+                SELECT n_edges, n_truth, me, mt,
+                    CASE WHEN n_edges > 0
+                         THEN (1000000 * me) // n_edges ELSE 0 END AS pm,
+                    CASE WHEN n_truth > 0
+                         THEN (1000000 * mt) // n_truth ELSE 0 END AS rm
+                FROM c
+            )
+            SELECT CAST(pm AS BIGINT) AS precision_micro,
+                   CAST(rm AS BIGINT) AS recall_micro,
+                   CAST(CASE WHEN pm + rm > 0
+                        THEN (2 * pm * rm) // (pm + rm)
+                        ELSE 0 END AS BIGINT) AS f1_micro,
+                   CAST(n_edges AS BIGINT) AS n_edges,
+                   CAST(n_truth AS BIGINT) AS n_truth,
+                   CAST(me AS BIGINT) AS matched_edges,
+                   CAST(mt AS BIGINT) AS matched_truth
+            FROM mic
         """,
         # Broadcast-join + city-filter replay over the exported
         # FORMED_IN endpoints and location dim.

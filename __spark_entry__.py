@@ -8,11 +8,14 @@ returning the classic "bands formed in Birmingham" result.
 ``queries()`` — one entry per implemented operator family
 (SURVEY.md §2): relational/analytic plans over the TPC-H-ish tables,
 training-data operators over documents/embeddings, and the KG pipeline
-itself (kg_* — non-SQL-expressible, rows-only checked).
+itself (kg_* — pipeline outputs checked via trusted-export decision
+oracles: the entry exports the pipeline-internal inputs and the DuckDB
+side re-derives the result from scratch).
 
-``oracle_sql()`` — exact DuckDB equivalents for every SQL-expressible
-query; column names and float rounding match the Spark side so the
-driver's order-insensitive value-hash agrees.
+``oracle_sql()`` — exact DuckDB equivalents for EVERY query (129/129
+as of r4; zero rows-only entries remain); column names and float
+rounding match the Spark side so the driver's order-insensitive
+value-hash agrees.
 """
 
 from __future__ import annotations
@@ -4057,47 +4060,107 @@ def kg_validation(spark, sf_dir):
     )
 
 
+_KG_HS_SCORES_PATH = "/tmp/kg_hs_scores.parquet"
+_KG_HS_ENTS_PATH = "/tmp/kg_hs_ents.parquet"
+
+
 def kg_hybrid_search(spark, sf_dir):
-    """0.7·semantic + 0.3·keyword hybrid entity search (rows-only)."""
+    """0.7·semantic + 0.3·keyword hybrid entity search, as a decision
+    oracle (upgraded from rows-only, r4): exports the FULL semantic
+    score table (every entity's cosine against the query vector, the
+    same expression the search path evaluates — td_ivf_topk's
+    exported-decision pattern) plus the entity dim; the DuckDB oracle
+    independently applies the top-k·3 semantic cut, the exact/prefix/
+    contains keyword tiers, the full-outer 0.7/0.3 merge and the
+    (final_score DESC, canonical_name) top-k."""
     from metal_history_knowledge_graph_spark.operators.embeddings import (
         embed_entities,
+        embed_texts_df,
         hybrid_search,
     )
+    from metal_history_knowledge_graph_spark.operators.simsearch import cosine_topk
 
     store = _kg_store(spark, sf_dir)
     ents = store.read("entities")
-    return hybrid_search(spark, ents, embed_entities(ents), "sabbath", k=5) \
+    vecs = embed_entities(ents)
+    qvec = [float(v) for v in embed_texts_df(spark, ["sabbath"]).head().embedding]
+    cosine_topk(vecs, qvec, k=2**31 - 1, id_col="canonical_id").write.mode(
+        "overwrite").parquet(_KG_HS_SCORES_PATH)
+    ents.select("canonical_id", "entity_type", "canonical_name",
+                "name_norm").write.mode("overwrite").parquet(_KG_HS_ENTS_PATH)
+    return hybrid_search(spark, ents, vecs, "sabbath", k=5) \
         .select("entity_type", "canonical_name", "final_score")
+
+
+_KG_IS_HITS_PATH = "/tmp/kg_is_hits.parquet"
+_KG_IS_CTX_PATH = "/tmp/kg_is_ctx.parquet"
 
 
 def kg_intent_search(spark, sf_dir):
     """Natural-language intent dispatch + graph-enriched hybrid search
-    (rows-only; reference semantic_query.py:70-331)."""
+    (reference semantic_query.py:70-331), as a decision oracle
+    (upgraded from rows-only, r4): parse_intent('bands similar to
+    sabbath') routes the extracted target into the hybrid search;
+    the entry exports those hybrid hits (whose merge decision is
+    itself oracled by kg_hybrid_search) plus the 1-hop graph-context
+    dim, and the DuckDB oracle independently replays the context
+    left-join, the tiered explanation string (similarity band |
+    intent blurb | first-3 genres | member count), the
+    intent-conditional boost (1.0 for find_similar) and the
+    (combined_score DESC, canonical_name) top-k."""
     from metal_history_knowledge_graph_spark.operators.embeddings import (
         embed_entities,
+        hybrid_search,
     )
-    from metal_history_knowledge_graph_spark.operators.intent import intent_search
+    from metal_history_knowledge_graph_spark.operators.intent import (
+        graph_context,
+        intent_search,
+    )
 
     store = _kg_store(spark, sf_dir)
     ents = store.read("entities")
+    vecs = embed_entities(ents)
+    edges = store.read("edges")
+    hybrid_search(spark, ents, vecs, "sabbath", k=10).select(
+        "canonical_id", "entity_type", "canonical_name", "final_score"
+    ).write.mode("overwrite").parquet(_KG_IS_HITS_PATH)
+    graph_context(ents, edges).select(
+        "canonical_id", "genres", "n_members"
+    ).write.mode("overwrite").parquet(_KG_IS_CTX_PATH)
     return intent_search(
-        spark, ents, embed_entities(ents), store.read("edges"),
+        spark, ents, vecs, edges,
         "bands similar to sabbath", k=5,
     ).withColumn("genres", F.array_join(F.coalesce("genres", F.array()), ","))
+
+
+_KG_MON_EDGES_PATH = "/tmp/kg_mon_edges.parquet"
+_KG_MON_VARS_PATH = "/tmp/kg_mon_vars.parquet"
+_KG_MON_TRUTH_PATH = "/tmp/kg_mon_truth.parquet"
+_KG_MON_RANKING_PATH = "/tmp/kg_mon_ranking.parquet"
+_KG_MON_LABELS_PATH = "/tmp/kg_mon_labels.parquet"
 
 
 def kg_monitor(spark, sf_dir):
     """Quality monitors (extraction F1 / search latency / graph growth
     / retrieval P-R-MRR@10 over a labeled query set) with
-    metrics-history append (rows-only; reference
-    quality_monitor.py:25-430 + benchmark_search.py:97-148). Sandbox
-    latency threshold is loosened — Spark fixed overhead, not Kuzu
-    point-lookup scale. The metric ARITHMETIC is exact-oracled by
-    q_search_quality; this row shows it wired into the real store."""
+    metrics-history append (reference quality_monitor.py:25-430 +
+    benchmark_search.py:97-148), as a decision oracle (upgraded from
+    rows-only, r4): the DuckDB oracle re-derives the F1 from the
+    exported triple-match inputs FROM SCRATCH (the kg_quality replay,
+    float arithmetic this time — both engines divide the same BIGINT
+    counts), replays the MRR@10 first-relevant-rank arithmetic over
+    the exported ranking/labels tables, and counts entities/edges from
+    the exports. Sandbox latency threshold is loosened — Spark fixed
+    overhead, not Kuzu point-lookup scale."""
+    from metal_history_knowledge_graph_spark.operators.embeddings import (
+        embed_entities,
+        embed_texts_df,
+    )
     from metal_history_knowledge_graph_spark.operators.monitor import (
         DEFAULT_THRESHOLDS,
         run_all_monitors,
     )
+    from metal_history_knowledge_graph_spark.operators.simsearch import batch_topk
     from metal_history_knowledge_graph_spark.sources.corpus import generate_truth
 
     store = _kg_store(spark, sf_dir)
@@ -4114,6 +4177,27 @@ def kg_monitor(spark, sf_dir):
          "search_mrr_min": 0.0},
         relevance=relevance,
     )
+    # oracle exports: the F1 replay inputs (from-scratch triple match)
+    # and the ranking/labels tables the MRR arithmetic consumed — the
+    # ranking is recomputed with the same deterministic expression
+    # monitor_search_quality evaluated (search_quality_benchmark's
+    # batch_topk + name join).
+    _export_prf_inputs(store, truth, _KG_MON_EDGES_PATH,
+                       _KG_MON_VARS_PATH, _KG_MON_TRUTH_PATH)
+    ents = store.read("entities")
+    texts = list(relevance.keys())
+    queries_df = embed_texts_df(spark, texts).select(
+        F.col("qid").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch_topk(embed_entities(ents), queries_df, k=10,
+               id_col="canonical_id").join(
+        ents.select("canonical_id", "canonical_name"), "canonical_id"
+    ).select("query_id", "canonical_name", "rank").write.mode(
+        "overwrite").parquet(_KG_MON_RANKING_PATH)
+    spark.createDataFrame(
+        [(i, name) for i, t in enumerate(texts) for name in relevance[t]],
+        "query_id int, canonical_name string",
+    ).write.mode("overwrite").parquet(_KG_MON_LABELS_PATH)
     return row.select("n_entities", "n_edges", "f1", "search_mrr")
 
 
@@ -4187,11 +4271,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver rows in CORRECTNESS_r03 (and the 14 relational ones in
     CORRECTNESS_r02 too); every displaced pair stays pinned each run
     by tests/test_oracle_parity.py, which checks ALL oracle pairs
-    regardless of position. Immediately after the window sit the five
-    oracles NEW this round (kg_entity_counts, kg_triples,
-    kg_components, kg_birmingham, q_prefix_groups — parity-green at
-    sf0.001 and sf0.01, candidates for the round-5 rotation), then the
-    remaining oracle-backed catalog, then the rows-only kg_* tail."""
+    regardless of position. Immediately after the window sit the
+    NINETEEN oracles new this round (kg_entity_counts … kg_monitor,
+    positions 51-69 — parity-green at sf0.001 and sf0.01, candidates
+    for the round-5 rotation), then the remaining oracle-backed
+    catalog. As of r4 EVERY entry, including all kg_* pipeline
+    queries, carries an exact DuckDB oracle — no rows-only tail."""
     return {
         # ---- driver window: the 50 never-driver-hashed oracles ----
         "q_webtext_prep": q_webtext_prep,
@@ -4263,6 +4348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_analysis": kg_path_analysis,
         "kg_validation": kg_validation,
         "kg_quality": kg_quality,
+        "kg_hybrid_search": kg_hybrid_search,
+        "kg_intent_search": kg_intent_search,
+        "kg_monitor": kg_monitor,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -4325,10 +4413,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_asof_join": q_asof_join,
         "q_search_quality": q_search_quality,
-        # KG pipeline (non-SQL-expressible → rows-only check)
-        "kg_hybrid_search": kg_hybrid_search,
-        "kg_intent_search": kg_intent_search,
-        "kg_monitor": kg_monitor,
     }
 
 
@@ -5540,6 +5624,135 @@ def oracle_sql() -> dict[str, str]:
                    CAST(me AS BIGINT) AS matched_edges,
                    CAST(mt AS BIGINT) AS matched_truth
             FROM mic
+        """,
+        # Independent replay of the hybrid merge over the exported full
+        # semantic score table + entity dim: top-k·3 semantic cut,
+        # keyword tiers, full-outer 0.7/0.3 blend, name-joined top-k.
+        "kg_hybrid_search": f"""
+            WITH s AS (SELECT * FROM '{_KG_HS_SCORES_PATH}/*.parquet'),
+            d AS (SELECT * FROM '{_KG_HS_ENTS_PATH}/*.parquet'),
+            sem AS (
+                SELECT canonical_id, cosine AS semantic_score FROM s
+                ORDER BY cosine DESC, canonical_id LIMIT 15
+            ),
+            kw AS (
+                SELECT canonical_id,
+                       CASE WHEN name_norm = 'sabbath' THEN 1.0
+                            WHEN starts_with(name_norm, 'sabbath') THEN 0.8
+                            ELSE 0.5 END AS keyword_score
+                FROM d WHERE contains(name_norm, 'sabbath')
+            ),
+            merged AS (
+                SELECT coalesce(sem.canonical_id, kw.canonical_id)
+                           AS canonical_id,
+                       coalesce(semantic_score, 0.0) AS semantic_score,
+                       coalesce(keyword_score, 0.0) AS keyword_score
+                FROM sem FULL OUTER JOIN kw
+                  ON sem.canonical_id = kw.canonical_id
+            )
+            SELECT d.entity_type, d.canonical_name,
+                   round(0.7 * semantic_score + 0.3 * keyword_score, 6)
+                       AS final_score
+            FROM merged m JOIN d ON d.canonical_id = m.canonical_id
+            ORDER BY final_score DESC, canonical_name LIMIT 5
+        """,
+        # Context left-join + tiered explanation + find_similar boost
+        # replay over the exported hybrid hits and 1-hop context dim.
+        "kg_intent_search": f"""
+            WITH h AS (SELECT * FROM '{_KG_IS_HITS_PATH}/*.parquet'),
+            c AS (SELECT * FROM '{_KG_IS_CTX_PATH}/*.parquet'),
+            e AS (
+                SELECT h.entity_type, h.canonical_name, h.final_score,
+                       c.genres, c.n_members
+                FROM h LEFT JOIN c ON c.canonical_id = h.canonical_id
+            )
+            SELECT entity_type, canonical_name,
+                   'find_similar' AS intent,
+                   round(final_score * 1.0, 6) AS combined_score,
+                   concat_ws(' | ',
+                       CASE WHEN final_score > 0.8
+                                THEN 'Very high semantic similarity'
+                            WHEN final_score > 0.6
+                                THEN 'Strong semantic match'
+                            WHEN final_score > 0.4
+                                THEN 'Moderate semantic match' END,
+                       'Similar musical style and characteristics',
+                       CASE WHEN genres IS NOT NULL AND len(genres) > 0
+                            THEN 'Genres: '
+                                 || array_to_string(genres[1:3], ', ') END,
+                       CASE WHEN n_members IS NOT NULL
+                            THEN CAST(n_members AS VARCHAR)
+                                 || ' known members' END
+                   ) AS explanation,
+                   CASE WHEN genres IS NULL THEN ''
+                        ELSE array_to_string(genres, ',') END AS genres,
+                   n_members
+            FROM e ORDER BY combined_score DESC, canonical_name LIMIT 5
+        """,
+        # F1 re-derived from scratch (the kg_quality replay, float
+        # arithmetic — both engines divide the same BIGINT counts) +
+        # MRR@10 first-relevant-rank replay + export-derived counts.
+        "kg_monitor": f"""
+            WITH e AS (SELECT * FROM '{_KG_MON_EDGES_PATH}/*.parquet'),
+            t AS (
+                SELECT DISTINCT pred, lower(trim(subj_name)) AS subj,
+                       lower(trim(obj_name)) AS obj
+                FROM '{_KG_MON_TRUTH_PATH}/*.parquet'
+            ),
+            v AS (SELECT * FROM '{_KG_MON_VARS_PATH}/*.parquet'),
+            m AS (
+                SELECT e.edge_key, t.pred, t.subj, t.obj
+                FROM e
+                JOIN v sv ON sv.canonical_id = e.subj_id
+                JOIN v ov ON ov.canonical_id = e.obj_id
+                JOIN t ON e.pred = t.pred AND sv.var = t.subj
+                      AND ov.var = t.obj
+            ),
+            c AS (
+                SELECT
+                    (SELECT count(*) FROM e) AS n_edge_rows,
+                    (SELECT count(DISTINCT canonical_id) FROM v) AS n_ents,
+                    (SELECT count(DISTINCT edge_key) FROM e) AS ne,
+                    (SELECT count(*) FROM t) AS nt,
+                    (SELECT count(DISTINCT edge_key) FROM m) AS me,
+                    (SELECT count(*) FROM
+                        (SELECT DISTINCT pred, subj, obj FROM m)) AS mt
+            ),
+            pr AS (
+                SELECT n_edge_rows, n_ents,
+                    CASE WHEN ne > 0 THEN CAST(me AS DOUBLE) / ne
+                         ELSE 0.0 END AS p,
+                    CASE WHEN nt > 0 THEN CAST(mt AS DOUBLE) / nt
+                         ELSE 0.0 END AS r
+                FROM c
+            ),
+            lab AS (
+                SELECT DISTINCT query_id, canonical_name
+                FROM '{_KG_MON_LABELS_PATH}/*.parquet'
+            ),
+            topk AS (
+                SELECT query_id, canonical_name, rank
+                FROM '{_KG_MON_RANKING_PATH}/*.parquet' WHERE rank <= 10
+            ),
+            firsts AS (
+                SELECT k.query_id, min(k.rank) AS fr
+                FROM topk k JOIN lab
+                  ON lab.query_id = k.query_id
+                 AND lab.canonical_name = k.canonical_name
+                GROUP BY k.query_id
+            ),
+            qs AS (SELECT DISTINCT query_id FROM lab),
+            rr AS (
+                SELECT q.query_id, coalesce(1.0 / f.fr, 0.0) AS rr
+                FROM qs q LEFT JOIN firsts f ON f.query_id = q.query_id
+            ),
+            mrr AS (SELECT round(avg(rr), 4) AS search_mrr FROM rr)
+            SELECT CAST(n_ents AS BIGINT) AS n_entities,
+                   CAST(n_edge_rows AS BIGINT) AS n_edges,
+                   CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+                        ELSE 0.0 END AS f1,
+                   search_mrr
+            FROM pr, mrr
         """,
         # Broadcast-join + city-filter replay over the exported
         # FORMED_IN endpoints and location dim.

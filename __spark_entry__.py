@@ -12,8 +12,8 @@ itself (kg_* — pipeline outputs checked via trusted-export decision
 oracles: the entry exports the pipeline-internal inputs and the DuckDB
 side re-derives the result from scratch).
 
-``oracle_sql()`` — exact DuckDB equivalents for EVERY query (129/129
-as of r4; zero rows-only entries remain); column names and float
+``oracle_sql()`` — exact DuckDB equivalents for EVERY query (zero
+rows-only entries remain as of r4); column names and float
 rounding match the Spark side so the driver's order-insensitive
 value-hash agrees.
 """
@@ -2025,6 +2025,50 @@ def q_lm_score(spark, sf_dir):
     return scored.select(
         "doc_id", "lm_tokens", "nll_sum_micro", "avg_nll_micro", "lm_keep"
     )
+
+
+_QCLF_WEIGHTS_PATH = "/tmp/kg_qclf_weights.parquet"
+_QCLF_PARAMS_PATH = "/tmp/kg_qclf_params.parquet"
+
+
+def q_quality_clf(spark, sf_dir):
+    """FastText-style linear quality classifier
+    (operators/quality_clf — the CCNet/RefinedWeb model-based quality
+    gate): train NB log-odds weights on the labeled slice
+    (doc_id < 200, label = doc_id % 3 ≠ 0), score the held-out 300
+    documents in integer micro-nats, gate at score > 0. Decision
+    oracle (the q_lm_score trusted-export pattern, hardened): Spark
+    exports the weight table WITH its per-class counts and the params
+    row WITH the scalar sufficient statistics; DuckDB re-derives every
+    count from the raw corpus independently and equi-joins the exports
+    ON THE COUNTS, so any drift in the Spark training aggregation
+    breaks the join and surfaces — only the pinned-in-pytest ln stays
+    exported."""
+    from metal_history_knowledge_graph_spark.operators.quality_clf import (
+        score_documents_nb,
+        train_nb_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = docs.filter(F.col("doc_id") < 200).withColumn(
+        "label", (F.col("doc_id") % 3 != 0).cast("int")
+    )
+    weights, params = train_nb_classifier(labeled)
+    weights.coalesce(1).write.mode("overwrite").parquet(_QCLF_WEIGHTS_PATH)
+    spark.createDataFrame(
+        [(params["n_pos_docs"], params["n_neg_docs"], params["total_pos"],
+          params["total_neg"], params["vocab_size"], params["prior_micro"],
+          params["oov_w_micro"])],
+        "n_pos_docs long, n_neg_docs long, total_pos long, total_neg long, "
+        "vocab_size long, prior_micro long, oov_w_micro long",
+    ).coalesce(1).write.mode("overwrite").parquet(_QCLF_PARAMS_PATH)
+    scored = score_documents_nb(
+        docs.filter(F.col("doc_id") >= 200), weights,
+        params["prior_micro"], params["oov_w_micro"],
+    )
+    return scored.select(
+        "doc_id", "clf_tokens", "score_micro", "clf_keep"
+    ).orderBy("doc_id")
 
 
 _DSIR_LR_PATH = "/tmp/kg_dsir_lr.parquet"
@@ -4351,6 +4395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hybrid_search": kg_hybrid_search,
         "kg_intent_search": kg_intent_search,
         "kg_monitor": kg_monitor,
+        "q_quality_clf": q_quality_clf,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -6913,6 +6958,68 @@ def oracle_sql() -> dict[str, str]:
         # exported (freq -> nll_micro) log function and OOV scalar are
         # trusted exports (pytest pins them vs math.log); every sum /
         # divide is BIGINT so the replay is bit-exact.
+        # NB quality-classifier replay: re-derive the per-term
+        # class counts AND the scalar sufficient statistics from the
+        # raw corpus, equi-join the exports ON THE COUNTS (training
+        # drift breaks the join), then BIGINT score + gate.
+        "q_quality_clf": f"""
+            WITH lab AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS y,
+                       text
+                FROM documents WHERE doc_id < 200
+            ), ltoks AS (
+                SELECT y, unnest({toks}) AS term FROM lab
+            ), cnt AS (
+                SELECT term,
+                       CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS pos,
+                       CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS neg
+                FROM ltoks GROUP BY term
+            ), w AS (
+                SELECT c.term, e.w_micro
+                FROM cnt c
+                JOIN '{_QCLF_WEIGHTS_PATH}/*.parquet' e
+                  ON e.term = c.term AND e.pos = c.pos AND e.neg = c.neg
+            ), p AS (
+                SELECT pe.prior_micro, pe.oov_w_micro
+                FROM '{_QCLF_PARAMS_PATH}/*.parquet' pe
+                JOIN (
+                    SELECT count(*) AS v, CAST(sum(pos) AS BIGINT) AS tp,
+                           CAST(sum(neg) AS BIGINT) AS tn
+                    FROM cnt
+                ) s ON pe.vocab_size = s.v AND pe.total_pos = s.tp
+                   AND pe.total_neg = s.tn
+                JOIN (
+                    SELECT CAST(sum(y) AS BIGINT) AS np,
+                           CAST(sum(1 - y) AS BIGINT) AS nn
+                    FROM lab
+                ) d ON pe.n_pos_docs = d.np AND pe.n_neg_docs = d.nn
+            ), held AS (
+                SELECT doc_id, text FROM documents WHERE doc_id >= 200
+            ), stoks AS (
+                SELECT doc_id, unnest({toks}) AS term FROM held
+            ), per AS (
+                SELECT s.doc_id,
+                       CAST(count(*) AS BIGINT) AS clf_tokens,
+                       CAST(sum(coalesce(w.w_micro, p.oov_w_micro))
+                            AS BIGINT) AS wsum
+                FROM stoks s
+                LEFT JOIN w USING (term)
+                CROSS JOIN p
+                GROUP BY s.doc_id
+            )
+            SELECT h.doc_id,
+                   coalesce(per.clf_tokens, 0) AS clf_tokens,
+                   CAST(p.prior_micro + coalesce(per.wsum, 0)
+                        AS BIGINT) AS score_micro,
+                   (p.prior_micro + coalesce(per.wsum, 0)) > 0 AS clf_keep
+            FROM held h
+            LEFT JOIN per ON per.doc_id = h.doc_id
+            CROSS JOIN p
+            ORDER BY h.doc_id
+        """,
         "q_lm_score": f"""
             WITH logtab AS (
                 SELECT * FROM '{_LM_LOGTAB_PATH}/*.parquet'

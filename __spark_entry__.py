@@ -2071,6 +2071,46 @@ def q_quality_clf(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+_TFIDF_IDF_PATH = "/tmp/kg_tfidf_idf.parquet"
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """TF-IDF keyword extraction (operators/keywords): top-5 salient
+    terms per document by tf·idf in integer micro-nats, deterministic
+    (score DESC, term ASC) tie-break. Decision oracle (the q_lm_score
+    trusted-export pattern): Spark exports the tiny (df → idf_micro)
+    log table; DuckDB recomputes tf AND df independently from the raw
+    text and joins the export ON df — a drifted document-frequency
+    breaks the join and surfaces; the ln is pinned against math.log
+    in pytest."""
+    from metal_history_knowledge_graph_spark.operators.keywords import (
+        idf_log_table,
+        tfidf_keywords,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    kw, idf, _n = tfidf_keywords(docs, k=5)
+    idf_log_table(idf).coalesce(1).write.mode("overwrite").parquet(
+        _TFIDF_IDF_PATH)
+    return kw.orderBy("doc_id", "rank")
+
+
+def q_kn_bigrams(spark, sf_dir):
+    """Kneser-Ney bigram LM statistics (operators/ngram_lm): bigram /
+    prefix / continuation counts and the interpolated-KN probability
+    with absolute discount 0.75, ALL in integer micro-unit arithmetic
+    — no logs, no floats, no exports. The DuckDB oracle re-derives
+    the entire table from the raw text (list-transform bigrams, the
+    same three aggregations, the same floor-divides) — a full
+    from-scratch replay. Top-100 bigrams by (c12 DESC, w1, w2)."""
+    from metal_history_knowledge_graph_spark.operators.ngram_lm import bigram_kn
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_kn(docs).orderBy(
+        F.desc("c12"), "w1", "w2"
+    ).limit(100)
+
+
 _DSIR_LR_PATH = "/tmp/kg_dsir_lr.parquet"
 _DSIR_N_BUCKETS = 4096
 _DSIR_K = 100
@@ -4396,6 +4436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_intent_search": kg_intent_search,
         "kg_monitor": kg_monitor,
         "q_quality_clf": q_quality_clf,
+        "q_tfidf_keywords": q_tfidf_keywords,
+        "q_kn_bigrams": q_kn_bigrams,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -6958,6 +7000,77 @@ def oracle_sql() -> dict[str, str]:
         # exported (freq -> nll_micro) log function and OOV scalar are
         # trusted exports (pytest pins them vs math.log); every sum /
         # divide is BIGINT so the replay is bit-exact.
+        # TF-IDF replay: independent tf + df recomputation joined
+        # against the exported (df → idf_micro) log table ON df, then
+        # the identical BIGINT scores and per-doc top-5 window cut.
+        "q_tfidf_keywords": f"""
+            WITH tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+                GROUP BY doc_id, term
+            ), dfq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS dfv
+                FROM tf GROUP BY term
+            ), idf AS (
+                SELECT d.term, e.idf_micro
+                FROM dfq d JOIN '{_TFIDF_IDF_PATH}/*.parquet' e
+                  ON e.df = d.dfv
+            ), scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       CAST(tf.tf * idf.idf_micro AS BIGINT) AS score_micro
+                FROM tf JOIN idf USING (term)
+            ), rk AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score_micro DESC, term
+                ) AS rank FROM scored
+            )
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf,
+                   score_micro
+            FROM rk WHERE rank <= 5 ORDER BY doc_id, rank
+        """,
+        # Full from-scratch KN replay: list-transform bigrams, the
+        # same three aggregations, the same positive floor-divides.
+        "q_kn_bigrams": f"""
+            WITH toksed AS (SELECT {toks} AS t FROM documents),
+            bgl AS (
+                SELECT list_transform(
+                    range(1, len(t)),
+                    i -> {{'w1': t[i], 'w2': t[i + 1]}}
+                ) AS bgs
+                FROM toksed WHERE len(t) >= 2
+            ),
+            bg AS (
+                SELECT b.w1 AS w1, b.w2 AS w2
+                FROM (SELECT unnest(bgs) AS b FROM bgl)
+            ),
+            c12 AS (
+                SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                FROM bg GROUP BY w1, w2
+            ),
+            prefix AS (
+                SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                       CAST(count(*) AS BIGINT) AS n1_fwd
+                FROM c12 GROUP BY w1
+            ),
+            cont AS (
+                SELECT w2, CAST(count(*) AS BIGINT) AS n1_bwd
+                FROM c12 GROUP BY w2
+            ),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS nbt FROM c12)
+            SELECT c12.w1, c12.w2, c12.c12, p.c1, p.n1_fwd, c.n1_bwd,
+                   CAST((1000000 * c.n1_bwd) // nbt AS BIGINT)
+                       AS pcont_micro,
+                   CAST((1000000 * c12.c12 - 750000) // p.c1
+                        + (((750000 * p.n1_fwd) // p.c1)
+                           * ((1000000 * c.n1_bwd) // nbt)) // 1000000
+                        AS BIGINT) AS pkn_micro
+            FROM c12
+            JOIN prefix p USING (w1)
+            JOIN cont c USING (w2)
+            CROSS JOIN tot
+            ORDER BY c12.c12 DESC, w1, w2 LIMIT 100
+        """,
         # NB quality-classifier replay: re-derive the per-term
         # class counts AND the scalar sufficient statistics from the
         # raw corpus, equi-join the exports ON THE COUNTS (training

@@ -1,0 +1,119 @@
+"""Kneser-Ney bigram statistics — the n-gram LM-training counts a
+text pipeline materializes per corpus snapshot (classic LM baselines,
+contamination fingerprints, domain-shift diagnostics, tokenizer
+audits).
+
+Interpolated KN with absolute discount d (Chen & Goodman 1999):
+
+    p_kn(w2|w1) = max(c(w1,w2) − d, 0) / c(w1·)
+                  + (d · N1+(w1,·) / c(w1·)) · p_cont(w2)
+    p_cont(w2)  = N1+(·,w2) / |distinct bigrams|
+
+where ``c(w1·) = Σ_x c(w1,x)`` (the prefix mass), ``N1+(w1,·)`` the
+distinct continuations of w1 and ``N1+(·,w2)`` the distinct contexts
+of w2 — the "how many different contexts" counts that make KN beat
+raw MLE backoff.
+
+Determinism / oracle design: every quantity here is an integer count
+or a micro-unit floor-divide over integer counts (d is supplied in
+micro-units, default 750 000 = 0.75) — NO logs, NO floats, NO
+exports. A DuckDB oracle re-derives the whole table from the raw text
+independently; both engines agree bit-exactly. Since the bigram count
+is ≥ 1 and d < 1, the discounted numerator ``1e6·c12 − d_micro``
+never clips, so ``max(·,0)`` is algebraically dropped.
+
+Scale shape (100 TB): bigram expansion is a narrow per-document
+``transform`` over the token array (no self-join); c12 is one
+(w1, w2) partial agg; the prefix/continuation tables are single
+re-aggregations of the vocabulary²-bounded (actually
+distinct-bigram-bounded) c12 table; the scalar distinct-bigram total
+attaches via a broadcast 1-row cross-join — nothing driver-side, no
+global sort. localCheckpoint on c12 cuts the shared-lineage re-run
+(it feeds three consumers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import _tokens
+
+#: micro-units: probabilities/discounts scaled by 1e6, BIGINT after.
+MICRO = 1_000_000
+#: the standard KN absolute discount 0.75, in micro-units.
+D_MICRO = 750_000
+
+
+def bigram_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w1, w2) bigram occurrence rows — a per-document array
+    transform, never a positional self-join."""
+    return (
+        df.select(_tokens(F.col(text_col)).alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+
+
+def bigram_kn(
+    df: DataFrame,
+    text_col: str = "text",
+    discount_micro: int = D_MICRO,
+) -> DataFrame:
+    """The full KN bigram table: (w1, w2, c12, c1, n1_fwd, n1_bwd,
+    pcont_micro, pkn_micro), all BIGINT.
+
+    * ``c12`` — bigram count; ``c1`` — prefix mass Σ_x c(w1,x);
+    * ``n1_fwd`` — N1+(w1,·); ``n1_bwd`` — N1+(·,w2);
+    * ``pcont_micro = (1e6 · n1_bwd) div D`` with D = distinct
+      bigram types;
+    * ``pkn_micro = (1e6·c12 − d) div c1
+      + (((d·n1_fwd) div c1) · pcont_micro) div 1e6``.
+
+    Magnitudes: lambda ≤ d < 1e6, pcont ≤ 1e6 → their product
+    < 1e12; the discounted numerator ≤ 1e6·c12 — BIGINT-safe to
+    ~9·10¹² bigram occurrences of a single type.
+    """
+    d = int(discount_micro)
+    if not 0 < d < MICRO:
+        raise ValueError(f"discount_micro must be in (0, 1e6): {d}")
+    c12 = (
+        bigram_pairs(df, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    prefix = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1_fwd"),
+    )
+    cont = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1_bwd")
+    )
+    totals = c12.agg(F.count(F.lit(1)).cast("long").alias("n_bigram_types"))
+    return (
+        c12.join(prefix, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pcont_micro",
+            F.expr(f"({MICRO} * n1_bwd) div n_bigram_types"),
+        )
+        .withColumn(
+            "pkn_micro",
+            F.expr(
+                f"({MICRO} * c12 - {d}) div c1"
+                f" + ((({d} * n1_fwd) div c1) * pcont_micro) div {MICRO}"
+            ),
+        )
+        .select("w1", "w2", "c12", "c1", "n1_fwd", "n1_bwd",
+                "pcont_micro", "pkn_micro")
+    )

@@ -1,0 +1,122 @@
+"""TF-IDF keyword extraction (operators/keywords) and Kneser-Ney
+bigram statistics (operators/ngram_lm): idf pinned against math.log,
+top-k tie-breaks, exact integer KN replay in pure Python, and the
+narrow bigram plan (no self-join)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from metal_history_knowledge_graph_spark.operators.keywords import (
+    MICRO,
+    idf_log_table,
+    tfidf_keywords,
+)
+from metal_history_knowledge_graph_spark.operators.ngram_lm import (
+    D_MICRO,
+    bigram_kn,
+    bigram_pairs,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat"),
+    (2, "cat and dog and cat"),
+    (3, ""),  # token-free: counts toward N, contributes no terms
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_idf_pinned_against_math_log(spark):
+    _kw, idf, n_docs = tfidf_keywords(_docs(spark), k=3)
+    assert n_docs == 4
+    rows = {r["term"]: r for r in idf.collect()}
+    # df: the=2 cat=2 sat=2 dog=2 on=1 mat=1 and=1
+    assert rows["the"]["df"] == 2 and rows["and"]["df"] == 1
+    for term, r in rows.items():
+        expect = math.floor(math.log(4 / r["df"]) * MICRO + 0.5)
+        assert r["idf_micro"] == expect, term
+    # log table: one row per distinct df (2 here: 1 and 2)
+    assert idf_log_table(idf).count() == 2
+
+
+def test_keyword_topk_and_tiebreak(spark):
+    kw, idf, _ = tfidf_keywords(_docs(spark), k=2)
+    idf_m = {r["term"]: r["idf_micro"] for r in idf.collect()}
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["score_micro"])
+        for r in kw.collect()
+    }
+    # doc 2: cat tf=2 df=2, and tf=2 df=1 → 'and' has higher idf, wins
+    assert got[(2, 1)] == ("and", 2 * idf_m["and"])
+    assert got[(2, 2)] == ("cat", 2 * idf_m["cat"])
+    # doc 1: the/dog/sat all tf=1 df=2 → equal scores, term ASC breaks
+    assert got[(1, 1)][0] == "dog" and got[(1, 2)][0] == "sat"
+    # token-free doc yields no keyword rows
+    assert not any(d == 3 for d, _r in got)
+
+
+def test_bigram_pairs_shape(spark):
+    rows = sorted(
+        (r["w1"], r["w2"]) for r in bigram_pairs(_docs(spark)).collect()
+    )
+    assert ("the", "cat") in rows and ("and", "cat") in rows
+    # doc sizes 6, 3, 5, 0 → 5 + 2 + 4 bigram occurrences
+    assert len(rows) == 11
+
+
+def test_kn_exact_python_replay(spark):
+    out = {
+        (r["w1"], r["w2"]): r for r in bigram_kn(_docs(spark)).collect()
+    }
+    # independent pure-Python replay
+    toks = [d[1].split() for d in DOCS if d[1]]
+    bgs = [(t[i], t[i + 1]) for t in toks for i in range(len(t) - 1)]
+    c12, c1, fwd, bwd = {}, {}, {}, {}
+    for a, b in bgs:
+        c12[(a, b)] = c12.get((a, b), 0) + 1
+    for (a, b), c in c12.items():
+        c1[a] = c1.get(a, 0) + c
+        fwd[a] = fwd.get(a, 0) + 1
+        bwd[b] = bwd.get(b, 0) + 1
+    nbt = len(c12)
+    assert len(out) == nbt
+    for (a, b), c in c12.items():
+        r = out[(a, b)]
+        pcont = (MICRO * bwd[b]) // nbt
+        pkn = (MICRO * c - D_MICRO) // c1[a] + (
+            ((D_MICRO * fwd[a]) // c1[a]) * pcont
+        ) // MICRO
+        assert (r["c12"], r["c1"], r["n1_fwd"], r["n1_bwd"]) == (
+            c, c1[a], fwd[a], bwd[b]
+        ), (a, b)
+        assert r["pcont_micro"] == pcont and r["pkn_micro"] == pkn, (a, b)
+    # KN normalization: the discounted (term-1) mass over OBSERVED
+    # continuations plus the backoff weight λ equals 1 — the λ·p_cont
+    # tail spreads over the FULL vocabulary, so only this partial
+    # invariant is checkable from the observed rows (floor slack
+    # ≤ one micro-unit per observed continuation).
+    a = "the"
+    term1_mass = sum(
+        (MICRO * c - D_MICRO) // c1[a]
+        for (x, _b), c in c12.items() if x == a
+    )
+    lam = (D_MICRO * fwd[a]) // c1[a]
+    assert MICRO - fwd[a] - 1 <= term1_mass + lam <= MICRO
+
+
+def test_kn_discount_guard(spark):
+    with pytest.raises(ValueError, match="discount_micro"):
+        bigram_kn(_docs(spark), discount_micro=MICRO)
+
+
+def test_bigram_plan_has_no_join_before_agg(spark):
+    """Bigram expansion must be a narrow per-row transform — no
+    positional self-join of the token table."""
+    plan = bigram_pairs(_docs(spark))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan

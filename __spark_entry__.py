@@ -2095,6 +2095,28 @@ def q_tfidf_keywords(spark, sf_dir):
     return kw.orderBy("doc_id", "rank")
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy hitters (operators/heavy_hitters — the
+    sketch family's frequency-threshold member): every token whose
+    relative frequency clears 3.4%, with its EXACT count. Two-pass:
+    bounded per-partition MG summaries (Arrow-batched mapInPandas,
+    ≤ capacity rows each) → candidate set → broadcast semi-join exact
+    recount → integer ppm filter. The output is deterministic
+    regardless of partitioning (the sketch only gates candidacy, and
+    its undercount bound guarantees candidate completeness), so the
+    DuckDB oracle computes the answer DIRECTLY — exact groupBy + the
+    same BIGINT filter, no exports: a sketch that dropped a true
+    heavy hitter would surface as a missing row."""
+    from metal_history_knowledge_graph_spark.operators.heavy_hitters import (
+        heavy_hitters,
+    )
+    from metal_history_knowledge_graph_spark.operators.textstats import _tokens
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("term"))
+    return heavy_hitters(toks, "term", threshold_ppm=34000)
+
+
 def q_kn_bigrams(spark, sf_dir):
     """Kneser-Ney bigram LM statistics (operators/ngram_lm): bigram /
     prefix / continuation counts and the interpolated-KN probability
@@ -4438,6 +4460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_clf": q_quality_clf,
         "q_tfidf_keywords": q_tfidf_keywords,
         "q_kn_bigrams": q_kn_bigrams,
+        "q_heavy_hitters": q_heavy_hitters,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -7028,6 +7051,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf,
                    score_micro
             FROM rk WHERE rank <= 5 ORDER BY doc_id, rank
+        """,
+        # Heavy hitters: the output is partitioning-independent (exact
+        # recount of a provably-complete candidate set), so the oracle
+        # computes it directly — no exports.
+        "q_heavy_hitters": f"""
+            WITH tk AS (SELECT unnest({toks}) AS item FROM documents),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk),
+            c AS (
+                SELECT item, CAST(count(*) AS BIGINT) AS freq
+                FROM tk GROUP BY item
+            )
+            SELECT item, freq FROM c, n
+            WHERE freq * 1000000 >= 34000 * n
+            ORDER BY freq DESC, item
         """,
         # Full from-scratch KN replay: list-transform bigrams, the
         # same three aggregations, the same positive floor-divides.

@@ -2095,6 +2095,75 @@ def q_tfidf_keywords(spark, sf_dir):
     return kw.orderBy("doc_id", "rank")
 
 
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap XML source (sources/sitemap): parse sitemaps.org
+    urlset + sitemapindex documents into typed URL rows — loc,
+    lastmod, changefreq, priority in integer permille (spec default
+    500). Three synthetic sitemaps are assembled deterministically
+    from the documents table (field presence varies by doc_id mod
+    classes so every absent-field path is exercised; sitemap 0 also
+    carries an index child); the DuckDB oracle assembles the
+    byte-identical XML with string_agg and replays the whole
+    block-explode + per-field regex parse (shared RE2/Java-safe
+    patterns, the q_pii_redact build-then-parse pattern)."""
+    from metal_history_knowledge_graph_spark.sources.sitemap import parse_sitemaps
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 60)
+    entry_xml = F.concat(
+        F.lit("<url><loc>https://ex.com/d"),
+        F.col("doc_id").cast("string"), F.lit("</loc>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("<lastmod>2024-01-"),
+                     F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+                     F.lit("</lastmod>")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("<changefreq>daily</changefreq>")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 != 0,
+            F.concat(F.lit("<priority>0."),
+                     (F.col("doc_id") % 10).cast("string"),
+                     F.lit("</priority>")),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    sm = (
+        ids.withColumn("_sm", F.col("doc_id") % 3)
+        .withColumn("_e", entry_xml)
+        .groupBy("_sm")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "_e"))),
+                        lambda s: s["_e"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("_body")
+        )
+        .select(
+            F.concat(F.lit("https://ex.com/sitemap-"),
+                     F.col("_sm").cast("string")).alias("sitemap_url"),
+            F.when(
+                F.col("_sm") == 0,
+                F.concat(
+                    F.col("_body"),
+                    F.lit("<sitemapindex><sitemap>"
+                          "<loc>https://ex.com/sitemap-child.xml</loc>"
+                          "<lastmod>2024-02-01</lastmod>"
+                          "</sitemap></sitemapindex>"),
+                ),
+            ).otherwise(F.col("_body")).alias("xml"),
+        )
+    )
+    return parse_sitemaps(sm).orderBy("sitemap_url", "kind", "loc")
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Misra-Gries heavy hitters (operators/heavy_hitters — the
     sketch family's frequency-threshold member): every token whose
@@ -4461,6 +4530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_keywords": q_tfidf_keywords,
         "q_kn_bigrams": q_kn_bigrams,
         "q_heavy_hitters": q_heavy_hitters,
+        "q_sitemap_parse": q_sitemap_parse,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -7051,6 +7121,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf,
                    score_micro
             FROM rk WHERE rank <= 5 ORDER BY doc_id, rank
+        """,
+        # Sitemap parse replay: assemble the byte-identical XML with
+        # string_agg, then the same block-explode + per-field regex
+        # extraction (shared RE2/Java-safe patterns).
+        "q_sitemap_parse": r"""
+            WITH ids AS (
+                SELECT doc_id FROM documents WHERE doc_id < 60
+            ), entries AS (
+                SELECT doc_id, doc_id % 3 AS sm,
+                       '<url><loc>https://ex.com/d' || CAST(doc_id AS VARCHAR)
+                       || '</loc>'
+                       || CASE WHEN doc_id % 2 = 0
+                          THEN '<lastmod>2024-01-'
+                               || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                               || '</lastmod>' ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0
+                          THEN '<changefreq>daily</changefreq>' ELSE '' END
+                       || CASE WHEN doc_id % 5 <> 0
+                          THEN '<priority>0.' || CAST(doc_id % 10 AS VARCHAR)
+                               || '</priority>' ELSE '' END
+                       || '</url>' AS e
+                FROM ids
+            ), sm AS (
+                SELECT 'https://ex.com/sitemap-' || CAST(sm AS VARCHAR)
+                           AS sitemap_url,
+                       '<urlset>' || string_agg(e, '' ORDER BY doc_id)
+                       || '</urlset>'
+                       || CASE WHEN sm = 0
+                          THEN '<sitemapindex><sitemap>'
+                               || '<loc>https://ex.com/sitemap-child.xml</loc>'
+                               || '<lastmod>2024-02-01</lastmod>'
+                               || '</sitemap></sitemapindex>' ELSE '' END
+                           AS xml
+                FROM entries GROUP BY sm
+            ), ublocks AS (
+                SELECT sitemap_url, 'url' AS kind,
+                       unnest(regexp_extract_all(
+                           xml, '<url>([\s\S]*?)</url>', 1)) AS b
+                FROM sm
+            ), iblocks AS (
+                SELECT sitemap_url, 'index' AS kind,
+                       unnest(regexp_extract_all(
+                           xml, '<sitemap>([\s\S]*?)</sitemap>', 1)) AS b
+                FROM sm
+            ), parsed AS (
+                SELECT sitemap_url, kind,
+                       nullif(regexp_extract(
+                           b, '<loc>\s*([^<\s][^<]*?)\s*</loc>', 1), '')
+                           AS loc,
+                       nullif(regexp_extract(
+                           b, '<lastmod>\s*([^<]*?)\s*</lastmod>', 1), '')
+                           AS lastmod,
+                       CASE WHEN kind = 'url' THEN nullif(regexp_extract(
+                           b, '<changefreq>\s*([^<]*?)\s*</changefreq>', 1),
+                           '') END AS changefreq,
+                       CASE WHEN kind = 'url' THEN coalesce(
+                           CAST(TRY_CAST(nullif(regexp_extract(
+                               b, '<priority>\s*([0-9.]+)\s*</priority>', 1),
+                               '') AS DECIMAL(4,3)) * 1000 AS BIGINT),
+                           500) END AS priority_permille
+                FROM (SELECT * FROM ublocks UNION ALL SELECT * FROM iblocks)
+            )
+            SELECT * FROM parsed WHERE loc IS NOT NULL
+            ORDER BY sitemap_url, kind, loc
         """,
         # Heavy hitters: the output is partitioning-independent (exact
         # recount of a provably-complete candidate set), so the oracle

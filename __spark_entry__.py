@@ -3467,6 +3467,34 @@ def q_robots_filter(spark, sf_dir):
     return robots_decide(urls, rules, agent="*").orderBy("domain", "path")
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap discovery from robots.txt (operators/robots.
+    robots_sitemaps — RFC 9309 §2.2.4: group-independent Sitemap
+    directives): a deterministic robots corpus per source domain
+    carries directives before AND inside rule groups, mixed key case,
+    a relative URL (dropped per spec) and an exact duplicate
+    (collapsed). Full from-scratch DuckDB replay: the same line
+    split, comment strip, first-colon key/value split, scheme filter
+    and distinct — no exports."""
+    from metal_history_knowledge_graph_spark.operators.robots import (
+        robots_sitemaps,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    robots = docs.select(F.col("source").alias("domain")).distinct().withColumn(
+        "robots_txt",
+        F.concat(
+            F.lit("# discovery\nSiteMap: https://"), F.col("domain"),
+            F.lit("/sitemap-index.xml\nUser-agent: *\nDisallow: /private/\n"
+                  "Sitemap: https://"), F.col("domain"),
+            F.lit("/sitemap-pages.xml\nSitemap: /relative-ignored.xml\n"
+                  "sitemap: https://"), F.col("domain"),
+            F.lit("/sitemap-pages.xml\n"),
+        ),
+    )
+    return robots_sitemaps(robots).orderBy("domain", "sitemap_url")
+
+
 def q_zorder(spark, sf_dir):
     """Z-order (Morton) layout math (operators/zorder.py — the
     OPTIMIZE ZORDER analogue for multi-column parquet pruning):
@@ -4531,6 +4559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kn_bigrams": q_kn_bigrams,
         "q_heavy_hitters": q_heavy_hitters,
         "q_sitemap_parse": q_sitemap_parse,
+        "q_robots_sitemaps": q_robots_sitemaps,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -7121,6 +7150,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf,
                    score_micro
             FROM rk WHERE rank <= 5 ORDER BY doc_id, rank
+        """,
+        # Sitemap-from-robots replay: identical synthetic bodies, then
+        # the same line split / comment strip / first-colon key-value
+        # split / scheme filter / distinct — no exports.
+        "q_robots_sitemaps": r"""
+            WITH r AS (SELECT DISTINCT source AS domain FROM documents),
+            bodies AS (
+                SELECT domain,
+                       '# discovery' || chr(10)
+                       || 'SiteMap: https://' || domain
+                       || '/sitemap-index.xml' || chr(10)
+                       || 'User-agent: *' || chr(10)
+                       || 'Disallow: /private/' || chr(10)
+                       || 'Sitemap: https://' || domain
+                       || '/sitemap-pages.xml' || chr(10)
+                       || 'Sitemap: /relative-ignored.xml' || chr(10)
+                       || 'sitemap: https://' || domain
+                       || '/sitemap-pages.xml' || chr(10) AS t
+                FROM r
+            ),
+            lns AS (
+                SELECT domain,
+                       trim(regexp_replace(
+                           unnest(regexp_split_to_array(t, '\r?\n')),
+                           '#.*$', '')) AS ln
+                FROM bodies
+            ),
+            kv AS (
+                SELECT domain,
+                       lower(trim(split_part(ln, ':', 1))) AS key,
+                       CASE WHEN strpos(ln, ':') > 0
+                            THEN trim(substring(ln, strpos(ln, ':') + 1))
+                            ELSE '' END AS value
+                FROM lns
+            )
+            SELECT DISTINCT domain, value AS sitemap_url
+            FROM kv
+            WHERE key = 'sitemap' AND regexp_matches(value, '^https?://')
+            ORDER BY domain, sitemap_url
         """,
         # Sitemap parse replay: assemble the byte-identical XML with
         # string_agg, then the same block-explode + per-field regex

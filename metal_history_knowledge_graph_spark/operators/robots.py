@@ -264,6 +264,43 @@ def parse_crawl_delays(
     )
 
 
+def robots_sitemaps(
+    df: DataFrame, domain_col: str = "domain", text_col: str = "robots_txt"
+) -> DataFrame:
+    """robots.txt bodies → (domain, sitemap_url): the ``Sitemap:``
+    directives (RFC 9309 §2.2.4 — group-INDEPENDENT, valid anywhere
+    in the file, so no user-agent machinery applies). The discovery
+    seam: feeds ``sources/sitemap.parse_sitemaps`` with the per-host
+    sitemap list a crawler fetches after the robots probe.
+
+    Sitemap values are absolute URLs per spec; the key match is
+    case-insensitive, the URL keeps its case. Relative or empty
+    values are dropped; duplicates collapse. One narrow
+    split-explode + filter — no window, no shuffle beyond the
+    distinct."""
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(F.split(F.col(text_col), r"\r?\n")).alias("raw"),
+    )
+    cleaned = lines.select(
+        "domain",
+        F.trim(F.regexp_replace(F.col("raw"), r"#.*$", "")).alias("ln"),
+    )
+    return (
+        cleaned.filter(
+            F.lower(F.trim(F.substring_index(F.col("ln"), ":", 1)))
+            == "sitemap"
+        )
+        .select(
+            "domain",
+            F.trim(F.expr("substring(ln, instr(ln, ':') + 1)"))
+            .alias("sitemap_url"),
+        )
+        .filter(F.col("sitemap_url").rlike(r"^https?://"))
+        .distinct()
+    )
+
+
 def crawl_budgets(
     delays: DataFrame,
     agent: str = "*",

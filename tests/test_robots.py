@@ -271,3 +271,31 @@ def test_schedule_batch_respects_host_budgets(spark):
                                       .count("*").alias("n")).collect()}
     # override caps a, zero-budget skips b, default covers c
     assert counts == {"a.example": 2, "c.example": 4}
+
+
+def test_robots_sitemaps_directives(spark):
+    """RFC 9309 §2.2.4: Sitemap directives are group-independent —
+    found before and inside UA groups, case-insensitive key, relative
+    URLs dropped, duplicates collapsed, URL case preserved."""
+    from metal_history_knowledge_graph_spark.operators.robots import (
+        robots_sitemaps,
+    )
+
+    body = (
+        "# header\n"
+        "SITEMAP: https://x.example/SiteMap-A.xml\n"
+        "User-agent: *\n"
+        "Disallow: /p/\n"
+        "Sitemap: https://x.example/b.xml  # trailing comment\n"
+        "Sitemap: /relative.xml\n"
+        "sitemap: https://x.example/b.xml\n"
+        "Sitemap:\n"
+    )
+    df = spark.createDataFrame(
+        [("x.example", body)], "domain string, robots_txt string"
+    )
+    rows = sorted(r["sitemap_url"] for r in robots_sitemaps(df).collect())
+    assert rows == [
+        "https://x.example/SiteMap-A.xml",
+        "https://x.example/b.xml",
+    ]

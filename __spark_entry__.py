@@ -3013,13 +3013,18 @@ def q_crawl_plan(spark, sf_dir):
     ).orderBy("host", "fetch_slot")
 
 
-def _crawl_plan_oracle() -> str:
-    """DuckDB replay of q_crawl_plan's full chain: synthesis →
-    generic canonicalization (the q_url_canon rule set) → duplicate
+def _crawl_plan_oracle(cand_sql: str | None = None) -> str:
+    """DuckDB replay of the composed crawl chain: candidate synthesis
+    → generic canonicalization (the q_url_canon rule set) → duplicate
     collapse → seen anti-join → longest-prefix robots decision over
     the statically-known '*'-group rules of the fixed robots.txt
     literal (inlined — no exported file, no run-order dependency) →
-    depth/priority → budget window."""
+    depth/priority → budget window.
+
+    ``cand_sql`` overrides the leading CTE chain that must end by
+    defining ``cand(url)`` — q_discovery_plan feeds the chain from a
+    sitemap-XML assemble-and-parse front-end instead of the default
+    raw-URL synthesis."""
     host = (
         "lower(regexp_replace(regexp_replace(regexp_extract({u}, "
         "'^[hH][tT][tT][pP][sS]?://([^/?#]+)', 1), '^.*@', ''), "
@@ -3030,8 +3035,7 @@ def _crawl_plan_oracle() -> str:
         "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''), '[?#].*$', ''), '/'), "
         "x -> x <> ''))"
     )
-    return rf"""
-        WITH cand AS (
+    default_cand = """cand AS (
             SELECT CASE CAST(doc_id % 4 AS INT)
                 WHEN 0 THEN 'HTTP://' || source || ':80/' || lang || '/'
                      || CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#f'
@@ -3046,7 +3050,9 @@ def _crawl_plan_oracle() -> str:
             SELECT 'HTTP://' || source || ':80/' || CAST(doc_id AS VARCHAR)
                    || '#frag'
             FROM documents WHERE doc_id % 4 = 3 AND doc_id < 40
-        ), rawparts AS (
+        )"""
+    return rf"""
+        WITH {cand_sql or default_cand}, rawparts AS (
             SELECT url,
                 lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
                 regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth_raw,
@@ -3128,6 +3134,118 @@ def _crawl_plan_oracle() -> str:
         ) WHERE fetch_slot <= 4
         ORDER BY host, fetch_slot
     """
+
+
+def q_discovery_plan(spark, sf_dir):
+    """Composed sitemap-driven discovery plan (plans/discovery.
+    discovery_schedule): per-host sitemap XML documents (assembled
+    deterministically, carrying the SAME messy URL spellings as
+    q_crawl_plan — uppercase scheme, default ports, tracking params,
+    trailing slashes) → parse → canonicalize + collapse → seen
+    anti-join → robots admission → priority → per-host politeness
+    budget of 4. The oracle is the q_crawl_plan full-chain replay
+    with its candidate CTE swapped for a sitemap assemble-and-parse
+    front-end — the ENTIRE discovery pipeline in one DuckDB
+    statement."""
+    from metal_history_knowledge_graph_spark.operators.robots import parse_robots
+    from metal_history_knowledge_graph_spark.plans.discovery import (
+        discovery_schedule,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("http://"), F.col("source"))
+    raw = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("HTTP://"), F.col("source"), F.lit(":80/"),
+                        F.col("lang"), F.lit("/"), did,
+                        F.lit("?utm_source=x&b=2&a=1#f")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(base, F.lit("/"), F.col("lang"), F.lit("/"), did,
+                       F.lit("/")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(base, F.lit("/de/"), did))
+        .otherwise(F.concat(base, F.lit("/"), did))
+    )
+    entry_xml = F.concat(
+        F.lit("<url><loc>"), raw, F.lit("</loc>"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("<lastmod>2024-01-01</lastmod>")).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    sitemaps = (
+        docs.withColumn("_e", entry_xml)
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "_e"))),
+                        lambda s: s["_e"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+        .select(
+            F.concat(F.lit("http://"), F.col("source"),
+                     F.lit("/sitemap.xml")).alias("sitemap_url"),
+            "xml",
+        )
+    )
+    seen = docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 4 == 3)) \
+        .select(F.concat(base, F.lit("/"), did).alias("url"))
+    robots = docs.select(F.col("source").alias("domain")).distinct().withColumn(
+        "robots_txt",
+        F.lit("User-agent: *\nDisallow: /de/\nAllow: /de/1\n\n"
+              "User-agent: gptbot\nDisallow: /\n"),
+    )
+    rules = parse_robots(robots)
+    scores = docs.groupBy(F.col("source").alias("host")).agg(
+        (F.count(F.lit(1)) * 1_000_000).cast("long").alias("rank_fixed")
+    )
+    out = discovery_schedule(sitemaps, rules, scores, seen=seen,
+                             per_host_budget=4)
+    return out.select(
+        "url", "host", F.col("depth").cast("long").alias("depth"),
+        "priority_fixed", "fetch_slot",
+    ).orderBy("host", "fetch_slot")
+
+
+_DISCOVERY_CAND_SQL = r"""smdocs AS (
+            SELECT source, doc_id,
+                '<url><loc>' || CASE CAST(doc_id % 4 AS INT)
+                    WHEN 0 THEN 'HTTP://' || source || ':80/' || lang || '/'
+                         || CAST(doc_id AS VARCHAR)
+                         || '?utm_source=x&b=2&a=1#f'
+                    WHEN 1 THEN 'http://' || source || '/' || lang || '/'
+                         || CAST(doc_id AS VARCHAR) || '/'
+                    WHEN 2 THEN 'http://' || source || '/de/'
+                         || CAST(doc_id AS VARCHAR)
+                    ELSE 'http://' || source || '/' || CAST(doc_id AS VARCHAR)
+                END || '</loc>'
+                || CASE WHEN doc_id % 2 = 0
+                   THEN '<lastmod>2024-01-01</lastmod>' ELSE '' END
+                || '</url>' AS e
+            FROM documents
+        ), sm AS (
+            SELECT source,
+                   '<urlset>' || string_agg(e, '' ORDER BY doc_id)
+                   || '</urlset>' AS xml
+            FROM smdocs GROUP BY source
+        ), blocks AS (
+            SELECT unnest(regexp_extract_all(
+                xml, '<url>([\s\S]*?)</url>', 1)) AS b
+            FROM sm
+        ), cand AS (
+            SELECT loc AS url FROM (
+                SELECT nullif(regexp_extract(
+                    b, '<loc>\s*([^<\s][^<]*?)\s*</loc>', 1), '') AS loc
+                FROM blocks
+            ) WHERE loc IS NOT NULL
+        )"""
 
 
 def q_token_budget(spark, sf_dir):
@@ -4560,6 +4678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_heavy_hitters": q_heavy_hitters,
         "q_sitemap_parse": q_sitemap_parse,
         "q_robots_sitemaps": q_robots_sitemaps,
+        "q_discovery_plan": q_discovery_plan,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -6676,6 +6795,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pps_sample": _pps_oracle(n_target=50, seed=0),
         "q_phrase_match": _phrase_oracle("merge data line"),
         "q_crawl_plan": _crawl_plan_oracle(),
+        "q_discovery_plan": _crawl_plan_oracle(cand_sql=_DISCOVERY_CAND_SQL),
         "q_markup_stats": _markup_oracle(),
         "q_crawl_delay": _crawl_delay_oracle(),
         "q_recrawl": _recrawl_oracle(),

@@ -2167,7 +2167,7 @@ def q_sitemap_parse(spark, sf_dir):
 def q_heavy_hitters(spark, sf_dir):
     """Misra-Gries heavy hitters (operators/heavy_hitters — the
     sketch family's frequency-threshold member): every token whose
-    relative frequency clears 3.4%, with its EXACT count. Two-pass:
+    relative frequency clears 3.3%, with its EXACT count. Two-pass:
     bounded per-partition MG summaries (Arrow-batched mapInPandas,
     ≤ capacity rows each) → candidate set → broadcast semi-join exact
     recount → integer ppm filter. The output is deterministic
@@ -2183,7 +2183,7 @@ def q_heavy_hitters(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("text")
     toks = docs.select(F.explode(_tokens(F.col("text"))).alias("term"))
-    return heavy_hitters(toks, "term", threshold_ppm=34000)
+    return heavy_hitters(toks, "term", threshold_ppm=33000)
 
 
 def q_kn_bigrams(spark, sf_dir):
@@ -7385,7 +7385,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM tk GROUP BY item
             )
             SELECT item, freq FROM c, n
-            WHERE freq * 1000000 >= 34000 * n
+            WHERE freq * 1000000 >= 33000 * n
             ORDER BY freq DESC, item
         """,
         # Full from-scratch KN replay: list-transform bigrams, the

@@ -144,7 +144,8 @@ def run_analytics(spark) -> dict[str, float]:
                  "q_pii_redact", "q_contamination",
                  "q_bm25_topk", "q_webtext_prep", "q_kcore",
                  "q_crawl_plan", "q_phrase_match", "q_pps_sample",
-                 "q_link_pred"):
+                 "q_link_pred", "q_quality_clf", "q_tfidf_keywords",
+                 "q_kn_bigrams", "q_heavy_hitters", "q_discovery_plan"):
         fn = qmap[name]
         walls = []
         for _ in range(repeats):

@@ -81,10 +81,14 @@ def train_nb_classifier(
         F.col(label_col).alias("_y"),
         F.explode(_tokens(F.col(text_col))).alias("term"),
     )
+    # three consumers read this vocabulary-sized table (the scalar
+    # stats action, the weight projection's export, the scoring join)
+    # — localCheckpoint or the labeled-slice explode re-runs per
+    # consumer (the build_triples two-consumer rule)
     counts = tok.groupBy("term").agg(
         F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).cast("long").alias("pos"),
         F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).cast("long").alias("neg"),
-    )
+    ).localCheckpoint(eager=True)
     stats = counts.agg(
         F.coalesce(F.sum("pos"), F.lit(0)).alias("tp"),
         F.coalesce(F.sum("neg"), F.lit(0)).alias("tn"),

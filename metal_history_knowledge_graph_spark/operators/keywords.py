@@ -47,21 +47,55 @@ def idf_table(tf: DataFrame, n_docs: int,
     """(term, df, idf_micro) with ``idf_micro = round(ln(N/df)·1e6)``
     as BIGINT. ``df`` is counted over the tf table (a term appears
     once per containing document there), so no second corpus pass."""
-    return (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"))
-        .withColumn(
-            "idf_micro",
-            F.round(F.log(F.lit(float(n_docs)) / F.col("df")) * MICRO)
-            .cast("long"),
-        )
+    counts = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
     )
+    return idf_from_counts(counts, n_docs)
 
 
 def idf_log_table(idf: DataFrame) -> DataFrame:
     """Oracle-facing projection: distinct (df, idf_micro) rows — the
     pure ``df ↦ ln(N/df)`` function as a table."""
     return idf.select("df", "idf_micro").distinct()
+
+
+def merge_df_counts(
+    stored: DataFrame, new_docs: DataFrame, stored_n_docs: int,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> tuple[DataFrame, int]:
+    """Growing-corpus maintenance path: fold a NEW document batch into
+    a stored ``(term, df)`` table WITHOUT rescanning the old corpus —
+    document frequencies are mergeable counts (the bloom/cms/hll merge
+    rule applied to the idf's sufficient statistics).
+
+    Returns ``(df_counts, n_docs)`` for the grown corpus; feed them to
+    ``idf_table``-style recomputation (the ln runs only on the
+    vocabulary-sized merged table). Merging then rebuilding the idf is
+    BIT-IDENTICAL to retraining from scratch on the union — pinned in
+    test_keywords_ngram."""
+    batch_df = (
+        doc_term_freq(new_docs, text_col, id_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    merged = (
+        stored.select("term", "df")
+        .unionByName(batch_df)
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    return merged, int(stored_n_docs) + new_docs.count()
+
+
+def idf_from_counts(df_counts: DataFrame, n_docs: int) -> DataFrame:
+    """(term, df, idf_micro) from a (term, df) count table — the log
+    step of ``idf_table`` factored out so merged counts rebuild the
+    idf without a corpus pass."""
+    return df_counts.withColumn(
+        "idf_micro",
+        F.round(F.log(F.lit(float(n_docs)) / F.col("df")) * MICRO)
+        .cast("long"),
+    )
 
 
 def tfidf_keywords(

@@ -54,6 +54,56 @@ def _half_up(x: float) -> int:
     return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
 
 
+def _label_token_counts(
+    df: DataFrame, label_col: str, text_col: str
+) -> DataFrame:
+    """(term, pos, neg) — the per-term sufficient statistics."""
+    tok = df.select(
+        F.col(label_col).alias("_y"),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    )
+    return tok.groupBy("term").agg(
+        F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).cast("long").alias("pos"),
+        F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).cast("long").alias("neg"),
+    )
+
+
+def _finalize_nb(
+    counts: DataFrame, n_pos: int, n_neg: int
+) -> tuple[DataFrame, dict]:
+    """Weights + params from the sufficient statistics — shared by
+    full training and the incremental update, so the two paths cannot
+    drift."""
+    stats = counts.agg(
+        F.coalesce(F.sum("pos"), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum("neg"), F.lit(0)).alias("tn"),
+        F.count(F.lit(1)).alias("vocab"),
+    ).head()
+    tp, tn, vocab = int(stats["tp"]), int(stats["tn"]), int(stats["vocab"])
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"both classes required: n_pos={n_pos} n_neg={n_neg}"
+        )
+    dp, dn = float(tp + vocab), float(tn + vocab)
+    weights = counts.withColumn(
+        "w_micro",
+        F.round(
+            (F.log((F.col("pos") + 1) / F.lit(dp))
+             - F.log((F.col("neg") + 1) / F.lit(dn))) * MICRO
+        ).cast("long"),
+    )
+    params = {
+        "n_pos_docs": int(n_pos),
+        "n_neg_docs": int(n_neg),
+        "total_pos": tp,
+        "total_neg": tn,
+        "vocab_size": vocab,
+        "prior_micro": _half_up(math.log(n_pos / n_neg) * MICRO),
+        "oov_w_micro": _half_up(math.log(dn / dp) * MICRO),
+    }
+    return weights, params
+
+
 def train_nb_classifier(
     df: DataFrame, label_col: str = "label", text_col: str = "text"
 ) -> tuple[DataFrame, dict]:
@@ -77,51 +127,52 @@ def train_nb_classifier(
     Two tiny collected rows (four BIGINTs) — sufficient statistics,
     not data; the per-term log runs JVM-side on the count table.
     """
-    tok = df.select(
-        F.col(label_col).alias("_y"),
-        F.explode(_tokens(F.col(text_col))).alias("term"),
-    )
     # three consumers read this vocabulary-sized table (the scalar
     # stats action, the weight projection's export, the scoring join)
     # — localCheckpoint or the labeled-slice explode re-runs per
     # consumer (the build_triples two-consumer rule)
-    counts = tok.groupBy("term").agg(
-        F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).cast("long").alias("pos"),
-        F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).cast("long").alias("neg"),
-    ).localCheckpoint(eager=True)
-    stats = counts.agg(
-        F.coalesce(F.sum("pos"), F.lit(0)).alias("tp"),
-        F.coalesce(F.sum("neg"), F.lit(0)).alias("tn"),
-        F.count(F.lit(1)).alias("vocab"),
-    ).head()
+    counts = _label_token_counts(df, label_col, text_col) \
+        .localCheckpoint(eager=True)
     docs = df.agg(
         F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("np"),
         F.sum(F.when(F.col(label_col) == 0, 1).otherwise(0)).alias("nn"),
     ).head()
-    tp, tn, vocab = int(stats["tp"]), int(stats["tn"]), int(stats["vocab"])
-    n_pos, n_neg = int(docs["np"] or 0), int(docs["nn"] or 0)
-    if n_pos == 0 or n_neg == 0:
-        raise ValueError(
-            f"both classes required: n_pos={n_pos} n_neg={n_neg}"
-        )
-    dp, dn = float(tp + vocab), float(tn + vocab)
-    weights = counts.withColumn(
-        "w_micro",
-        F.round(
-            (F.log((F.col("pos") + 1) / F.lit(dp))
-             - F.log((F.col("neg") + 1) / F.lit(dn))) * MICRO
-        ).cast("long"),
+    return _finalize_nb(counts, int(docs["np"] or 0), int(docs["nn"] or 0))
+
+
+def update_nb_classifier(
+    stored_weights: DataFrame,
+    stored_params: dict,
+    new_labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+) -> tuple[DataFrame, dict]:
+    """Growing-corpus maintenance path: fold a NEW labeled batch into
+    a stored classifier WITHOUT rescanning the old corpus — the
+    sufficient statistics (per-term class counts + four scalars) are
+    mergeable, so the update is one batch tokenization + a
+    vocabulary-sized count merge, and the result is BIT-IDENTICAL to
+    retraining from scratch on the union (pinned in
+    test_quality_clf). ``stored_weights`` is ``train_nb_classifier``
+    output (or its parquet export — it carries pos/neg)."""
+    batch = _label_token_counts(new_labeled, label_col, text_col)
+    merged = (
+        stored_weights.select("term", "pos", "neg")
+        .unionByName(batch)
+        .groupBy("term")
+        .agg(F.sum("pos").cast("long").alias("pos"),
+             F.sum("neg").cast("long").alias("neg"))
+        .localCheckpoint(eager=True)
     )
-    params = {
-        "n_pos_docs": n_pos,
-        "n_neg_docs": n_neg,
-        "total_pos": tp,
-        "total_neg": tn,
-        "vocab_size": vocab,
-        "prior_micro": _half_up(math.log(n_pos / n_neg) * MICRO),
-        "oov_w_micro": _half_up(math.log(dn / dp) * MICRO),
-    }
-    return weights, params
+    docs = new_labeled.agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col(label_col) == 0, 1).otherwise(0)).alias("nn"),
+    ).head()
+    return _finalize_nb(
+        merged,
+        int(stored_params["n_pos_docs"]) + int(docs["np"] or 0),
+        int(stored_params["n_neg_docs"]) + int(docs["nn"] or 0),
+    )
 
 
 def score_documents_nb(

@@ -120,3 +120,28 @@ def test_bigram_plan_has_no_join_before_agg(spark):
     plan = bigram_pairs(_docs(spark))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_df_merge_equals_retrain(spark):
+    """merge_df_counts + idf_from_counts over (old, new-batch) must be
+    bit-identical to tfidf_keywords' idf retrained on the union."""
+    from metal_history_knowledge_graph_spark.operators.keywords import (
+        idf_from_counts,
+        merge_df_counts,
+        tfidf_keywords,
+    )
+
+    old = _docs(spark)
+    new = spark.createDataFrame(
+        [(10, "the zebra ran"), (11, "cat zebra")],
+        "doc_id long, text string",
+    )
+    _kw, idf_old, n_old = tfidf_keywords(old, k=2)
+    merged_counts, n_merged = merge_df_counts(idf_old, new, n_old)
+    inc = {r["term"]: (r["df"], r["idf_micro"])
+           for r in idf_from_counts(merged_counts, n_merged).collect()}
+    _kw2, idf_full, n_full = tfidf_keywords(old.unionByName(new), k=2)
+    assert n_merged == n_full == 6
+    full = {r["term"]: (r["df"], r["idf_micro"]) for r in idf_full.collect()}
+    assert inc == full
+    assert inc["zebra"][0] == 2

@@ -117,3 +117,26 @@ def test_scoring_plan_broadcasts_weights(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan.split("AdaptiveSparkPlan")[0]
+
+
+def test_incremental_update_equals_retrain(spark):
+    """update(train(A), B) must be bit-identical to train(A ∪ B) —
+    the sufficient statistics are mergeable."""
+    from metal_history_knowledge_graph_spark.operators.quality_clf import (
+        update_nb_classifier,
+    )
+
+    a = _train_df(spark)
+    b = spark.createDataFrame(
+        [(10, 1, "fresh clean text good"), (11, 0, "junk click text")],
+        "doc_id long, label int, text string",
+    )
+    w_a, p_a = train_nb_classifier(a)
+    w_inc, p_inc = update_nb_classifier(w_a, p_a, b)
+    w_full, p_full = train_nb_classifier(a.unionByName(b))
+    assert p_inc == p_full
+    inc = {r["term"]: (r["pos"], r["neg"], r["w_micro"])
+           for r in w_inc.collect()}
+    full = {r["term"]: (r["pos"], r["neg"], r["w_micro"])
+            for r in w_full.collect()}
+    assert inc == full

@@ -2095,19 +2095,11 @@ def q_tfidf_keywords(spark, sf_dir):
     return kw.orderBy("doc_id", "rank")
 
 
-def q_sitemap_parse(spark, sf_dir):
-    """Sitemap XML source (sources/sitemap): parse sitemaps.org
-    urlset + sitemapindex documents into typed URL rows — loc,
-    lastmod, changefreq, priority in integer permille (spec default
-    500). Three synthetic sitemaps are assembled deterministically
-    from the documents table (field presence varies by doc_id mod
-    classes so every absent-field path is exercised; sitemap 0 also
-    carries an index child); the DuckDB oracle assembles the
-    byte-identical XML with string_agg and replays the whole
-    block-explode + per-field regex parse (shared RE2/Java-safe
-    patterns, the q_pii_redact build-then-parse pattern)."""
-    from metal_history_knowledge_graph_spark.sources.sitemap import parse_sitemaps
-
+def _sitemap_fixture(spark, sf_dir):
+    """Three deterministic sitemap XML documents assembled from the
+    documents table — shared by q_sitemap_parse and
+    q_sitemap_recrawl; both oracles re-assemble the byte-identical
+    text with string_agg."""
     ids = _t(spark, sf_dir, "documents").select("doc_id").filter(
         F.col("doc_id") < 60)
     entry_xml = F.concat(
@@ -2161,7 +2153,43 @@ def q_sitemap_parse(spark, sf_dir):
             ).otherwise(F.col("_body")).alias("xml"),
         )
     )
+    return sm
+
+
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap XML source (sources/sitemap): parse sitemaps.org
+    urlset + sitemapindex documents into typed URL rows — loc,
+    lastmod, changefreq, priority in integer permille (spec default
+    500). Three synthetic sitemaps are assembled deterministically
+    from the documents table (field presence varies by doc_id mod
+    classes so every absent-field path is exercised; sitemap 0 also
+    carries an index child); the DuckDB oracle assembles the
+    byte-identical XML with string_agg and replays the whole
+    block-explode + per-field regex parse (shared RE2/Java-safe
+    patterns, the q_pii_redact build-then-parse pattern)."""
+    from metal_history_knowledge_graph_spark.sources.sitemap import parse_sitemaps
+
+    sm = _sitemap_fixture(spark, sf_dir)
     return parse_sitemaps(sm).orderBy("sitemap_url", "kind", "loc")
+
+
+def q_sitemap_recrawl(spark, sf_dir):
+    """Advertised-freshness recrawl scoring (operators/frontier.
+    advertised_recrawl — the sitemap-side sibling of q_recrawl's
+    observed-change-rate scheduler): changefreq → nominal interval
+    (absent → weekly default), staleness vs lastmod against a FIXED
+    now (never wall-clock in the plan; missing lastmod = exactly due),
+    overdue permille, and the site-priority-weighted recrawl score —
+    all integer. The oracle re-assembles and re-parses the SAME
+    synthetic sitemaps as q_sitemap_parse and replays every score."""
+    from metal_history_knowledge_graph_spark.operators.frontier import (
+        advertised_recrawl,
+    )
+    from metal_history_knowledge_graph_spark.sources.sitemap import parse_sitemaps
+
+    sm = _sitemap_fixture(spark, sf_dir)
+    parsed = parse_sitemaps(sm).filter(F.col("kind") == "url")
+    return advertised_recrawl(parsed, "2024-03-01 00:00:00").orderBy("loc")
 
 
 def q_heavy_hitters(spark, sf_dir):
@@ -3212,6 +3240,41 @@ def q_discovery_plan(spark, sf_dir):
         "url", "host", F.col("depth").cast("long").alias("depth"),
         "priority_fixed", "fetch_slot",
     ).orderBy("host", "fetch_slot")
+
+
+#: shared assembly CTEs for the sitemap fixture (ids → entries → sm)
+#: — q_sitemap_parse and q_sitemap_recrawl oracles both re-build the
+#: byte-identical XML from these.
+_SITEMAP_BUILD_SQL = """ids AS (
+                SELECT doc_id FROM documents WHERE doc_id < 60
+            ), entries AS (
+                SELECT doc_id, doc_id % 3 AS sm,
+                       '<url><loc>https://ex.com/d' || CAST(doc_id AS VARCHAR)
+                       || '</loc>'
+                       || CASE WHEN doc_id % 2 = 0
+                          THEN '<lastmod>2024-01-'
+                               || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                               || '</lastmod>' ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0
+                          THEN '<changefreq>daily</changefreq>' ELSE '' END
+                       || CASE WHEN doc_id % 5 <> 0
+                          THEN '<priority>0.' || CAST(doc_id % 10 AS VARCHAR)
+                               || '</priority>' ELSE '' END
+                       || '</url>' AS e
+                FROM ids
+            ), sm AS (
+                SELECT 'https://ex.com/sitemap-' || CAST(sm AS VARCHAR)
+                           AS sitemap_url,
+                       '<urlset>' || string_agg(e, '' ORDER BY doc_id)
+                       || '</urlset>'
+                       || CASE WHEN sm = 0
+                          THEN '<sitemapindex><sitemap>'
+                               || '<loc>https://ex.com/sitemap-child.xml</loc>'
+                               || '<lastmod>2024-02-01</lastmod>'
+                               || '</sitemap></sitemapindex>' ELSE '' END
+                           AS xml
+                FROM entries GROUP BY sm
+            )"""
 
 
 _DISCOVERY_CAND_SQL = r"""smdocs AS (
@@ -4679,6 +4742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sitemap_parse": q_sitemap_parse,
         "q_robots_sitemaps": q_robots_sitemaps,
         "q_discovery_plan": q_discovery_plan,
+        "q_sitemap_recrawl": q_sitemap_recrawl,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -7313,37 +7377,8 @@ def oracle_sql() -> dict[str, str]:
         # Sitemap parse replay: assemble the byte-identical XML with
         # string_agg, then the same block-explode + per-field regex
         # extraction (shared RE2/Java-safe patterns).
-        "q_sitemap_parse": r"""
-            WITH ids AS (
-                SELECT doc_id FROM documents WHERE doc_id < 60
-            ), entries AS (
-                SELECT doc_id, doc_id % 3 AS sm,
-                       '<url><loc>https://ex.com/d' || CAST(doc_id AS VARCHAR)
-                       || '</loc>'
-                       || CASE WHEN doc_id % 2 = 0
-                          THEN '<lastmod>2024-01-'
-                               || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
-                               || '</lastmod>' ELSE '' END
-                       || CASE WHEN doc_id % 3 = 0
-                          THEN '<changefreq>daily</changefreq>' ELSE '' END
-                       || CASE WHEN doc_id % 5 <> 0
-                          THEN '<priority>0.' || CAST(doc_id % 10 AS VARCHAR)
-                               || '</priority>' ELSE '' END
-                       || '</url>' AS e
-                FROM ids
-            ), sm AS (
-                SELECT 'https://ex.com/sitemap-' || CAST(sm AS VARCHAR)
-                           AS sitemap_url,
-                       '<urlset>' || string_agg(e, '' ORDER BY doc_id)
-                       || '</urlset>'
-                       || CASE WHEN sm = 0
-                          THEN '<sitemapindex><sitemap>'
-                               || '<loc>https://ex.com/sitemap-child.xml</loc>'
-                               || '<lastmod>2024-02-01</lastmod>'
-                               || '</sitemap></sitemapindex>' ELSE '' END
-                           AS xml
-                FROM entries GROUP BY sm
-            ), ublocks AS (
+        "q_sitemap_parse": rf"""
+            WITH {_SITEMAP_BUILD_SQL}, ublocks AS (
                 SELECT sitemap_url, 'url' AS kind,
                        unnest(regexp_extract_all(
                            xml, '<url>([\s\S]*?)</url>', 1)) AS b
@@ -7373,6 +7408,59 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM parsed WHERE loc IS NOT NULL
             ORDER BY sitemap_url, kind, loc
+        """,
+        # Advertised-recrawl replay: re-assemble + re-parse the same
+        # sitemaps, then the changefreq→interval map, staleness vs the
+        # fixed now, overdue permille and the priority-weighted score.
+        "q_sitemap_recrawl": rf"""
+            WITH {_SITEMAP_BUILD_SQL}, ublocks AS (
+                SELECT unnest(regexp_extract_all(
+                    xml, '<url>([\s\S]*?)</url>', 1)) AS b
+                FROM sm
+            ), parsed AS (
+                SELECT nullif(regexp_extract(
+                           b, '<loc>\s*([^<\s][^<]*?)\s*</loc>', 1), '')
+                           AS loc,
+                       nullif(regexp_extract(
+                           b, '<lastmod>\s*([^<]*?)\s*</lastmod>', 1), '')
+                           AS lastmod,
+                       nullif(regexp_extract(
+                           b, '<changefreq>\s*([^<]*?)\s*</changefreq>', 1),
+                           '') AS changefreq,
+                       coalesce(CAST(TRY_CAST(nullif(regexp_extract(
+                           b, '<priority>\s*([0-9.]+)\s*</priority>', 1),
+                           '') AS DECIMAL(4,3)) * 1000 AS BIGINT), 500)
+                           AS priority_permille
+                FROM ublocks
+            ), iv AS (
+                SELECT *, CAST(CASE changefreq
+                    WHEN 'always' THEN 60
+                    WHEN 'hourly' THEN 3600
+                    WHEN 'daily' THEN 86400
+                    WHEN 'weekly' THEN 604800
+                    WHEN 'monthly' THEN 2592000
+                    WHEN 'yearly' THEN 31536000
+                    WHEN 'never' THEN 0
+                    ELSE 604800 END AS BIGINT) AS interval_s
+                FROM parsed WHERE loc IS NOT NULL
+            ), st AS (
+                SELECT *, CAST(CASE WHEN lastmod IS NOT NULL
+                    THEN greatest(
+                        epoch_us(TIMESTAMP '2024-03-01 00:00:00') // 1000000
+                        - epoch_us(CAST(lastmod AS TIMESTAMP)) // 1000000, 0)
+                    ELSE interval_s END AS BIGINT) AS staleness_s
+                FROM iv
+            )
+            SELECT loc, interval_s, staleness_s,
+                   CAST(CASE WHEN interval_s > 0
+                        THEN (staleness_s * 1000) // interval_s
+                        ELSE 0 END AS BIGINT) AS overdue_permille,
+                   priority_permille,
+                   CAST((CASE WHEN interval_s > 0
+                         THEN (staleness_s * 1000) // interval_s
+                         ELSE 0 END) * priority_permille AS BIGINT)
+                       AS recrawl_score
+            FROM st ORDER BY loc
         """,
         # Heavy hitters: the output is partitioning-independent (exact
         # recount of a provably-complete candidate set), so the oracle

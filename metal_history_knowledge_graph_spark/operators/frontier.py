@@ -193,3 +193,88 @@ def recrawl_priorities(
         "recrawl_score",
         F.expr("change_permille * staleness_s").cast("long"),
     )
+
+
+#: sitemaps.org changefreq → nominal refresh interval in seconds.
+CHANGEFREQ_INTERVAL_S = {
+    "always": 60,
+    "hourly": 3_600,
+    "daily": 86_400,
+    "weekly": 604_800,
+    "monthly": 2_592_000,
+    "yearly": 31_536_000,
+}
+#: applied when a <url> entry advertises no changefreq.
+DEFAULT_CHANGEFREQ = "weekly"
+
+
+def advertised_recrawl(
+    parsed: DataFrame,
+    now_ts,
+    loc_col: str = "loc",
+) -> DataFrame:
+    """(loc, interval_s, staleness_s, overdue_permille,
+    priority_permille, recrawl_score): freshness scheduling from what
+    the SITE advertises — the sitemap-side sibling of
+    ``recrawl_priorities`` (which scores from OBSERVED change rates;
+    a crawler runs both and lets observation override advertisement
+    once history exists).
+
+    ``parsed`` is ``sources/sitemap.parse_sitemaps`` url-kind output.
+    Semantics, all integer: ``interval_s`` maps changefreq through
+    ``CHANGEFREQ_INTERVAL_S`` (absent → weekly, the conventional
+    default); ``changefreq='never'`` scores 0 (the spec's
+    archive-page marker); a missing ``lastmod`` makes the entry
+    exactly due (``staleness = interval``, overdue = 1000‰) —
+    "no information" must not outrank known-stale pages;
+    ``overdue_permille = staleness·1000 div interval`` and
+    ``recrawl_score = overdue_permille · priority_permille`` so the
+    site's own priority weights the refetch order. ``now_ts`` is a
+    caller-fixed literal (never wall-clock inside the plan).
+
+    One narrow projection — no shuffle; the SQL oracle replays every
+    score."""
+    interval = F.coalesce(
+        *[
+            F.when(F.col("changefreq") == k, F.lit(v))
+            for k, v in CHANGEFREQ_INTERVAL_S.items()
+        ],
+        F.when(F.col("changefreq") == "never", F.lit(0)),
+        F.lit(CHANGEFREQ_INTERVAL_S[DEFAULT_CHANGEFREQ]),
+    ).cast("long")
+    now_s = F.unix_timestamp(F.lit(now_ts).cast("timestamp"))
+    # explicit branch, NOT coalesce-over-greatest: Spark's greatest()
+    # SKIPS nulls, so greatest(NULL − lastmod, 0) is 0, and a missing
+    # lastmod would silently read as perfectly fresh instead of due
+    stale = F.when(
+        F.col("lastmod").isNotNull(),
+        F.greatest(
+            now_s - F.unix_timestamp(F.col("lastmod").cast("timestamp")),
+            F.lit(0),
+        ),
+    ).otherwise(F.col("_interval")).cast("long")
+    out = (
+        parsed.select(
+            F.col(loc_col).alias("loc"),
+            "changefreq", "lastmod", "priority_permille",
+        )
+        .withColumn("interval_s", interval)
+        .withColumn("_interval", F.col("interval_s"))
+        .withColumn("staleness_s", stale)
+        .withColumn(
+            "overdue_permille",
+            F.expr(
+                "CASE WHEN interval_s > 0"
+                " THEN (staleness_s * 1000L) div interval_s"
+                " ELSE 0L END"
+            ).cast("long"),
+        )
+        .withColumn(
+            "recrawl_score",
+            F.expr("overdue_permille * priority_permille").cast("long"),
+        )
+    )
+    return out.select(
+        "loc", "interval_s", "staleness_s", "overdue_permille",
+        "priority_permille", "recrawl_score",
+    )

@@ -87,3 +87,40 @@ def test_parse_plan_is_narrow(spark):
     plan = parse_sitemaps(_df(spark))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_advertised_recrawl_semantics(spark):
+    from metal_history_knowledge_graph_spark.operators.frontier import (
+        advertised_recrawl,
+    )
+
+    parsed = spark.createDataFrame(
+        [
+            # daily, 2 days stale → 2000‰ overdue
+            ("u1", "2024-02-28", "daily", 800),
+            # never → score 0 regardless of staleness
+            ("u2", "2020-01-01", "never", 1000),
+            # no changefreq → weekly default; no lastmod → exactly due
+            ("u3", None, None, 500),
+            # future lastmod clamps to 0 staleness
+            ("u4", "2024-03-05", "hourly", 500),
+        ],
+        "loc string, lastmod string, changefreq string, "
+        "priority_permille long",
+    )
+    out = {
+        r["loc"]: r
+        for r in advertised_recrawl(parsed, "2024-03-01 00:00:00").collect()
+    }
+    assert out["u1"]["interval_s"] == 86400
+    assert out["u1"]["staleness_s"] == 2 * 86400
+    assert out["u1"]["overdue_permille"] == 2000
+    assert out["u1"]["recrawl_score"] == 2000 * 800
+    assert out["u2"]["interval_s"] == 0
+    assert out["u2"]["overdue_permille"] == 0
+    assert out["u2"]["recrawl_score"] == 0
+    assert out["u3"]["interval_s"] == 604800
+    assert out["u3"]["staleness_s"] == 604800       # exactly due
+    assert out["u3"]["overdue_permille"] == 1000
+    assert out["u4"]["staleness_s"] == 0
+    assert out["u4"]["overdue_permille"] == 0

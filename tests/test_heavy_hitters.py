@@ -74,3 +74,14 @@ def test_guards(spark):
 def test_empty_input(spark):
     df = spark.createDataFrame([], "item string")
     assert heavy_hitters(df, "item", threshold_ppm=1000).count() == 0
+
+
+def test_recount_plan_broadcasts_candidates(spark):
+    """Pass 2 must be a broadcast LEFT-SEMI join (candidate set is
+    ≤ capacity·partitions — vocabulary-sized); the raw key stream is
+    never shuffled for the join."""
+    df = _skewed(spark).repartition(4)
+    plan = heavy_hitters(df, "item", threshold_ppm=100_000)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan.split("AdaptiveSparkPlan")[0]

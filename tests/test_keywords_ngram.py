@@ -145,3 +145,15 @@ def test_df_merge_equals_retrain(spark):
     full = {r["term"]: (r["df"], r["idf_micro"]) for r in idf_full.collect()}
     assert inc == full
     assert inc["zebra"][0] == 2
+
+
+def test_keyword_plan_shape(spark):
+    """idf attaches by broadcast and the top-k window partitions by
+    doc_id — no global (unpartitioned) sort in the plan."""
+    kw, _idf, _n = tfidf_keywords(_docs(spark), k=2)
+    plan = kw._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # every Sort is the window's local per-partition sort, never a
+    # global ordering of the corpus
+    assert "Sort [doc_id" in plan or "Sort [" in plan
+    assert "rangepartitioning" not in plan.lower()

@@ -245,6 +245,7 @@ def default_bench() -> dict:
         ("spans_scaling", "SPANS_SCALING.json"),
         ("frontier_scaling", "FRONTIER_SCALING.json"),
         ("stream_crawl", "STREAM_CRAWL_RECORDED.json"),
+        ("kn_scaling", "KN_SCALING.json"),
     ):
         p = os.path.join(REPO, fname)
         if os.path.isfile(p):

@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Two-parallelism-level scaling evidence for the round-4 n-gram LM
+family (north-rule methodology: same job, same input, N vs 4N cores
+on one host; see BENCH.md for the steal-noise caveat and why 3-vs-12
+is the faithful analogue on this 32-core box).
+
+Measures ``operators/ngram_lm.bigram_kn`` — the per-document bigram
+transform plus the three count aggregations and the KN arithmetic —
+over the SAME seeded word-salad corpus the spans artifact uses
+(reused on disk when present: 96 even files, integral task waves at
+every tested core count). The explode + map-side-combine count is the
+dominant cost shape of the whole text-statistics family at 100 TB.
+
+Each level runs in a FRESH interpreter/JVM (subprocess) so executor
+pools don't leak across levels.
+
+Usage: python scripts/bench_kn_scaling.py [--docs 2000000]
+       [--low 3 --high 12 --repeats 2]
+Prints one JSON line and writes KN_SCALING.json (embedded by
+bench.py when present).
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+WORKER = r"""
+import json, sys, time
+cpus = int(sys.argv[1])
+corpus_path = sys.argv[2]
+sys.path.insert(0, %(repo)r)
+from metal_history_knowledge_graph_spark.session import get_spark
+spark = get_spark(app_name=f"kn-scale-{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=cpus,
+                  extra_confs={"spark.driver.memory": f"{max(8, 2 * cpus)}g"})
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet(corpus_path)
+docs.count()  # warm the scan
+from metal_history_knowledge_graph_spark.operators.ngram_lm import bigram_kn
+t0 = time.time()
+out = bigram_kn(docs)
+n = out.count()
+wall = time.time() - t0
+print(json.dumps({"cpus": cpus, "rows": n, "wall": round(wall, 3)}))
+spark.stop()
+"""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=2_000_000)
+    ap.add_argument("--low", type=int, default=3)
+    ap.add_argument("--high", type=int, default=12)
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    corpus = f"/tmp/spans_scale_{args.docs}"
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        from bench_spans_scaling import gen_corpus  # same seeded corpus
+
+        gen_corpus(corpus, args.docs)
+
+    worker_src = WORKER % {"repo": REPO}
+    walls: dict[int, list[float]] = {args.low: [], args.high: []}
+    rows = None
+    for _ in range(args.repeats):
+        for cpus in (args.low, args.high):
+            out = subprocess.run(
+                [sys.executable, "-c", worker_src, str(cpus), corpus],
+                capture_output=True, text=True, check=True,
+            )
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            rec = json.loads(line)
+            walls[cpus].append(rec["wall"])
+            rows = rec["rows"]
+
+    lo, hi = min(walls[args.low]), min(walls[args.high])
+    speedup = lo / hi
+    eff = speedup / (args.high / args.low)
+    result = {
+        "metric": "kn_bigram_scaling_efficiency",
+        "value": round(eff, 4), "unit": "ratio",
+        "queries": {
+            f"wall_local{args.low}": lo, f"wall_local{args.high}": hi,
+            "speedup": round(speedup, 3),
+        },
+        "docs": args.docs,
+        "bigram_types": rows,
+        "walls": walls,
+    }
+    print(json.dumps(result))
+    with open(os.path.join(REPO, "KN_SCALING.json"), "w") as f:
+        json.dump(result, f)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -37,11 +37,27 @@ sys.path.insert(0, %(repo)r)
 from metal_history_knowledge_graph_spark.session import get_spark
 spark = get_spark(app_name=f"kn-scale-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=cpus,
-                  extra_confs={"spark.driver.memory": f"{max(8, 2 * cpus)}g"})
+                  extra_confs={
+                      "spark.driver.memory": f"{max(8, 2 * cpus)}g",
+                      # one split per corpus file: the default 128MB
+                      # packs the 96 even files into ~4 input splits,
+                      # capping the bigram explode at ~4-wide no
+                      # matter the core count (the frontier-bench
+                      # lesson, CLAUDE.md)
+                      "spark.sql.files.maxPartitionBytes":
+                          str(2 * 1024 * 1024),
+                      "spark.sql.files.openCostInBytes": str(128 * 1024),
+                  })
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(corpus_path)
 docs.count()  # warm the scan
 from metal_history_knowledge_graph_spark.operators.ngram_lm import bigram_kn
+# one untimed pass first: the hash-agg/codegen hot loop JIT-compiles
+# during the first ~20 tasks, and at high core counts that warmup is
+# a large FRACTION of a short wall (measured: 68.6s cold vs 33.5s
+# warm for the identical job at local[12]) — the artifact measures
+# steady-state throughput, the quantity that scales on a cluster
+bigram_kn(docs).count()
 t0 = time.time()
 out = bigram_kn(docs)
 n = out.count()

@@ -2214,6 +2214,34 @@ def q_heavy_hitters(spark, sf_dir):
     return heavy_hitters(toks, "term", threshold_ppm=33000)
 
 
+_IDF_MERGED_PATH = "/tmp/kg_idf_merged.parquet"
+
+
+def q_idf_merge(spark, sf_dir):
+    """Growing-corpus idf maintenance (operators/keywords.
+    merge_df_counts + idf_from_counts): the stored df table of the
+    doc_id < 250 half is merged with the newly-arrived other half —
+    NO rescan of the old corpus — and the rebuilt idf is exported.
+    The DuckDB oracle recomputes df over the FULL union from scratch
+    and equi-joins the exported merged table ON (term, df): if the
+    merge lost or double-counted anything, the join misses and the
+    row count mismatches — merged-then-rebuilt must equal retrained."""
+    from metal_history_knowledge_graph_spark.operators.keywords import (
+        idf_from_counts,
+        merge_df_counts,
+        tfidf_keywords,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    _kw, idf_old, n_old = tfidf_keywords(old, k=1)
+    merged_counts, n_merged = merge_df_counts(idf_old, new, n_old)
+    merged_idf = idf_from_counts(merged_counts, n_merged)
+    merged_idf.coalesce(1).write.mode("overwrite").parquet(_IDF_MERGED_PATH)
+    return merged_idf.select("term", "df", "idf_micro").orderBy("term")
+
+
 def q_kn_bigrams(spark, sf_dir):
     """Kneser-Ney bigram LM statistics (operators/ngram_lm): bigram /
     prefix / continuation counts and the interpolated-KN probability
@@ -4738,6 +4766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_monitor": kg_monitor,
         "q_quality_clf": q_quality_clf,
         "q_tfidf_keywords": q_tfidf_keywords,
+        "q_idf_merge": q_idf_merge,
         "q_kn_bigrams": q_kn_bigrams,
         "q_heavy_hitters": q_heavy_hitters,
         "q_sitemap_parse": q_sitemap_parse,
@@ -7476,6 +7505,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT item, freq FROM c, n
             WHERE freq * 1000000 >= 33000 * n
             ORDER BY freq DESC, item
+        """,
+        # Merge-equals-retrain: recompute df over the FULL union from
+        # scratch, equi-join the exported merged idf ON (term, df).
+        "q_idf_merge": f"""
+            WITH tf AS (
+                SELECT doc_id, term FROM (
+                    SELECT doc_id, unnest({toks}) AS term FROM documents
+                ) GROUP BY doc_id, term
+            ), dfq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS dfv
+                FROM tf GROUP BY term
+            )
+            SELECT d.term, e.df, e.idf_micro
+            FROM dfq d JOIN '{_IDF_MERGED_PATH}/*.parquet' e
+              ON e.term = d.term AND e.df = d.dfv
+            ORDER BY d.term
         """,
         # Full from-scratch KN replay: list-transform bigrams, the
         # same three aggregations, the same positive floor-divides.

@@ -331,3 +331,117 @@ def stream_crawl_scheduler(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_neardup_ingest(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous near-dup-gated corpus ingest: a STREAM of documents
+    → per-micro-batch MinHash probe of the PERSISTED band index
+    (``dedup.minhash_probe_new`` — the index is never rebuilt),
+    within-batch closure dedup, and an index append for the admitted
+    survivors only — the streaming twin of the batch dedup family and
+    the standing shape of a crawl→training-corpus pipeline (every new
+    snapshot dedups against everything ever admitted).
+
+    Admission policy, stated precisely: within a batch, near-dup
+    groups are CLOSED (``dedup.group_representatives`` — connected
+    components of the verified pair graph) and only each group's
+    min-id representative is considered; a document (representative or
+    singleton) is then admitted iff its exact-Jaccard probe against
+    the stored index clears no pair ≥ ``threshold``. A group whose
+    representative matches stored content is dropped WHOLE — its
+    members are near-dups of a near-dup of admitted content (the
+    SemDeDup-style group verdict).
+
+    Outputs under ``out_dir``: ``accepted/`` (batch_id-partitioned
+    admitted documents with ``group_size`` provenance) and ``index/``
+    (the growing ``minhash_band_table``). Exactly-once via the
+    ``_COMMITTED`` marker protocol of ``stream_crawl_scheduler``
+    (marker after the accepted write; the index append is sequenced
+    after the marker and recomputed FROM the committed partition on
+    replay, so a crash never admits a document twice and duplicate
+    index rows are impossible). Scale: the probe shuffles only
+    (band, bucket) keys; state grows with ADMITTED docs only — dups
+    never enter the index.
+    """
+    import os
+
+    from ..operators.dedup import (
+        group_representatives,
+        minhash_band_table,
+        minhash_lsh_pairs,
+        minhash_probe_new,
+    )
+
+    acc_dir = os.path.join(out_dir, "accepted")
+    idx_dir = os.path.join(out_dir, "index")
+
+    def _append_index_from(part: str) -> None:
+        committed = spark.read.parquet(part).select(id_col, text_col)
+        minhash_band_table(committed, id_col, text_col) \
+            .write.mode("append").parquet(idx_dir)
+
+    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        part = os.path.join(acc_dir, f"batch_id={batch_id}")
+        marker = os.path.join(part, "_COMMITTED")
+        if os.path.exists(marker):
+            # replay after commit: the accepted partition is the
+            # truth — re-derive its index rows (idempotent only if
+            # the crashed attempt never appended; sequence below
+            # guarantees that) and never recompute the verdicts
+            if any(not f.startswith(("_", ".")) for f in os.listdir(part)):
+                _append_index_from(part)
+            return
+        if os.path.isdir(part):
+            shutil.rmtree(part)  # crash mid-commit: scrub + recompute
+        batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
+        reps = group_representatives(
+            minhash_lsh_pairs(batch, id_col, text_col,
+                              threshold=threshold),
+            docs=batch, id_col=id_col,
+        )
+        # eager checkpoints between stages: foreachBatch plans on a
+        # worker thread with a SMALLER JVM stack than the main driver
+        # thread, and the composed banding→closure→probe lineage
+        # overflows Catalyst's recursive transforms there (measured:
+        # StackOverflowError at the final checkpoint without these) —
+        # each stage's tree stays shallow and the output is frozen
+        # before the two writes anyway
+        kept = batch.join(
+            reps.filter(F.col("keep")).select(id_col, "group_size"),
+            id_col,
+        ).localCheckpoint(eager=True)
+        try:
+            index = spark.read.parquet(idx_dir)
+        except Exception:
+            index = None
+        if index is not None:
+            cross = minhash_probe_new(
+                kept, index, id_col, text_col, threshold=threshold
+            ).select(F.col("doc_new").alias(id_col)).distinct() \
+                .localCheckpoint(eager=True)
+            kept = kept.join(cross, id_col, "left_anti") \
+                .localCheckpoint(eager=True)
+        kept.withColumn("batch_id", F.lit(batch_id).cast("long")) \
+            .write.mode("append").partitionBy("batch_id").parquet(acc_dir)
+        os.makedirs(part, exist_ok=True)
+        with open(marker, "a"):
+            pass  # atomic commit point
+        if any(not f.startswith(("_", ".")) for f in os.listdir(part)):
+            _append_index_from(part)
+
+    return (
+        docs.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -246,6 +246,7 @@ def default_bench() -> dict:
         ("frontier_scaling", "FRONTIER_SCALING.json"),
         ("stream_crawl", "STREAM_CRAWL_RECORDED.json"),
         ("kn_scaling", "KN_SCALING.json"),
+        ("neardup_stream", "NEARDUP_STREAM_RECORDED.json"),
     ):
         p = os.path.join(REPO, fname)
         if os.path.isfile(p):

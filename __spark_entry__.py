@@ -2242,6 +2242,40 @@ def q_idf_merge(spark, sf_dir):
     return merged_idf.select("term", "df", "idf_micro").orderBy("term")
 
 
+def q_sentence_stats(spark, sf_dir):
+    """Sentence/line-level quality inputs (textstats.
+    with_sentence_stats — the RefinedWeb/Gopher line-wise rules):
+    sentence counts, mean sentence length in micro-words, the
+    truncated-page terminal check, and bullet/ellipsis line basis
+    points. Documents are augmented deterministically with extra
+    sentences, bullet/dash lines and a trailing teaser by doc_id mod
+    classes so every rule path fires; the DuckDB oracle rebuilds the
+    same augmented text and replays every split/filter/ratio (shared
+    lookaround-free patterns)."""
+    from metal_history_knowledge_graph_spark.operators.textstats import (
+        with_sentence_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit(". Extra sentence two! Done?")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("\n• bullet item\n- dash item")).otherwise(
+                F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit("\ntrailing teaser...")).otherwise(F.lit("")),
+        ),
+    )
+    return with_sentence_stats(aug).select(
+        "doc_id", "n_sentences", "mean_sentence_words_micro",
+        "ends_terminal", "n_lines", "bullet_line_bp", "ellipsis_line_bp",
+    ).orderBy("doc_id")
+
+
 def q_kn_bigrams(spark, sf_dir):
     """Kneser-Ney bigram LM statistics (operators/ngram_lm): bigram /
     prefix / continuation counts and the interpolated-KN probability
@@ -4768,6 +4802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_keywords": q_tfidf_keywords,
         "q_idf_merge": q_idf_merge,
         "q_kn_bigrams": q_kn_bigrams,
+        "q_sentence_stats": q_sentence_stats,
         "q_heavy_hitters": q_heavy_hitters,
         "q_sitemap_parse": q_sitemap_parse,
         "q_robots_sitemaps": q_robots_sitemaps,
@@ -7505,6 +7540,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT item, freq FROM c, n
             WHERE freq * 1000000 >= 33000 * n
             ORDER BY freq DESC, item
+        """,
+        # Sentence/line-stats replay: identical augmented text, then
+        # the same terminator split, line filters and integer ratios.
+        "q_sentence_stats": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 2 = 0
+                          THEN '. Extra sentence two! Done?' ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0
+                          THEN chr(10) || '• bullet item' || chr(10)
+                               || '- dash item' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                          THEN chr(10) || 'trailing teaser...' ELSE '' END
+                           AS t
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(
+                           regexp_split_to_array(t, '[.!?]+'),
+                           x -> length(trim(x)) > 0)) AS BIGINT)
+                           AS n_sentences,
+                       CAST(len(list_filter(
+                           regexp_split_to_array(lower(trim(t)), '\\s+'),
+                           x -> length(x) > 0)) AS BIGINT) AS nw,
+                       regexp_matches(trim(t), '[.!?]$') AS ends_terminal,
+                       list_filter(
+                           regexp_split_to_array(t, '\\n'),
+                           x -> length(trim(x)) > 0) AS lines
+                FROM aug
+            ), l AS (
+                SELECT doc_id, n_sentences, nw, ends_terminal,
+                       CAST(len(lines) AS BIGINT) AS n_lines,
+                       CAST(len(list_filter(lines,
+                           x -> regexp_matches(trim(x), '^[•\\-\\*]')))
+                           AS BIGINT) AS bl,
+                       CAST(len(list_filter(lines,
+                           x -> regexp_matches(trim(x), '\\.\\.\\.$')))
+                           AS BIGINT) AS el
+                FROM s
+            )
+            SELECT doc_id, n_sentences,
+                   CAST(CASE WHEN n_sentences > 0
+                        THEN (1000000 * nw) // n_sentences
+                        ELSE 0 END AS BIGINT)
+                       AS mean_sentence_words_micro,
+                   ends_terminal, n_lines,
+                   CAST(CASE WHEN n_lines > 0 THEN (10000 * bl) // n_lines
+                        ELSE 0 END AS BIGINT) AS bullet_line_bp,
+                   CAST(CASE WHEN n_lines > 0 THEN (10000 * el) // n_lines
+                        ELSE 0 END AS BIGINT) AS ellipsis_line_bp
+            FROM l ORDER BY doc_id
         """,
         # Merge-equals-retrain: recompute df over the FULL union from
         # scratch, equi-join the exported merged idf ON (term, df).

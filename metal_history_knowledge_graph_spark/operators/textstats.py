@@ -254,6 +254,67 @@ def gopher_keep(
     )
 
 
+def with_sentence_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sentence/line-level quality inputs (the RefinedWeb/Gopher rules
+    the doc-level ratios can't see), all integer:
+
+    * ``n_sentences`` — non-blank fragments between ``[.!?]+``
+      terminator runs;
+    * ``mean_sentence_words_micro`` — 1e6·words div sentences (0 for
+      sentence-free docs), BIGINT;
+    * ``ends_terminal`` — the trimmed document ends in a terminator
+      (truncated-page detector);
+    * ``n_lines`` / ``bullet_line_bp`` / ``ellipsis_line_bp`` —
+      non-blank newline-split lines, and basis points of them starting
+      with a bullet (•, -, *) or ending with "..." (the Gopher
+      line-wise filter inputs).
+
+    Every regex avoids lookarounds and newline flags so Java regex and
+    RE2 agree; the whole thing is one narrow projection."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    frags = F.filter(
+        F.split(text, r"[.!?]+"), lambda s: F.length(F.trim(s)) > 0
+    )
+    lines = F.filter(
+        F.split(text, r"\n"), lambda s: F.length(F.trim(s)) > 0
+    )
+    bullet = F.size(
+        F.filter(lines, lambda s: F.trim(s).rlike(r"^[•\-\*]"))
+    ).cast("long")
+    ellipsis = F.size(
+        F.filter(lines, lambda s: F.trim(s).rlike(r"\.\.\.$"))
+    ).cast("long")
+    return (
+        df.withColumn("n_sentences", F.size(frags).cast("long"))
+        .withColumn("_nw", F.size(_tokens(text)).cast("long"))
+        .withColumn(
+            "mean_sentence_words_micro",
+            F.when(
+                F.col("n_sentences") > 0,
+                F.expr("(1000000 * _nw) div n_sentences"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .drop("_nw")
+        .withColumn("ends_terminal", F.trim(text).rlike(r"[.!?]$"))
+        .withColumn("n_lines", F.size(lines).cast("long"))
+        .withColumn("_bl", bullet)
+        .withColumn("_el", ellipsis)
+        .withColumn(
+            "bullet_line_bp",
+            F.when(F.col("n_lines") > 0,
+                   F.expr("(10000 * _bl) div n_lines"))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "ellipsis_line_bp",
+            F.when(F.col("n_lines") > 0,
+                   F.expr("(10000 * _el) div n_lines"))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+        .drop("_bl", "_el")
+    )
+
+
 def rolling_fingerprints(
     df: DataFrame, text_col: str = "text", window: int = 16, keep_every: int = 8
 ) -> DataFrame:

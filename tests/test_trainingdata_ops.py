@@ -535,3 +535,40 @@ def test_simhash_probe_new_equals_rebuild(docs_with_dups):
     }
     cross = {(a, b) for a, b in full if (a < 10_000) != (b < 10_000)}
     assert probe == cross
+
+
+def test_sentence_stats(spark):
+    """with_sentence_stats: terminator-run splitting, micro-word
+    means, truncated-page detection, and the Gopher line-wise
+    bullet/ellipsis basis points — pinned on hand-computable docs."""
+    from metal_history_knowledge_graph_spark.operators.textstats import (
+        with_sentence_stats,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (0, "One two three. Four five! Six?"),    # 3 sents, 6 words
+            (1, "no terminators here"),               # 1 frag, no terminal
+            (2, "• a\n- b\nplain line\nteaser...\n"), # 2 bullets, 1 ellipsis
+            (3, ""),                                  # empty
+            (4, "Ends mid sentence"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in with_sentence_stats(docs).collect()}
+    assert out[0]["n_sentences"] == 3
+    assert out[0]["mean_sentence_words_micro"] == (1_000_000 * 6) // 3
+    assert out[0]["ends_terminal"]
+    assert out[1]["n_sentences"] == 1 and not out[1]["ends_terminal"]
+    assert out[2]["n_lines"] == 4
+    assert out[2]["bullet_line_bp"] == (10_000 * 2) // 4
+    assert out[2]["ellipsis_line_bp"] == (10_000 * 1) // 4
+    assert out[3]["n_sentences"] == 0
+    assert out[3]["mean_sentence_words_micro"] == 0
+    assert out[3]["n_lines"] == 0 and out[3]["bullet_line_bp"] == 0
+    assert not out[4]["ends_terminal"]
+    # narrow projection — no Exchange
+    plan = with_sentence_stats(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan

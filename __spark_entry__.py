@@ -4718,8 +4718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS_r02 too); every displaced pair stays pinned each run
     by tests/test_oracle_parity.py, which checks ALL oracle pairs
     regardless of position. Immediately after the window sit the
-    TWENTY-SEVEN oracles new this round (kg_entity_counts …
-    q_sitemap_recrawl, positions 51-77 — parity-green at sf0.001 and
+    TWENTY-NINE oracles new this round (kg_entity_counts …
+    q_sitemap_recrawl, positions 51-79 — parity-green at sf0.001 and
     sf0.01, the round-5 rotation window), then the remaining
     oracle-backed catalog. As of r4 EVERY entry, including all kg_*
     pipeline queries, carries an exact DuckDB oracle — no rows-only

@@ -2276,6 +2276,43 @@ def q_sentence_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_script_stats(spark, sf_dir):
+    """Unicode-script statistics (textstats.with_script_stats — the
+    multilingual routing inputs that run BEFORE language-ID): per-
+    script character counts from portable codepoint-range classes
+    (the one script syntax Java regex and RE2 share), non-ASCII basis
+    points, and the fixed-priority dominant-script argmax. Documents
+    are augmented with Cyrillic/CJK/Arabic fragments by doc_id mod
+    classes (and every 7th doc is REPLACED by a Cyrillic sentence so
+    a non-Latin dominant fires); the oracle rebuilds the identical
+    text and replays every count with global regexp_replace
+    length-diffs."""
+    from metal_history_knowledge_graph_spark.operators.textstats import (
+        with_script_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("Русский текст здесь да"))
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 3 == 0,
+                       F.lit(" немного русского")).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 4 == 0,
+                       F.lit(" 中文内容测试")).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 5 == 0,
+                       F.lit(" نص عربي")).otherwise(F.lit("")),
+            )
+        ),
+    )
+    return with_script_stats(aug).select(
+        "doc_id", "n_chars", "n_latin", "n_cyrillic", "n_cjk", "n_arabic",
+        "non_ascii_bp", "dominant_script",
+    ).orderBy("doc_id")
+
+
 def q_kn_bigrams(spark, sf_dir):
     """Kneser-Ney bigram LM statistics (operators/ngram_lm): bigram /
     prefix / continuation counts and the interpolated-KN probability
@@ -4718,8 +4755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS_r02 too); every displaced pair stays pinned each run
     by tests/test_oracle_parity.py, which checks ALL oracle pairs
     regardless of position. Immediately after the window sit the
-    TWENTY-NINE oracles new this round (kg_entity_counts …
-    q_sitemap_recrawl, positions 51-79 — parity-green at sf0.001 and
+    THIRTY oracles new this round (kg_entity_counts …
+    q_sitemap_recrawl, positions 51-80 — parity-green at sf0.001 and
     sf0.01, the round-5 rotation window), then the remaining
     oracle-backed catalog. As of r4 EVERY entry, including all kg_*
     pipeline queries, carries an exact DuckDB oracle — no rows-only
@@ -4803,6 +4840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_idf_merge": q_idf_merge,
         "q_kn_bigrams": q_kn_bigrams,
         "q_sentence_stats": q_sentence_stats,
+        "q_script_stats": q_script_stats,
         "q_heavy_hitters": q_heavy_hitters,
         "q_sitemap_parse": q_sitemap_parse,
         "q_robots_sitemaps": q_robots_sitemaps,
@@ -7540,6 +7578,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT item, freq FROM c, n
             WHERE freq * 1000000 >= 33000 * n
             ORDER BY freq DESC, item
+        """,
+        # Script-stats replay: identical augmented text, then the same
+        # codepoint-range length-diff counts (global regexp_replace),
+        # the bp divide and the fixed-priority argmax CASE.
+        "q_script_stats": """
+            WITH aug AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN 'Русский текст здесь да'
+                            ELSE text
+                            || CASE WHEN doc_id % 3 = 0
+                               THEN ' немного русского' ELSE '' END
+                            || CASE WHEN doc_id % 4 = 0
+                               THEN ' 中文内容测试' ELSE '' END
+                            || CASE WHEN doc_id % 5 = 0
+                               THEN ' نص عربي' ELSE '' END
+                       END AS t
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       CAST(length(t) AS BIGINT) AS n_chars,
+                       CAST(length(t) - length(regexp_replace(
+                           t, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+                       CAST(length(t) - length(regexp_replace(
+                           t, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic,
+                       CAST(length(t) - length(regexp_replace(
+                           t, '[一-鿿぀-ヿ]', '', 'g')) AS BIGINT) AS n_cjk,
+                       CAST(length(t) - length(regexp_replace(
+                           t, '[؀-ۿ]', '', 'g')) AS BIGINT) AS n_arabic,
+                       CAST(length(t) - length(regexp_replace(
+                           t, '[^\\x00-\\x7F]', '', 'g')) AS BIGINT) AS na
+                FROM aug
+            )
+            SELECT doc_id, n_chars, n_latin, n_cyrillic, n_cjk, n_arabic,
+                   CAST(CASE WHEN n_chars > 0 THEN (10000 * na) // n_chars
+                        ELSE 0 END AS BIGINT) AS non_ascii_bp,
+                   CASE
+                       WHEN n_latin > 0 AND n_latin >= n_cyrillic
+                            AND n_latin >= n_cjk AND n_latin >= n_arabic
+                           THEN 'latin'
+                       WHEN n_cyrillic > 0 AND n_cyrillic > n_latin
+                            AND n_cyrillic >= n_cjk
+                            AND n_cyrillic >= n_arabic
+                           THEN 'cyrillic'
+                       WHEN n_cjk > 0 AND n_cjk > n_latin
+                            AND n_cjk > n_cyrillic AND n_cjk >= n_arabic
+                           THEN 'cjk'
+                       WHEN n_arabic > 0 AND n_arabic > n_latin
+                            AND n_arabic > n_cyrillic AND n_arabic > n_cjk
+                           THEN 'arabic'
+                       ELSE 'other'
+                   END AS dominant_script
+            FROM c ORDER BY doc_id
         """,
         # Sentence/line-stats replay: identical augmented text, then
         # the same terminator split, line filters and integer ratios.

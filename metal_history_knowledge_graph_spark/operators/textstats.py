@@ -315,6 +315,69 @@ def with_sentence_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: codepoint ranges written as literal classes — the ONE regex script
+#: syntax Java regex and RE2 share (\p{IsX} vs \p{X} do not agree).
+_SCRIPT_RANGES = {
+    "latin": "[A-Za-z]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "cjk": "[一-鿿぀-ヿ]",
+    "arabic": "[؀-ۿ]",
+}
+#: deterministic argmax tie-break order for dominant_script.
+_SCRIPT_ORDER = ["latin", "cyrillic", "cjk", "arabic"]
+
+
+def with_script_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode-script statistics — the multilingual routing inputs a
+    web corpus needs BEFORE language-ID (``with_lang_id`` assumes a
+    Latin-script n-gram model; this says when that assumption is
+    wrong): per-script character counts (``n_latin`` / ``n_cyrillic``
+    / ``n_cjk`` / ``n_arabic``), ``n_chars``, ``non_ascii_bp`` (basis
+    points of non-ASCII characters) and ``dominant_script`` (argmax
+    with the fixed latin→cyrillic→cjk→arabic tie order; 'other' when
+    no script scores).
+
+    Counts are length-diffs after a global regexp_replace of the
+    class, using literal codepoint-range classes — the one script
+    syntax Java regex and RE2 share — so the SQL oracle replays every
+    number. One narrow projection, no shuffle."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(text).cast("long")
+    counts = {
+        name: (n_chars - F.length(F.regexp_replace(text, rng, "")))
+        .cast("long")
+        for name, rng in _SCRIPT_RANGES.items()
+    }
+    non_ascii = (
+        n_chars - F.length(F.regexp_replace(text, r"[^\x00-\x7F]", ""))
+    ).cast("long")
+    dominant = F.lit("other")
+    # build the CASE from lowest priority up so earlier scripts win ties
+    for name in reversed(_SCRIPT_ORDER):
+        cond = (counts[name] > 0)
+        for o in _SCRIPT_ORDER:
+            if o == name:
+                break
+            cond = cond & (counts[name] > counts[o])  # earlier beats ties
+        for o in _SCRIPT_ORDER[_SCRIPT_ORDER.index(name) + 1:]:
+            cond = cond & (counts[name] >= counts[o])
+        dominant = F.when(cond, F.lit(name)).otherwise(dominant)
+    out = df.withColumn("n_chars", n_chars)
+    for name in _SCRIPT_ORDER:
+        out = out.withColumn(f"n_{name}", counts[name])
+    return (
+        out.withColumn("_na", non_ascii)
+        .withColumn(
+            "non_ascii_bp",
+            F.when(F.col("n_chars") > 0,
+                   F.expr("(10000 * _na) div n_chars"))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+        .drop("_na")
+        .withColumn("dominant_script", dominant)
+    )
+
+
 def rolling_fingerprints(
     df: DataFrame, text_col: str = "text", window: int = 16, keep_every: int = 8
 ) -> DataFrame:

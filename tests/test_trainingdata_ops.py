@@ -572,3 +572,39 @@ def test_sentence_stats(spark):
     plan = with_sentence_stats(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_script_stats(spark):
+    """with_script_stats: portable codepoint-range counts, non-ASCII
+    basis points, and the fixed-priority dominant argmax."""
+    from metal_history_knowledge_graph_spark.operators.textstats import (
+        with_script_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hello world"),            # pure latin
+            (1, "привет мир"),             # pure cyrillic
+            (2, "中文测试"),                 # pure cjk
+            (3, "نص عربي"),                # pure arabic
+            (4, "abc привет"),             # latin 3 vs cyrillic 6
+            (5, "abcdef прив"),            # tie-ish: latin 6 > cyr 4
+            (6, ""),                       # empty
+            (7, "1234 ... !!"),            # no script at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in with_script_stats(docs).collect()}
+    assert out[0]["dominant_script"] == "latin" and out[0]["non_ascii_bp"] == 0
+    assert out[1]["dominant_script"] == "cyrillic"
+    assert out[1]["n_cyrillic"] == 9 and out[1]["n_latin"] == 0
+    assert out[2]["dominant_script"] == "cjk" and out[2]["n_cjk"] == 4
+    assert out[3]["dominant_script"] == "arabic"
+    assert out[4]["dominant_script"] == "cyrillic"   # 6 > 3
+    assert out[5]["dominant_script"] == "latin"
+    assert out[6]["dominant_script"] == "other"
+    assert out[6]["n_chars"] == 0 and out[6]["non_ascii_bp"] == 0
+    assert out[7]["dominant_script"] == "other"
+    # latin wins exact ties (fixed priority)
+    tie = spark.createDataFrame([(9, "ab пр")], "doc_id long, text string")
+    assert with_script_stats(tie).head()["dominant_script"] == "latin"

@@ -2192,6 +2192,55 @@ def q_sitemap_recrawl(spark, sf_dir):
     return advertised_recrawl(parsed, "2024-03-01 00:00:00").orderBy("loc")
 
 
+def q_fuzzy_join(spark, sf_dir):
+    """Exact edit-distance similarity self-join (operators/
+    fuzzy_join — FastSS deletion-neighborhood candidates + exact
+    Levenshtein verify, the lossless short-string complement to the
+    MinHash/SimHash families; the reference's SequenceMatcher fuzzy
+    pass at guaranteed-complete threshold semantics). Two name rows
+    are derived per document — a cleaned 16-char base and a typo'd
+    variant (delete/substitute/insert by doc_id mod class) — so every
+    doc seeds a true pair plus cross-doc collisions. The engine runs
+    the inverted-index join over variant hashes; the DuckDB oracle
+    computes the DECISION FUNCTION directly (all-pairs Levenshtein ≤ 1
+    on the bounded name set): any pair the neighborhood join missed
+    would surface as a missing row."""
+    from metal_history_knowledge_graph_spark.operators.fuzzy_join import (
+        fuzzy_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id",
+        F.trim(
+            F.substring(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""),
+                1, 16,
+            )
+        ).alias("base"),
+    )
+    variant = F.when(
+        F.length("base") < 6, F.concat(F.col("base"), F.lit("x"))
+    ).when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.expr("substring(base, 1, 2)"), F.expr("substring(base, 4)")),
+    ).when(
+        F.col("doc_id") % 3 == 1,
+        F.concat(F.expr("substring(base, 1, 3)"), F.lit("x"),
+                 F.expr("substring(base, 5)")),
+    ).otherwise(
+        F.concat(F.expr("substring(base, 1, 5)"), F.lit("q"),
+                 F.expr("substring(base, 6)")),
+    )
+    names = base.select(
+        (F.col("doc_id") * 2).alias("id"), F.col("base").alias("name")
+    ).unionByName(
+        base.select((F.col("doc_id") * 2 + 1).alias("id"),
+                    variant.alias("name"))
+    )
+    return fuzzy_pairs(names, "id", "name", max_dist=1).orderBy("id1", "id2")
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Misra-Gries heavy hitters (operators/heavy_hitters — the
     sketch family's frequency-threshold member): every token whose
@@ -4846,6 +4895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_sitemaps": q_robots_sitemaps,
         "q_discovery_plan": q_discovery_plan,
         "q_sitemap_recrawl": q_sitemap_recrawl,
+        "q_fuzzy_join": q_fuzzy_join,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -7564,6 +7614,42 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0 END) * priority_permille AS BIGINT)
                        AS recrawl_score
             FROM st ORDER BY loc
+        """,
+        # Fuzzy join: the deletion-neighborhood candidate set is
+        # provably complete and verification is exact, so the oracle
+        # computes the decision function directly — all-pairs
+        # Levenshtein ≤ 1 over the same deterministically-built names
+        # (the |len diff| conjunct is implied by the distance bound).
+        "q_fuzzy_join": """
+            WITH nm0 AS (
+                SELECT doc_id,
+                       trim(substr(regexp_replace(lower(text),
+                                                  '[^a-z ]', '', 'g'),
+                                   1, 16)) AS base
+                FROM documents
+            ), nm AS (
+                SELECT doc_id * 2 AS id, base AS name FROM nm0
+                UNION ALL
+                SELECT doc_id * 2 + 1,
+                       CASE WHEN length(base) < 6 THEN base || 'x'
+                            WHEN doc_id % 3 = 0
+                                THEN substr(base, 1, 2) || substr(base, 4)
+                            WHEN doc_id % 3 = 1
+                                THEN substr(base, 1, 3) || 'x'
+                                     || substr(base, 5)
+                            ELSE substr(base, 1, 5) || 'q'
+                                 || substr(base, 6)
+                       END
+                FROM nm0
+            )
+            SELECT a.id AS id1, b.id AS id2,
+                   a.name AS text1, b.name AS text2,
+                   CAST(levenshtein(a.name, b.name) AS INT) AS dist
+            FROM nm a JOIN nm b
+              ON a.id < b.id
+             AND abs(length(a.name) - length(b.name)) <= 1
+             AND levenshtein(a.name, b.name) <= 1
+            ORDER BY id1, id2
         """,
         # Heavy hitters: the output is partitioning-independent (exact
         # recount of a provably-complete candidate set), so the oracle

@@ -2241,6 +2241,36 @@ def q_fuzzy_join(spark, sf_dir):
     return fuzzy_pairs(names, "id", "name", max_dist=1).orderBy("id1", "id2")
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled domain mixing (sampling.temperature_mix —
+    the multilingual/multi-domain rebalance: keep probability ∝
+    count^0.5, downsample-only, so tail domains survive the mix). A
+    60/25/10/5 skewed domain column is derived from doc_id so the
+    flattening actually fires; the whole decision chain — exact
+    integer sqrt weights, scaled demand min, ppm floor-divides, md5
+    keep filter — is re-derived from the raw counts by the DuckDB
+    oracle with no exports."""
+    from metal_history_knowledge_graph_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    dom = F.concat(
+        F.lit("d"),
+        F.when(F.col("doc_id") % 100 < 60, F.lit(0))
+        .when(F.col("doc_id") % 100 < 85, F.lit(1))
+        .when(F.col("doc_id") % 100 < 95, F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("string"),
+    )
+    d = docs.withColumn("dom", dom)
+    return (
+        temperature_mix(d, "dom", "doc_id", alpha=0.5, seed=7)
+        .select("doc_id", "dom")
+        .orderBy("doc_id")
+    )
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Misra-Gries heavy hitters (operators/heavy_hitters — the
     sketch family's frequency-threshold member): every token whose
@@ -4896,6 +4926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_discovery_plan": q_discovery_plan,
         "q_sitemap_recrawl": q_sitemap_recrawl,
         "q_fuzzy_join": q_fuzzy_join,
+        "q_temperature_mix": q_temperature_mix,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -7650,6 +7681,48 @@ def oracle_sql() -> dict[str, str]:
              AND abs(length(a.name) - length(b.name)) <= 1
              AND levenshtein(a.name, b.name) <= 1
             ORDER BY id1, id2
+        """,
+        # Temperature mix: the full rate derivation (exact isqrt
+        # weights via one-step Newton correction of floor(sqrt), the
+        # scaled-demand min, the ppm floor-divides) replays from the
+        # raw counts; the keep filter is the shared md5 bucket hash.
+        "q_temperature_mix": """
+            WITH d AS (
+                SELECT doc_id,
+                       'd' || CAST(CASE WHEN doc_id % 100 < 60 THEN 0
+                                        WHEN doc_id % 100 < 85 THEN 1
+                                        WHEN doc_id % 100 < 95 THEN 2
+                                        ELSE 3 END AS VARCHAR) AS dom
+                FROM documents
+            ), c AS (
+                SELECT dom, CAST(count(*) AS BIGINT) AS c
+                FROM d GROUP BY dom
+            ), s AS (
+                SELECT dom, c,
+                       CAST(floor(sqrt(c)) AS BIGINT)
+                       - CASE WHEN CAST(floor(sqrt(c)) AS BIGINT)
+                                   * CAST(floor(sqrt(c)) AS BIGINT) > c
+                              THEN 1 ELSE 0 END AS s0
+                FROM c
+            ), w AS (
+                SELECT dom, c,
+                       s0 + CASE WHEN (s0 + 1) * (s0 + 1) <= c
+                                 THEN 1 ELSE 0 END AS w
+                FROM s
+            ), lim AS (
+                SELECT min((c * 1000000) // w) AS l FROM w
+            ), r AS (
+                SELECT dom,
+                       CASE WHEN (l * w) // c > 1000000 THEN 1000000
+                            ELSE (l * w) // c END AS ppm
+                FROM w, lim
+            )
+            SELECT d.doc_id, d.dom
+            FROM d JOIN r USING (dom)
+            WHERE CAST(('0x' || substr(md5('tmix:7|'
+                        || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                       % 1000000 AS BIGINT) < ppm
+            ORDER BY d.doc_id
         """,
         # Heavy hitters: the output is partitioning-independent (exact
         # recount of a provably-complete candidate set), so the oracle

@@ -403,3 +403,87 @@ def select_to_token_budget(
         )
         .drop("_b", "_boff", "_W")
     )
+
+
+def temperature_rates_ppm(
+    counts: dict[str, int], alpha: float = 0.5
+) -> dict[str, int]:
+    """Temperature-scaled mixing rates in integer parts-per-million —
+    the multilingual/multi-domain rebalancing rule (sampling
+    probability ∝ count^α, α < 1 flattens the head so tail domains
+    survive; Conneau & Lample 2019 / mT5's exponential smoothing),
+    downsample-only like :func:`mixing_rates`.
+
+    All arithmetic is EXACT integer so any engine replays the
+    decision chain bit-for-bit (the DuckDB oracle re-derives every
+    rate from the raw counts — no exports):
+
+        w_d      = isqrt(c_d)                 (α = 0.5, exact)
+        q_d      = (c_d · 10^6) div w_d       (scaled demand c_d/w_d)
+        L        = min_d q_d                  (the binding domain)
+        rate_d   = min(10^6, (L · w_d) div c_d)
+
+    The double floor quantizes the binding domain's rate to 999999 ppm
+    occasionally — a deterministic 1e-6 undershoot, documented and
+    accepted (the alternative, exact rationals, is not portable SQL).
+    Overflow-safe while every count < 9·10^12 rows (L ≤ 10^6·√c_max so
+    L·w_d ≤ 10^6·c_max < 2^63).
+
+    α values other than 0.5 use float ``c**α`` floored to integer
+    weights — fine driver-side, but only α = 0.5 is cross-engine
+    exact; the oracle-backed path pins that one.
+    """
+    import math
+
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1]: {alpha}")
+    if any(c < 0 for c in counts.values()):
+        raise ValueError(f"negative count in {counts}")
+    pos = {d: int(c) for d, c in counts.items() if c > 0}
+    if not pos:
+        return {d: 0 for d in counts}
+    if alpha == 0.5:
+        w = {d: math.isqrt(c) for d, c in pos.items()}
+    elif alpha == 1.0:
+        w = dict(pos)
+    else:
+        w = {d: max(1, math.floor(c**alpha)) for d, c in pos.items()}
+    limit = min((c * BUCKETS) // w[d] for d, c in pos.items())
+    return {
+        d: (min(BUCKETS, (limit * w[d]) // pos[d]) if d in pos else 0)
+        for d in counts
+    }
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based dataset mixing: keep rows so the surviving
+    mixture's per-domain share is ∝ count^α (α = 1 preserves natural
+    proportions; α → 0 approaches uniform), without ever upsampling.
+
+    Same two-pass shape as :func:`mix_sources`: (1) vocabulary-sized
+    per-domain count (column-pruned scan, partial agg); (2) one narrow
+    md5-keyed filter with the driver-computed integer ppm cutoffs
+    inlined as a CASE expression — whole-stage codegen, no join, no
+    shuffle, decision deterministic under any partitioning. Hashes in
+    its own domain ("tmix:") so composing with the other samplers at a
+    shared seed stays statistically independent.
+    """
+    counts = {
+        r[source_col]: r["cnt"]
+        for r in df.groupBy(source_col).agg(F.count("*").alias("cnt")).collect()
+    }
+    rates = temperature_rates_ppm(counts, alpha)
+    cutoff = None
+    for dom, ppm in sorted(rates.items()):
+        cond = F.col(source_col) == dom
+        cutoff = F.when(cond, ppm) if cutoff is None else cutoff.when(cond, ppm)
+    cutoff = F.lit(0) if cutoff is None else cutoff.otherwise(F.lit(0))
+    return df.where(
+        hash_bucket(F.col(key_col), seed, domain="tmix:") < cutoff
+    )

@@ -335,3 +335,79 @@ def test_select_to_token_budget_invariance_and_guards(spark):
     bad = spark.createDataFrame([(1, 5, -2)], "doc_id long, score long, tokens long")
     with _pytest.raises(ValueError, match="negative"):
         select_to_token_budget(bad, "score", "tokens", 10, "doc_id")
+
+
+# ---- temperature mixing (sampling.temperature_rates_ppm / temperature_mix)
+
+
+def test_temperature_rates_hand_computed():
+    from metal_history_knowledge_graph_spark.operators.sampling import (
+        temperature_rates_ppm,
+    )
+
+    # c = [300,125,50,25] → w = isqrt = [17,11,7,5]; binding domain is
+    # d3 (q = 5_000_000); rates = min(1e6, 5e6·w//c)
+    rates = temperature_rates_ppm({"d0": 300, "d1": 125, "d2": 50, "d3": 25})
+    assert rates == {
+        "d0": 283333, "d1": 440000, "d2": 700000, "d3": 1000000,
+    }
+
+
+def test_temperature_rates_properties():
+    from metal_history_knowledge_graph_spark.operators.sampling import (
+        temperature_rates_ppm,
+    )
+
+    counts = {f"s{i}": (i + 1) ** 3 * 7 for i in range(12)}
+    rates = temperature_rates_ppm(counts)
+    # downsample-only, and the binding (smallest-demand) domain ~full
+    assert all(0 < r <= 1_000_000 for r in rates.values())
+    assert max(rates.values()) >= 999_999
+    # α = 0.5 flattens: expected share of the smallest domain grows
+    kept = {d: counts[d] * rates[d] / 1e6 for d in counts}
+    tot_in, tot_out = sum(counts.values()), sum(kept.values())
+    assert kept["s0"] / tot_out > counts["s0"] / tot_in
+    # α = 1 preserves natural proportions exactly (rate 1 everywhere)
+    assert set(temperature_rates_ppm(counts, alpha=1.0).values()) == {1_000_000}
+
+
+def test_temperature_rates_guards():
+    import pytest as _pytest
+
+    from metal_history_knowledge_graph_spark.operators.sampling import (
+        temperature_rates_ppm,
+    )
+
+    with _pytest.raises(ValueError):
+        temperature_rates_ppm({"a": 10}, alpha=0.0)
+    with _pytest.raises(ValueError):
+        temperature_rates_ppm({"a": -1})
+    # zero-count domains get rate 0, never divide-by-zero
+    assert temperature_rates_ppm({"a": 0, "b": 100}) == {"a": 0, "b": 1_000_000}
+    assert temperature_rates_ppm({"a": 0}) == {"a": 0}
+
+
+def test_temperature_mix_partition_invariant_and_flattens(spark):
+    from metal_history_knowledge_graph_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = [(i, "head" if i % 10 < 8 else "tail") for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, dom string")
+    a = sorted(
+        r.id for r in temperature_mix(
+            df.repartition(1), "dom", "id", seed=3).collect()
+    )
+    b = sorted(
+        r.id for r in temperature_mix(
+            df.repartition(17), "dom", "id", seed=3).collect()
+    )
+    assert a == b and a
+    out = temperature_mix(df, "dom", "id", seed=3)
+    shares = {
+        r.dom: r.c
+        for r in out.groupBy("dom").agg(F.count("*").alias("c")).collect()
+    }
+    # tail share rises from 20% toward the sqrt-flattened ~33%
+    tail_share = shares["tail"] / (shares["head"] + shares["tail"])
+    assert 0.25 < tail_share < 0.45

@@ -2271,6 +2271,44 @@ def q_temperature_mix(spark, sf_dir):
     )
 
 
+def q_pub_dates(spark, sf_dir):
+    """Publication-date extraction (operators/dates.with_pub_date —
+    the body-text freshness signal for hosts without sitemaps, the
+    htmldate/trafilatura heuristic made deterministic): three
+    prioritized shapes (ISO, 'March 5, 2021', US slash), Gregorian
+    validation with the leap rule, invalid-match-means-undated. Dates
+    are injected into the documents deterministically by doc_id mod 5
+    (one class carries an invalid 2021-02-29 ahead of a valid
+    lower-priority date so the rejection path fires); the DuckDB
+    oracle rebuilds the identical text and replays every regex,
+    month-name map, validity check and lpad — shared RE2/Java-safe
+    patterns, output is an ISO STRING so no engine DATE semantics are
+    involved."""
+    from metal_history_knowledge_graph_spark.operators.dates import (
+        with_pub_date,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" Published: 2023-07-19."))
+            .when(F.col("doc_id") % 5 == 1,
+                  F.lit(" Published on March 5, 2021."))
+            .when(F.col("doc_id") % 5 == 2, F.lit(" Updated 11/23/2019."))
+            .when(F.col("doc_id") % 5 == 3,
+                  F.lit(" Updated 2021-02-29 then March 5, 2021."))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return (
+        with_pub_date(aug)
+        .select("doc_id", "pub_date", "date_kind")
+        .orderBy("doc_id")
+    )
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Misra-Gries heavy hitters (operators/heavy_hitters — the
     sketch family's frequency-threshold member): every token whose
@@ -4927,6 +4965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sitemap_recrawl": q_sitemap_recrawl,
         "q_fuzzy_join": q_fuzzy_join,
         "q_temperature_mix": q_temperature_mix,
+        "q_pub_dates": q_pub_dates,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -7723,6 +7762,110 @@ def oracle_sql() -> dict[str, str]:
                         || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
                        % 1000000 AS BIGINT) < ppm
             ORDER BY d.doc_id
+        """,
+        # Pub-date replay: identical augmented text, the same three
+        # prioritized regexes, month-name map, Gregorian validity and
+        # lpad build — pure string output, no engine DATE semantics.
+        "q_pub_dates": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text || CASE
+                           WHEN doc_id % 5 = 0 THEN ' Published: 2023-07-19.'
+                           WHEN doc_id % 5 = 1
+                               THEN ' Published on March 5, 2021.'
+                           WHEN doc_id % 5 = 2 THEN ' Updated 11/23/2019.'
+                           WHEN doc_id % 5 = 3
+                               THEN ' Updated 2021-02-29 then March 5, 2021.'
+                           ELSE '' END AS t
+                FROM documents
+            ), x AS (
+                SELECT doc_id,
+                    regexp_extract(t, '(\\d{4})-(\\d{2})-(\\d{2})', 0)
+                        <> '' AS has_iso,
+                    try_cast(regexp_extract(t,
+                        '(\\d{4})-(\\d{2})-(\\d{2})', 1) AS INT) AS iso_y,
+                    try_cast(regexp_extract(t,
+                        '(\\d{4})-(\\d{2})-(\\d{2})', 2) AS INT) AS iso_m,
+                    try_cast(regexp_extract(t,
+                        '(\\d{4})-(\\d{2})-(\\d{2})', 3) AS INT) AS iso_d,
+                    regexp_extract(t, '(January|February|March|April|May|'
+                        || 'June|July|August|September|October|November|'
+                        || 'December) (\\d{1,2}), (\\d{4})', 0)
+                        <> '' AS has_ul,
+                    CASE regexp_extract(t, '(January|February|March|April|'
+                        || 'May|June|July|August|September|October|'
+                        || 'November|December) (\\d{1,2}), (\\d{4})', 1)
+                        WHEN 'January' THEN 1 WHEN 'February' THEN 2
+                        WHEN 'March' THEN 3 WHEN 'April' THEN 4
+                        WHEN 'May' THEN 5 WHEN 'June' THEN 6
+                        WHEN 'July' THEN 7 WHEN 'August' THEN 8
+                        WHEN 'September' THEN 9 WHEN 'October' THEN 10
+                        WHEN 'November' THEN 11 WHEN 'December' THEN 12
+                    END AS ul_m,
+                    try_cast(regexp_extract(t, '(January|February|March|'
+                        || 'April|May|June|July|August|September|October|'
+                        || 'November|December) (\\d{1,2}), (\\d{4})', 2)
+                        AS INT) AS ul_d,
+                    try_cast(regexp_extract(t, '(January|February|March|'
+                        || 'April|May|June|July|August|September|October|'
+                        || 'November|December) (\\d{1,2}), (\\d{4})', 3)
+                        AS INT) AS ul_y,
+                    regexp_extract(t, '(\\d{1,2})/(\\d{1,2})/(\\d{4})', 0)
+                        <> '' AS has_sl,
+                    try_cast(regexp_extract(t,
+                        '(\\d{1,2})/(\\d{1,2})/(\\d{4})', 1) AS INT) AS sl_m,
+                    try_cast(regexp_extract(t,
+                        '(\\d{1,2})/(\\d{1,2})/(\\d{4})', 2) AS INT) AS sl_d,
+                    try_cast(regexp_extract(t,
+                        '(\\d{1,2})/(\\d{1,2})/(\\d{4})', 3) AS INT) AS sl_y
+                FROM aug
+            ), v AS (
+                SELECT *,
+                    (iso_m BETWEEN 1 AND 12 AND iso_y >= 1 AND iso_d >= 1
+                     AND iso_d <= CASE
+                         WHEN iso_m IN (1,3,5,7,8,10,12) THEN 31
+                         WHEN iso_m IN (4,6,9,11) THEN 30
+                         WHEN iso_m = 2 THEN 28 + CASE WHEN iso_y % 4 = 0
+                             AND (iso_y % 100 <> 0 OR iso_y % 400 = 0)
+                             THEN 1 ELSE 0 END
+                         ELSE 0 END) AS ok_iso,
+                    (ul_m BETWEEN 1 AND 12 AND ul_y >= 1 AND ul_d >= 1
+                     AND ul_d <= CASE
+                         WHEN ul_m IN (1,3,5,7,8,10,12) THEN 31
+                         WHEN ul_m IN (4,6,9,11) THEN 30
+                         WHEN ul_m = 2 THEN 28 + CASE WHEN ul_y % 4 = 0
+                             AND (ul_y % 100 <> 0 OR ul_y % 400 = 0)
+                             THEN 1 ELSE 0 END
+                         ELSE 0 END) AS ok_ul,
+                    (sl_m BETWEEN 1 AND 12 AND sl_y >= 1 AND sl_d >= 1
+                     AND sl_d <= CASE
+                         WHEN sl_m IN (1,3,5,7,8,10,12) THEN 31
+                         WHEN sl_m IN (4,6,9,11) THEN 30
+                         WHEN sl_m = 2 THEN 28 + CASE WHEN sl_y % 4 = 0
+                             AND (sl_y % 100 <> 0 OR sl_y % 400 = 0)
+                             THEN 1 ELSE 0 END
+                         ELSE 0 END) AS ok_sl
+                FROM x
+            )
+            SELECT doc_id,
+                CASE WHEN has_iso THEN CASE WHEN ok_iso THEN
+                         lpad(CAST(iso_y AS VARCHAR), 4, '0') || '-'
+                         || lpad(CAST(iso_m AS VARCHAR), 2, '0') || '-'
+                         || lpad(CAST(iso_d AS VARCHAR), 2, '0') END
+                     WHEN has_ul THEN CASE WHEN ok_ul THEN
+                         lpad(CAST(ul_y AS VARCHAR), 4, '0') || '-'
+                         || lpad(CAST(ul_m AS VARCHAR), 2, '0') || '-'
+                         || lpad(CAST(ul_d AS VARCHAR), 2, '0') END
+                     WHEN has_sl THEN CASE WHEN ok_sl THEN
+                         lpad(CAST(sl_y AS VARCHAR), 4, '0') || '-'
+                         || lpad(CAST(sl_m AS VARCHAR), 2, '0') || '-'
+                         || lpad(CAST(sl_d AS VARCHAR), 2, '0') END
+                END AS pub_date,
+                CASE WHEN has_iso THEN CASE WHEN ok_iso THEN 'iso' END
+                     WHEN has_ul THEN CASE WHEN ok_ul THEN 'us_long' END
+                     WHEN has_sl THEN CASE WHEN ok_sl THEN 'slash' END
+                END AS date_kind
+            FROM v ORDER BY doc_id
         """,
         # Heavy hitters: the output is partitioning-independent (exact
         # recount of a provably-complete candidate set), so the oracle

@@ -3722,6 +3722,83 @@ def _kcore_oracle(n_rounds: int = 10) -> str:
     )
 
 
+def q_ktruss(spark, sf_dir):
+    """k-truss decomposition (graph_algos.truss_edges — the edge-level
+    tightening of q_kcore over the SAME derived circulant-layered
+    graph): synchronous triangle-support peeling, order-free and
+    monotone, so 8 fixed rounds replay bit-exactly as chained DuckDB
+    CTEs (ordered-wedge triangle enumeration + 3-edge unnest support +
+    threshold filter per round; extra rounds past the fixed point are
+    idempotent, which is what lets the engine early-exit while the
+    oracle runs all 8). k = 4: every surviving edge in ≥ 2 triangles
+    of the survivor subgraph."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        truss_edges,
+    )
+
+    e = _kcore_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    )
+    return truss_edges(e, k=4, n_rounds=8).orderBy("a", "b")
+
+
+def _ktruss_oracle(k: int = 4, n_rounds: int = 8) -> str:
+    """Chained-CTE replay of truss_edges over the q_kcore derived
+    graph: e0 = canonical (least, greatest) edges; each round
+    enumerates triangles once via the ordered wedge join (x<y<z),
+    fans each out to its 3 edges, counts support, and keeps edges
+    with support ≥ k−2 — the same synchronous cascade, all BIGINT."""
+    ctes = [
+        f"WITH {_DERIVED_EDGES_SQL}",
+        (
+            "kc_extra AS (\n"
+            "  SELECT src, (src + 5) % 500 AS dst FROM nodes WHERE src % 5 = 0\n"
+            "  UNION SELECT src, (src + 10) % 500 FROM nodes WHERE src % 5 = 0\n"
+            "  UNION SELECT src, (src + 15) % 500 FROM nodes WHERE src % 5 = 0\n"
+            "  UNION SELECT src, (src + 20) % 500 FROM nodes WHERE src % 5 = 0\n"
+            ")"
+        ),
+        (
+            "kc_edges AS (SELECT src, dst FROM "
+            "(SELECT * FROM edges UNION SELECT * FROM kc_extra) "
+            "WHERE src <> dst)"
+        ),
+        (
+            "e0 AS (SELECT DISTINCT least(src, dst) AS a, "
+            "greatest(src, dst) AS b FROM kc_edges)"
+        ),
+    ]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"tri{r} AS MATERIALIZED (\n"
+            f"  SELECT e1.a AS x, e1.b AS y, e2.b AS z\n"
+            f"  FROM e{p} e1 JOIN e{p} e2 ON e1.b = e2.a\n"
+            f"  JOIN e{p} e3 ON e3.a = e1.a AND e3.b = e2.b\n"
+            f")"
+        )
+        ctes.append(
+            f"sup{r} AS (\n"
+            f"  SELECT a, b, CAST(count(*) AS BIGINT) AS s FROM (\n"
+            f"    SELECT x AS a, y AS b FROM tri{r}\n"
+            f"    UNION ALL SELECT x, z FROM tri{r}\n"
+            f"    UNION ALL SELECT y, z FROM tri{r}\n"
+            f"  ) GROUP BY a, b\n"
+            f")"
+        )
+        ctes.append(
+            f"e{r} AS MATERIALIZED (\n"
+            f"  SELECT e.a, e.b FROM e{p} e\n"
+            f"  LEFT JOIN sup{r} s ON e.a = s.a AND e.b = s.b\n"
+            f"  WHERE coalesce(s.s, 0) >= {k - 2}\n"
+            f")"
+        )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT a, b FROM e{n_rounds} ORDER BY a, b"
+    )
+
+
 def q_hll_cardinality(spark, sf_dir):
     """HyperLogLog distinct-count sketch (operators/hll.py — the
     third mergeable sketch next to Bloom and count-min): per-event-type
@@ -4966,6 +5043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_join": q_fuzzy_join,
         "q_temperature_mix": q_temperature_mix,
         "q_pub_dates": q_pub_dates,
+        "q_ktruss": q_ktruss,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -7384,6 +7462,7 @@ def oracle_sql() -> dict[str, str]:
         # k-core: full h-index trajectory replayed round-by-round in
         # chained CTEs — integer-only, order-free (see _kcore_oracle)
         "q_kcore": _kcore_oracle(n_rounds=10),
+        "q_ktruss": _ktruss_oracle(k=4, n_rounds=8),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

@@ -547,6 +547,103 @@ def core_numbers(
     return h.select(F.col("a").alias("node_id"), F.col("h").alias("core"))
 
 
+def truss_edges(
+    edges: DataFrame, k: int, n_rounds: int = 8, check_convergence: bool = True
+) -> DataFrame:
+    """k-truss of the undirected graph: the maximal subgraph in which
+    every surviving edge participates in ≥ k−2 triangles — the
+    edge-level tightening of k-core (a k-truss is always inside the
+    (k−1)-core but prunes far more aggressively: cohesive communities
+    over hub-dominated stars). Returns the surviving canonical edge
+    set (a < b).
+
+    Algorithm: SYNCHRONOUS support peeling — each round recomputes
+    every edge's triangle support within the current subgraph and
+    removes ALL sub-threshold edges at once (Cohen 2008's peel, made
+    order-free: the classic sequential removal visits edges in an
+    arbitrary order no two engines would agree on; the synchronous
+    cascade is a deterministic monotone fixed point, the same property
+    that makes :func:`core_numbers`' h-index iteration oracle-able).
+    A fixed ``n_rounds`` therefore replays bit-exactly as chained SQL
+    CTEs; raises if the cascade is still moving after them.
+
+    Scale shape (100 TB edge tables): triangles are enumerated once
+    per round via the canonical ordered-wedge join — E(x,y)⋈E(y,z) on
+    the middle node then a semi-check of (x,z), every triangle found
+    exactly once (x<y<z), never an all-pairs neighbour product; the
+    3-edge fan-out is a constant; support is one partial-agg groupBy
+    keyed by the 16-byte edge; localCheckpoint per round truncates the
+    iterative lineage. Per-round cost ≈ one triangle count — the same
+    plan q_triangles runs once.
+
+    Reference analogue: the graph-metrics cohesion family
+    (scripts/analysis/graph_metrics.py) beyond what NetworkX offered
+    the reference; first-class here because dense near-duplicate
+    clusters in link/co-citation graphs are exactly what truss
+    filtering isolates.
+    """
+    if k < 3:
+        raise ValueError(f"k must be ≥ 3 for a k-truss: {k}")
+    und = _undirected_pairs(edges)
+    e = (
+        und.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    thresh = k - 2
+    prev_n = e.count()
+    converged = False
+    for _ in range(n_rounds):
+        e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        tri = e1.join(e2, "y").join(e3, ["x", "z"])
+        sup = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+            .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("_sup"))
+        )
+        e = (
+            e.join(sup, ["a", "b"], "left")
+            .filter(F.coalesce(F.col("_sup"), F.lit(0)) >= thresh)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n = e.count()
+        if n == prev_n:
+            converged = True
+            break
+        prev_n = n
+    if check_convergence and not converged:
+        # one more support pass to verify the fixed point
+        e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        tri = e1.join(e2, "y").join(e3, ["x", "z"])
+        sup = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+            .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("_sup"))
+        )
+        n_below = (
+            e.join(sup, ["a", "b"], "left")
+            .filter(F.coalesce(F.col("_sup"), F.lit(0)) < thresh)
+            .count()
+        )
+        if n_below:
+            raise RuntimeError(
+                f"truss_edges: {n_below} edges still below support "
+                f"{thresh} after {n_rounds} rounds — raise n_rounds"
+            )
+    return e
+
+
 def components_incremental(
     labels: DataFrame,
     new_edges: DataFrame,

@@ -2241,6 +2241,59 @@ def q_fuzzy_join(spark, sf_dir):
     return fuzzy_pairs(names, "id", "name", max_dist=1).orderBy("id1", "id2")
 
 
+def q_fuzzy_probe(spark, sf_dir):
+    """Incremental fuzzy-join maintenance (fuzzy_join.fuzzy_index +
+    fuzzy_probe_new — the growing-corpus path every dedup family
+    carries): the doc_id < 250 half's deletion-neighborhood index is
+    built once, then the other half probes it — new-vs-stored plus
+    new-vs-new pairs, old-old structurally excluded, variants of the
+    stored corpus never re-derived. The DuckDB oracle computes the
+    decision function directly: all-pairs Levenshtein ≤ 1 over the
+    same typo'd names RESTRICTED to pairs with a new side — a probe
+    that missed or fabricated a pair mismatches the row set
+    (probe == rebuild is additionally pinned in test_fuzzy_join)."""
+    from metal_history_knowledge_graph_spark.operators.fuzzy_join import (
+        fuzzy_index,
+        fuzzy_probe_new,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id",
+        F.trim(
+            F.substring(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""),
+                1, 16,
+            )
+        ).alias("base"),
+    )
+    variant = F.when(
+        F.length("base") < 6, F.concat(F.col("base"), F.lit("x"))
+    ).when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.expr("substring(base, 1, 2)"), F.expr("substring(base, 4)")),
+    ).when(
+        F.col("doc_id") % 3 == 1,
+        F.concat(F.expr("substring(base, 1, 3)"), F.lit("x"),
+                 F.expr("substring(base, 5)")),
+    ).otherwise(
+        F.concat(F.expr("substring(base, 1, 5)"), F.lit("q"),
+                 F.expr("substring(base, 6)")),
+    )
+    names = base.select(
+        (F.col("doc_id") * 2).alias("id"), F.col("base").alias("name")
+    ).unionByName(
+        base.select((F.col("doc_id") * 2 + 1).alias("id"),
+                    variant.alias("name"))
+    )
+    old = names.filter(F.col("id") < 500)
+    new = names.filter(F.col("id") >= 500)
+    idx = fuzzy_index(old, "id", "name", max_dist=1)
+    return fuzzy_probe_new(new, idx, "id", "name", max_dist=1).orderBy(
+        "id1", "id2"
+    )
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-scaled domain mixing (sampling.temperature_mix —
     the multilingual/multi-domain rebalance: keep probability ∝
@@ -5044,6 +5097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_temperature_mix": q_temperature_mix,
         "q_pub_dates": q_pub_dates,
         "q_ktruss": q_ktruss,
+        "q_fuzzy_probe": q_fuzzy_probe,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -7798,6 +7852,41 @@ def oracle_sql() -> dict[str, str]:
               ON a.id < b.id
              AND abs(length(a.name) - length(b.name)) <= 1
              AND levenshtein(a.name, b.name) <= 1
+            ORDER BY id1, id2
+        """,
+        # Fuzzy probe: decision function restricted to pairs with a
+        # new (id >= 500) side — the incremental path must return
+        # exactly the rebuild's new-involving pairs.
+        "q_fuzzy_probe": """
+            WITH nm0 AS (
+                SELECT doc_id,
+                       trim(substr(regexp_replace(lower(text),
+                                                  '[^a-z ]', '', 'g'),
+                                   1, 16)) AS base
+                FROM documents
+            ), nm AS (
+                SELECT doc_id * 2 AS id, base AS name FROM nm0
+                UNION ALL
+                SELECT doc_id * 2 + 1,
+                       CASE WHEN length(base) < 6 THEN base || 'x'
+                            WHEN doc_id % 3 = 0
+                                THEN substr(base, 1, 2) || substr(base, 4)
+                            WHEN doc_id % 3 = 1
+                                THEN substr(base, 1, 3) || 'x'
+                                     || substr(base, 5)
+                            ELSE substr(base, 1, 5) || 'q'
+                                 || substr(base, 6)
+                       END
+                FROM nm0
+            )
+            SELECT a.id AS id1, b.id AS id2,
+                   a.name AS text1, b.name AS text2,
+                   CAST(levenshtein(a.name, b.name) AS INT) AS dist
+            FROM nm a JOIN nm b
+              ON a.id < b.id
+             AND abs(length(a.name) - length(b.name)) <= 1
+             AND levenshtein(a.name, b.name) <= 1
+            WHERE a.id >= 500 OR b.id >= 500
             ORDER BY id1, id2
         """,
         # Temperature mix: the full rate derivation (exact isqrt

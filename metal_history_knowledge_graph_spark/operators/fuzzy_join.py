@@ -67,6 +67,70 @@ def deletion_neighborhood(col, max_dist: int):
     return F.array_distinct(out)
 
 
+def fuzzy_index(
+    df: DataFrame, id_col: str, text_col: str, max_dist: int = 1
+) -> DataFrame:
+    """Persistable deletion-neighborhood index of a name corpus:
+    (_id, _txt, _vh) — one row per (name, variant-hash). Write it
+    once; :func:`fuzzy_probe_new` joins fresh batches against it so a
+    growing corpus never re-derives old variants (the
+    minhash_probe_new / ivf_assign_new incremental pattern)."""
+    names = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(text_col).cast("string").alias("_txt"),
+    ).filter(F.col("_txt").isNotNull())
+    return names.select(
+        "_id",
+        "_txt",
+        F.explode(
+            deletion_neighborhood(F.col("_txt"), max_dist)
+        ).alias("_var"),
+    ).select("_id", "_txt", F.xxhash64("_var").alias("_vh"))
+
+
+def fuzzy_probe_new(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Incremental fuzzy join: every pair within Levenshtein
+    ``max_dist`` where AT LEAST ONE side is from ``new_df`` —
+    new-vs-stored plus new-vs-new, never re-deriving the stored
+    corpus's variants. Invariant (pinned in tests):
+    ``fuzzy_pairs(old ∪ new) == fuzzy_pairs(old) ∪ probe(new, index(old))``.
+
+    Scale shape: the probe side's variants are batch-sized; the join
+    against the persisted index is the same inverted equi-join as
+    :func:`fuzzy_pairs` (broadcastable when the batch is small), and
+    old-old pairs are structurally excluded rather than filtered."""
+    vn = fuzzy_index(new_df, id_col, text_col, max_dist)
+    both = index.unionByName(vn)
+    pairs = (
+        vn.alias("n")
+        .join(both.alias("o"), "_vh")
+        .filter(F.col("n._id") != F.col("o._id"))
+        .filter(
+            F.abs(F.length("n._txt") - F.length("o._txt")) <= max_dist
+        )
+        .filter(F.levenshtein(F.col("n._txt"), F.col("o._txt")) <= max_dist)
+        .select(
+            F.least("n._id", "o._id").alias("id1"),
+            F.greatest("n._id", "o._id").alias("id2"),
+            F.when(F.col("n._id") < F.col("o._id"), F.col("n._txt"))
+            .otherwise(F.col("o._txt")).alias("text1"),
+            F.when(F.col("n._id") < F.col("o._id"), F.col("o._txt"))
+            .otherwise(F.col("n._txt")).alias("text2"),
+            F.levenshtein(F.col("n._txt"), F.col("o._txt"))
+            .cast("int")
+            .alias("dist"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
 def fuzzy_pairs(
     df: DataFrame,
     id_col: str,

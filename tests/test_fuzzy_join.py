@@ -107,3 +107,53 @@ def test_max_dist_guard(spark):
     df = spark.createDataFrame([(1, "a")], "id long, txt string")
     with pytest.raises(ValueError):
         fuzzy_pairs(df, "id", "txt", max_dist=3)
+
+
+def test_probe_equals_rebuild(spark):
+    names = [
+        "black sabbath", "black sabath", "iron maiden", "iron maidenn",
+        "metallica", "metalica", "slayer", "slayerr", "slayer",
+        "megadeth", "megadeath", "anthrax",
+    ]
+    df = spark.createDataFrame(list(enumerate(names)), "id long, txt string")
+    old = df.filter(F.col("id") < 6)
+    new = df.filter(F.col("id") >= 6)
+
+    from metal_history_knowledge_graph_spark.operators.fuzzy_join import (
+        fuzzy_index,
+        fuzzy_probe_new,
+    )
+
+    idx = fuzzy_index(old, "id", "txt")
+    probed = {
+        tuple(r) for r in fuzzy_probe_new(new, idx, "id", "txt").collect()
+    }
+    old_pairs = {tuple(r) for r in fuzzy_pairs(old, "id", "txt").collect()}
+    all_pairs = {tuple(r) for r in fuzzy_pairs(df, "id", "txt").collect()}
+    # probe returns exactly the pairs that involve a new id
+    assert probed == {p for p in all_pairs if p[0] >= 6 or p[1] >= 6}
+    # probe ∪ old-pairs == full rebuild
+    assert probed | old_pairs == all_pairs
+    # old-old pairs are structurally excluded
+    assert all(p[0] >= 6 or p[1] >= 6 for p in probed)
+
+
+def test_pairs_feed_group_representatives(spark):
+    from metal_history_knowledge_graph_spark.operators.dedup import (
+        group_representatives,
+    )
+
+    names = ["abba", "abbba", "abb", "zz", "zzz", "qqqq"]
+    df = spark.createDataFrame(list(enumerate(names)), "id long, txt string")
+    pairs = fuzzy_pairs(df, "id", "txt")
+    reps = group_representatives(
+        pairs, docs=df.select(F.col("id")), id_col="id",
+        a_col="id1", b_col="id2",
+    )
+    rows = {r.id: (r.rep_id, r.group_size, r.keep) for r in reps.collect()}
+    # abba~abbba (dist 1), abba~abb (dist 1) → one group rooted at 0
+    assert rows[0] == (0, 3, True)
+    assert rows[1] == (0, 3, False) and rows[2] == (0, 3, False)
+    # zz~zzz group, qqqq singleton
+    assert rows[3] == (3, 2, True) and rows[4] == (3, 2, False)
+    assert rows[5] == (5, 1, True)

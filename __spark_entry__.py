@@ -2241,6 +2241,27 @@ def q_fuzzy_join(spark, sf_dir):
     return fuzzy_pairs(names, "id", "name", max_dist=1).orderBy("id1", "id2")
 
 
+def q_exact_quantiles(spark, sf_dir):
+    """Exact distributed quantiles without a global sort
+    (operators/quantiles.exact_quantiles): deterministic md5-sampled
+    pivots → ONE exact-rank pass (all pivot ranks in a single 1-row
+    partial agg) → bracket range filter → per-VALUE counts + running
+    sum resolve the order statistic. The answer is the exact value at
+    1-based rank ⌈q·N/1000⌉ of the sorted column — no approximation,
+    no partitioning dependence — so the DuckDB oracle computes it
+    DIRECTLY with row_number() over the fully sorted column. Seven
+    quantiles of lineitem.l_extendedprice."""
+    from metal_history_knowledge_graph_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles(
+        li, "l_extendedprice", [10, 250, 500, 750, 900, 990, 1000],
+        sample_rate=0.01,
+    ).orderBy("q_permille")
+
+
 def q_fuzzy_probe(spark, sf_dir):
     """Incremental fuzzy-join maintenance (fuzzy_join.fuzzy_index +
     fuzzy_probe_new — the growing-corpus path every dedup family
@@ -5098,6 +5119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pub_dates": q_pub_dates,
         "q_ktruss": q_ktruss,
         "q_fuzzy_probe": q_fuzzy_probe,
+        "q_exact_quantiles": q_exact_quantiles,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -7853,6 +7875,30 @@ def oracle_sql() -> dict[str, str]:
              AND abs(length(a.name) - length(b.name)) <= 1
              AND levenshtein(a.name, b.name) <= 1
             ORDER BY id1, id2
+        """,
+        # Exact quantiles: the output is the exact order statistic at
+        # rank ceil(q·N/1000) — partitioning-independent — so the
+        # oracle computes it directly with a full-sort row_number
+        # (integer-ceil rank arithmetic matches the engine's).
+        "q_exact_quantiles": """
+            WITH v AS (
+                SELECT l_extendedprice AS v FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+            ), n AS (
+                SELECT CAST(count(*) AS BIGINT) AS n FROM v
+            ), r AS (
+                SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v
+            ), t AS (
+                SELECT q_permille,
+                       greatest(1, (q_permille * n + 999) // 1000) AS rank
+                FROM (SELECT unnest([10, 250, 500, 750, 900, 990, 1000])
+                             AS q_permille), n
+            )
+            SELECT CAST(t.q_permille AS INT) AS q_permille,
+                   r.v AS value,
+                   CAST(t.rank AS BIGINT) AS rank
+            FROM t JOIN r ON r.rn = t.rank
+            ORDER BY q_permille
         """,
         # Fuzzy probe: decision function restricted to pairs with a
         # new (id >= 500) side — the incremental path must return

@@ -145,7 +145,9 @@ def run_analytics(spark) -> dict[str, float]:
                  "q_bm25_topk", "q_webtext_prep", "q_kcore",
                  "q_crawl_plan", "q_phrase_match", "q_pps_sample",
                  "q_link_pred", "q_quality_clf", "q_tfidf_keywords",
-                 "q_kn_bigrams", "q_heavy_hitters", "q_discovery_plan"):
+                 "q_kn_bigrams", "q_heavy_hitters", "q_discovery_plan",
+                 "q_fuzzy_join", "q_temperature_mix", "q_pub_dates",
+                 "q_ktruss"):
         fn = qmap[name]
         walls = []
         for _ in range(repeats):
@@ -247,6 +249,7 @@ def default_bench() -> dict:
         ("stream_crawl", "STREAM_CRAWL_RECORDED.json"),
         ("kn_scaling", "KN_SCALING.json"),
         ("neardup_stream", "NEARDUP_STREAM_RECORDED.json"),
+        ("fuzzy_scaling", "FUZZY_SCALING.json"),
     ):
         p = os.path.join(REPO, fname)
         if os.path.isfile(p):

@@ -2027,6 +2027,46 @@ def q_lm_score(spark, sf_dir):
     )
 
 
+_CCNET_LOGTAB_PATH = "/tmp/kg_ccnet_logtab.parquet"
+_CCNET_PARAMS_PATH = "/tmp/kg_ccnet_params.parquet"
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing (lm_score.
+    ppl_buckets over score_documents — the SELECTION step after the
+    q_lm_score filter: train on head, sample middle, drop tail;
+    Wenzek et al. 2020 §4.3). Same trusted-export decision oracle as
+    q_lm_score (own export paths, written by THIS query immediately
+    before the oracle reads them — the standard query-before-oracle
+    contract every export oracle here shares): DuckDB recomputes term
+    frequencies
+    independently, joins the exported log function, replays the BIGINT
+    score chain, then lands every document in the same ntile(3)
+    bucket via the identical (score, doc_id) ORDER BY."""
+    from metal_history_knowledge_graph_spark.operators.lm_score import (
+        build_unigram_lm,
+        log_table,
+        ppl_buckets,
+        score_documents,
+    )
+
+    logtab_path, params_path = _CCNET_LOGTAB_PATH, _CCNET_PARAMS_PATH
+    docs = _t(spark, sf_dir, "documents")
+    lm, params = build_unigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    log_table(lm).coalesce(1).write.mode("overwrite").parquet(logtab_path)
+    spark.createDataFrame(
+        [(params["total_tokens"], params["vocab_size"],
+          params["oov_nll_micro"])],
+        "total_tokens long, vocab_size long, oov_nll_micro long",
+    ).coalesce(1).write.mode("overwrite").parquet(params_path)
+    scored = score_documents(
+        docs, lm, params["oov_nll_micro"], keep_below_micro=9_000_000
+    )
+    return ppl_buckets(scored, n_buckets=3).select(
+        "doc_id", "avg_nll_micro", "ppl_bucket", "ppl_class"
+    ).orderBy("doc_id")
+
+
 _QCLF_WEIGHTS_PATH = "/tmp/kg_qclf_weights.parquet"
 _QCLF_PARAMS_PATH = "/tmp/kg_qclf_params.parquet"
 
@@ -5120,6 +5160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ktruss": q_ktruss,
         "q_fuzzy_probe": q_fuzzy_probe,
         "q_exact_quantiles": q_exact_quantiles,
+        "q_ccnet_buckets": q_ccnet_buckets,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -8357,6 +8398,51 @@ def oracle_sql() -> dict[str, str]:
             FROM documents doc
             LEFT JOIN per ON doc.doc_id = per.doc_id
             CROSS JOIN p
+        """,
+        # CCNet buckets: the q_lm_score decision-oracle chain (own
+        # fresh exports) + the identical ntile(3) over (score, doc_id).
+        "q_ccnet_buckets": f"""
+            WITH logtab AS (
+                SELECT * FROM '{_CCNET_LOGTAB_PATH}/*.parquet'
+            ), p AS (
+                SELECT * FROM '{_CCNET_PARAMS_PATH}/*.parquet'
+            ), ttoks AS (
+                SELECT unnest({toks}) AS term
+                FROM documents WHERE doc_id % 2 = 0
+            ), counts AS (
+                SELECT term, count(*) AS freq FROM ttoks GROUP BY term
+            ), lm AS (
+                SELECT c.term, l.nll_micro
+                FROM counts c JOIN logtab l USING (freq)
+            ), dtoks AS (
+                SELECT doc_id, unnest({toks}) AS term FROM documents
+            ), per AS (
+                SELECT d.doc_id,
+                       CAST(count(*) AS BIGINT) AS lm_tokens,
+                       CAST(sum(coalesce(lm.nll_micro, p.oov_nll_micro))
+                            AS BIGINT) AS nll_sum_micro
+                FROM dtoks d
+                LEFT JOIN lm USING (term)
+                CROSS JOIN p
+                GROUP BY d.doc_id
+            ), sc AS (
+                SELECT doc.doc_id,
+                       CASE WHEN coalesce(per.lm_tokens, 0) > 0
+                            THEN per.nll_sum_micro // per.lm_tokens
+                            ELSE p.oov_nll_micro END AS avg_nll_micro
+                FROM documents doc
+                LEFT JOIN per ON doc.doc_id = per.doc_id
+                CROSS JOIN p
+            ), bk AS (
+                SELECT doc_id, avg_nll_micro,
+                       CAST(ntile(3) OVER (ORDER BY avg_nll_micro, doc_id)
+                            AS INT) AS ppl_bucket
+                FROM sc
+            )
+            SELECT doc_id, avg_nll_micro, ppl_bucket,
+                   CASE ppl_bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS ppl_class
+            FROM bk ORDER BY doc_id
         """,
         # DSIR replay: independent re-featurization (same token
         # grammar, same bigram join, same md5 bucket hash) joined

@@ -141,3 +141,45 @@ def score_documents(
     return out.withColumn(
         "lm_keep", F.col("avg_nll_micro") <= F.lit(int(keep_below_micro))
     )
+
+
+def ppl_buckets(
+    scored: DataFrame,
+    n_buckets: int = 3,
+    score_col: str = "avg_nll_micro",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: rank documents by LM score and
+    cut into ``n_buckets`` equal-population buckets (bucket 1 = the
+    most in-distribution text; CCNet trains on head, samples middle,
+    drops tail — Wenzek et al. 2020 §4.3).
+
+    ``ntile`` over (score, id) — the id tie-break makes the cut
+    deterministic and cross-engine replayable (DuckDB's ntile with the
+    same ORDER BY lands every row in the same bucket). Adds
+    ``ppl_bucket`` (1-based INT) and the label column
+    ``ppl_class`` (head/middle/tail for 3 buckets, 'b<k>' otherwise).
+
+    Scale note: a single unpartitioned ntile is a global sort — right
+    for the per-LANGUAGE corpus slices CCNet buckets (each language
+    sorts independently; partition the window by language upstream
+    when scoring a multilingual corpus). The repo's keyset/TakeOrdered
+    pagination variants remain the tool for serving-side ordering.
+    """
+    from pyspark.sql import Window
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be ≥ 2: {n_buckets}")
+    w = Window.orderBy(F.col(score_col), F.col(id_col))
+    out = scored.withColumn(
+        "ppl_bucket", F.ntile(n_buckets).over(w).cast("int")
+    )
+    if n_buckets == 3:
+        label = (
+            F.when(F.col("ppl_bucket") == 1, "head")
+            .when(F.col("ppl_bucket") == 2, "middle")
+            .otherwise("tail")
+        )
+    else:
+        label = F.concat(F.lit("b"), F.col("ppl_bucket").cast("string"))
+    return out.withColumn("ppl_class", label)

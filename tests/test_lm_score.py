@@ -109,3 +109,36 @@ def test_no_python_in_hot_path(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---- CCNet head/middle/tail bucketing (lm_score.ppl_buckets)
+
+
+def test_ppl_buckets_balanced_and_ordered(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from metal_history_knowledge_graph_spark.operators.lm_score import (
+        ppl_buckets,
+    )
+
+    rows = [(i, (i * 137) % 991) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, avg_nll_micro long")
+    out = ppl_buckets(df, n_buckets=3).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.ppl_bucket, []).append(r)
+    # equal population, labels match buckets
+    assert {b: len(v) for b, v in by_bucket.items()} == {1: 30, 2: 30, 3: 30}
+    assert {r.ppl_class for r in by_bucket[1]} == {"head"}
+    assert {r.ppl_class for r in by_bucket[3]} == {"tail"}
+    # ordering: every head score <= every middle score <= every tail
+    assert max(r.avg_nll_micro for r in by_bucket[1]) <= min(
+        r.avg_nll_micro for r in by_bucket[2])
+    assert max(r.avg_nll_micro for r in by_bucket[2]) <= min(
+        r.avg_nll_micro for r in by_bucket[3])
+    # deterministic under repartition
+    out2 = ppl_buckets(df.repartition(7), n_buckets=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    with _pytest.raises(ValueError):
+        ppl_buckets(df, n_buckets=1)

@@ -2560,6 +2560,24 @@ def q_kn_bigrams(spark, sf_dir):
     ).limit(100)
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """PMI collocation mining (ngram_lm.pmi_collocations — Church &
+    Hanks 1990, the word2vec phrase-pass statistic): top-100 bigrams
+    by association lift. log is monotone, so the PMI ranking is the
+    exact-BIGINT rational lift c12·N/(c1·c2) in ppm fixed point (the
+    two-step floor-divide keeps every intermediate under 2^63) — no
+    logs, no floats, no exports; the DuckDB oracle re-derives the
+    whole table from the raw text with the identical arithmetic."""
+    from metal_history_knowledge_graph_spark.operators.ngram_lm import (
+        pmi_collocations,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pmi_collocations(docs, min_count=2).orderBy(
+        F.desc("lift_ppm"), "w1", "w2"
+    ).limit(100)
+
+
 _DSIR_LR_PATH = "/tmp/kg_dsir_lr.parquet"
 _DSIR_N_BUCKETS = 4096
 _DSIR_K = 100
@@ -3913,6 +3931,242 @@ def _ktruss_oracle(k: int = 4, n_rounds: int = 8) -> str:
     )
 
 
+def _lpa_edges(spark, sf_dir):
+    """Planted-communities graph for the LPA query: 20 blocks of 25
+    nodes over the 0..499 id space — within a block every node links
+    +1/+2/+3 around the block ring (degree-6 circulant, so flooding
+    takes several rounds and a tie-break bug shows), and each block's
+    anchor (s % 25 == 0) has ONE bridge to the next block's anchor
+    (sparse inter-community noise the detector must not merge on)."""
+    n = _GRAPH_N
+    nodes = (
+        _t(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % n).alias("s"))
+        .distinct()
+    )
+    base = F.col("s") - (F.col("s") % 25)
+    intra = None
+    for j in (1, 2, 3):
+        ej = nodes.select(
+            F.col("s").alias("src"),
+            (base + ((F.col("s") % 25 + j) % 25)).alias("dst"),
+        )
+        intra = ej if intra is None else intra.unionByName(ej)
+    bridge = nodes.filter(F.col("s") % 25 == 0).select(
+        F.col("s").alias("src"), ((F.col("s") + 25) % n).alias("dst")
+    )
+    return (
+        intra.unionByName(bridge)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def q_lpa_communities(spark, sf_dir):
+    """Community detection by synchronous label propagation
+    (graph_algos.label_propagation — Raghavan 2007, the GraphFrames
+    formulation) over a planted 20-blocks-of-25 circulant graph:
+    most-frequent neighbour label per round, ties → smallest label.
+    Synchronous updates + the total tie-break order make 8 fixed
+    rounds replay bit-exactly as chained DuckDB CTEs (asynchronous
+    LPA's visit order — and random tie-breaking — would not)."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        label_propagation,
+    )
+
+    e = _lpa_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    )
+    return label_propagation(e, n_rounds=8).orderBy("node_id")
+
+
+def _lpa_oracle(n_rounds: int = 8) -> str:
+    """Chained-CTE replay of label_propagation over the planted-block
+    graph: l0 = own id; each round joins the symmetrized edges to the
+    previous labels, counts votes per (node, label), and keeps the
+    rank-1 label under ORDER BY (count DESC, label) — the identical
+    synchronous trajectory, all BIGINT."""
+    ctes = [
+        f"WITH lpa_nodes AS (SELECT DISTINCT o_orderkey % {_GRAPH_N} AS s FROM orders)",
+        (
+            "lpa_e AS (\n"
+            "  SELECT s AS src, (s - s % 25) + ((s % 25 + 1) % 25) AS dst FROM lpa_nodes\n"
+            "  UNION SELECT s, (s - s % 25) + ((s % 25 + 2) % 25) FROM lpa_nodes\n"
+            "  UNION SELECT s, (s - s % 25) + ((s % 25 + 3) % 25) FROM lpa_nodes\n"
+            f"  UNION SELECT s, (s + 25) % {_GRAPH_N} FROM lpa_nodes WHERE s % 25 = 0\n"
+            ")"
+        ),
+        (
+            "lpa_und AS (SELECT src AS a, dst AS b FROM lpa_e WHERE src <> dst "
+            "UNION SELECT dst, src FROM lpa_e WHERE src <> dst)"
+        ),
+        "l0 AS (SELECT DISTINCT a AS node, a AS lab FROM lpa_und)",
+    ]
+    for k in range(1, n_rounds + 1):
+        ctes.append(
+            f"l{k} AS MATERIALIZED (\n"
+            f"  SELECT a AS node, lab FROM (\n"
+            f"    SELECT a, lab,\n"
+            f"           row_number() OVER (PARTITION BY a ORDER BY c DESC, lab) AS rn\n"
+            f"    FROM (SELECT u.a, p.lab, CAST(count(*) AS BIGINT) AS c\n"
+            f"          FROM lpa_und u JOIN l{k - 1} p ON u.b = p.node\n"
+            f"          GROUP BY u.a, p.lab)\n"
+            f"  ) WHERE rn = 1\n"
+            f")"
+        )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT node AS node_id, lab AS community FROM l{n_rounds} ORDER BY node_id"
+    )
+
+
+def q_burst_terms(spark, sf_dir):
+    """Trending-term burst detection between consecutive corpus
+    windows (operators/trends.burst_terms — the two-window rate-ratio
+    screen of Kleinberg 2002's burst model): windows derived as
+    doc_id % 3 crawl snapshots, rates normalized by window token
+    totals, add-one smoothing on the previous window, everything in
+    ppb/ppm BIGINT floor-divides (the greatest(1,·) clamp keeps both
+    engines finite where DuckDB's // would raise on a floored-to-zero
+    denominator). Top-100 by (burst_ppm DESC, window, term)."""
+    from metal_history_knowledge_graph_spark.operators.trends import (
+        burst_terms,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 3).alias("window"), "text"
+    )
+    return burst_terms(docs, min_count=3).orderBy(
+        F.desc("burst_ppm"), "window", "term"
+    ).limit(100)
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (graph_algos.degree_assortativity —
+    Newman 2002) of the layered k-core derived graph: Pearson
+    degree–degree correlation over directed stubs, integer-exact
+    (both-orientations convention kills the square root; |num| ≤ den
+    bounds the ppm scale-up; sign split out because floor-vs-truncate
+    division semantics differ on negatives across engines)."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        degree_assortativity,
+    )
+
+    e = _kcore_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    )
+    return degree_assortativity(e)
+
+
+def _assortativity_oracle() -> str:
+    """Single-statement replay over the q_kcore derived graph: the
+    same symmetrize/degree/stub-join chain, all BIGINT, truncate-
+    toward-zero ppm via sign × abs."""
+    return f"""
+        WITH {_DERIVED_EDGES_SQL},
+        kc_extra AS (
+          SELECT src, (src + 5) % 500 AS dst FROM nodes WHERE src % 5 = 0
+          UNION SELECT src, (src + 10) % 500 FROM nodes WHERE src % 5 = 0
+          UNION SELECT src, (src + 15) % 500 FROM nodes WHERE src % 5 = 0
+          UNION SELECT src, (src + 20) % 500 FROM nodes WHERE src % 5 = 0
+        ),
+        kc_edges AS (SELECT src, dst FROM
+          (SELECT * FROM edges UNION SELECT * FROM kc_extra)
+          WHERE src <> dst),
+        und AS (SELECT src AS a, dst AS b FROM kc_edges
+                UNION SELECT dst, src FROM kc_edges),
+        deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY a),
+        stubs AS (
+          SELECT dx.d AS dx, dy.d AS dy
+          FROM und u JOIN deg dx ON u.a = dx.a JOIN deg dy ON u.b = dy.a
+        ),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS m_stubs,
+                 CAST(sum(dx) AS BIGINT) AS s_x,
+                 CAST(sum(dx * dy) AS BIGINT) AS s_xy,
+                 CAST(sum(dx * dx) AS BIGINT) AS s_x2
+          FROM stubs
+        )
+        SELECT m_stubs, s_x, s_xy, s_x2,
+               CAST(m_stubs * s_xy - s_x * s_x AS BIGINT) AS num,
+               CAST(m_stubs * s_x2 - s_x * s_x AS BIGINT) AS den,
+               CASE WHEN m_stubs * s_x2 - s_x * s_x = 0 THEN NULL
+                    ELSE CAST((CASE WHEN m_stubs * s_xy - s_x * s_x < 0
+                                    THEN -1
+                                    WHEN m_stubs * s_xy - s_x * s_x > 0
+                                    THEN 1 ELSE 0 END)
+                              * ((1000000 * abs(m_stubs * s_xy - s_x * s_x))
+                                 // (m_stubs * s_x2 - s_x * s_x))
+                              AS BIGINT)
+               END AS r_ppm
+        FROM stats
+    """
+
+
+def q_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus (operators/walks.random_walks)
+    over the standard derived functional graph: 2 walks of length 4
+    from every non-sink node, each transition picking the neighbour
+    at dst-sorted rank md5_60bit('w'|walk|step|node) mod degree — a
+    pure function of the graph, so the DuckDB oracle replays every
+    trajectory bit-exactly with the identical md5 arithmetic (an
+    executor-local RNG could never cross-check like this)."""
+    from metal_history_knowledge_graph_spark.operators.walks import (
+        random_walks,
+    )
+
+    e = _derived_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    )
+    return random_walks(e, walk_len=4, walks_per_node=2).orderBy(
+        "start", "walk_id", "step", "node"
+    )
+
+
+def _walks_oracle(walk_len: int = 4, walks_per_node: int = 2) -> str:
+    """Chained-CTE replay of random_walks: ranked adjacency + degree
+    dim, then one CTE per step joining the frontier through the
+    identical md5-mod pick. Hash input text must match Spark's
+    concat_ws('|', 'w', walk_id, t, node) byte-for-byte."""
+    ctes = [
+        f"WITH {_DERIVED_EDGES_SQL}",
+        (
+            "rw_adj AS (SELECT src, dst,\n"
+            "    CAST(row_number() OVER (PARTITION BY src ORDER BY dst)\n"
+            "         AS BIGINT) AS rn\n"
+            "  FROM (SELECT DISTINCT src, dst FROM edges WHERE src <> dst))"
+        ),
+        "rw_deg AS (SELECT src, CAST(max(rn) AS BIGINT) AS deg FROM rw_adj GROUP BY src)",
+        (
+            f"w0 AS (SELECT CAST(r.range AS BIGINT) AS walk_id,\n"
+            f"              d.src AS start, d.src AS node\n"
+            f"       FROM rw_deg d CROSS JOIN range({walks_per_node}) r)"
+        ),
+    ]
+    for t in range(1, walk_len + 1):
+        ctes.append(
+            f"w{t} AS MATERIALIZED (\n"
+            f"  SELECT p.walk_id, p.start, a.dst AS node FROM (\n"
+            f"    SELECT f.walk_id, f.start, f.node,\n"
+            f"           CAST(('0x' || substr(md5(\n"
+            f"               'w|' || CAST(f.walk_id AS VARCHAR) || '|{t}|'\n"
+            f"               || CAST(f.node AS VARCHAR)), 1, 15))::UBIGINT\n"
+            f"             AS BIGINT) % d.deg + 1 AS pick_rn\n"
+            f"    FROM w{t - 1} f JOIN rw_deg d ON f.node = d.src\n"
+            f"  ) p JOIN rw_adj a ON a.src = p.node AND a.rn = p.pick_rn\n"
+            f")"
+        )
+    steps = ",\n".join(
+        f"(SELECT walk_id, start, CAST({t} AS INT) AS step, node FROM w{t})"
+        for t in range(walk_len + 1)
+    ).replace(",\n", "\nUNION ALL\n")
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT walk_id, start, step, node FROM (\n{steps}\n)"
+        + "\nORDER BY start, walk_id, step, node"
+    )
+
+
 def q_hll_cardinality(spark, sf_dir):
     """HyperLogLog distinct-count sketch (operators/hll.py — the
     third mergeable sketch next to Bloom and count-min): per-event-type
@@ -5161,6 +5415,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_probe": q_fuzzy_probe,
         "q_exact_quantiles": q_exact_quantiles,
         "q_ccnet_buckets": q_ccnet_buckets,
+        "q_lpa_communities": q_lpa_communities,
+        "q_pmi_collocations": q_pmi_collocations,
+        "q_random_walks": q_random_walks,
+        "q_assortativity": q_assortativity,
+        "q_burst_terms": q_burst_terms,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -7580,6 +7839,9 @@ def oracle_sql() -> dict[str, str]:
         # chained CTEs — integer-only, order-free (see _kcore_oracle)
         "q_kcore": _kcore_oracle(n_rounds=10),
         "q_ktruss": _ktruss_oracle(k=4, n_rounds=8),
+        "q_lpa_communities": _lpa_oracle(n_rounds=8),
+        "q_random_walks": _walks_oracle(walk_len=4, walks_per_node=2),
+        "q_assortativity": _assortativity_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""
@@ -8298,6 +8560,78 @@ def oracle_sql() -> dict[str, str]:
             JOIN cont c USING (w2)
             CROSS JOIN tot
             ORDER BY c12.c12 DESC, w1, w2 LIMIT 100
+        """,
+        # Burst detection: re-derive (window, term) counts and window
+        # totals from raw text, shift-join window−1, replay the
+        # ppb/ppm floor-divide chain with the same greatest(1,·)
+        # clamp.
+        "q_burst_terms": f"""
+            WITH wtoks AS (
+                SELECT doc_id % 3 AS w, unnest({toks}) AS term
+                FROM documents
+            ),
+            counts AS (
+                SELECT w, term, CAST(count(*) AS BIGINT) AS c
+                FROM wtoks GROUP BY w, term
+            ),
+            totals AS (
+                SELECT w, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY w
+            ),
+            cur AS (
+                SELECT c.w, c.term, c.c, t.n
+                FROM counts c JOIN totals t USING (w)
+                WHERE c.c >= 3
+            )
+            SELECT cur.w AS "window", cur.term, cur.c, cur.n AS n_tokens,
+                   CAST(coalesce(p.c, 0) AS BIGINT) AS prev_c,
+                   pt.n AS prev_n,
+                   CAST((1000000 * ((1000000000 * cur.c) // cur.n))
+                        // greatest(1, (1000000000 * (coalesce(p.c, 0) + 1))
+                                       // pt.n)
+                        AS BIGINT) AS burst_ppm
+            FROM cur
+            JOIN totals pt ON pt.w = cur.w - 1
+            LEFT JOIN counts p ON p.w = cur.w - 1 AND p.term = cur.term
+            ORDER BY burst_ppm DESC, "window", cur.term LIMIT 100
+        """,
+        # PMI collocations: same bigram derivation, margins are
+        # re-aggregations of c12, lift is the identical two-step
+        # BIGINT floor-divide — ranking by lift == ranking by PMI.
+        "q_pmi_collocations": f"""
+            WITH toksed AS (SELECT {toks} AS t FROM documents),
+            bgl AS (
+                SELECT list_transform(
+                    range(1, len(t)),
+                    i -> {{'w1': t[i], 'w2': t[i + 1]}}
+                ) AS bgs
+                FROM toksed WHERE len(t) >= 2
+            ),
+            bg AS (
+                SELECT b.w1 AS w1, b.w2 AS w2
+                FROM (SELECT unnest(bgs) AS b FROM bgl)
+            ),
+            c12 AS (
+                SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                FROM bg GROUP BY w1, w2
+            ),
+            lft AS (
+                SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+                FROM c12 GROUP BY w1
+            ),
+            rgt AS (
+                SELECT w2, CAST(sum(c12) AS BIGINT) AS c2
+                FROM c12 GROUP BY w2
+            ),
+            tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bigrams FROM c12)
+            SELECT c12.w1, c12.w2, c12.c12, l.c1, r.c2, tot.n_bigrams,
+                   CAST((((1000000 * c12.c12) // l.c1) * tot.n_bigrams)
+                        // r.c2 AS BIGINT) AS lift_ppm
+            FROM c12
+            JOIN lft l USING (w1)
+            JOIN rgt r USING (w2)
+            CROSS JOIN tot
+            WHERE c12.c12 >= 2
+            ORDER BY lift_ppm DESC, c12.w1, c12.w2 LIMIT 100
         """,
         # NB quality-classifier replay: re-derive the per-term
         # class counts AND the scalar sufficient statistics from the

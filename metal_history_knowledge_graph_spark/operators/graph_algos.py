@@ -1126,3 +1126,141 @@ def pagerank_weighted(
             .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("node").alias("node_id"), "rank_fixed")
+
+
+def label_propagation(edges: DataFrame, n_rounds: int = 8) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan/
+    Albert/Kumara 2007, the GraphFrames formulation): every node
+    starts with its own id as label; each round every node adopts the
+    most frequent label among its neighbours, ties broken by the
+    SMALLEST label. Returns (node_id, community) after ``n_rounds``.
+
+    Synchronous updates + a total tie-break order make the trajectory
+    a pure function of the edge set, so a fixed ``n_rounds`` replays
+    bit-exactly as chained SQL CTEs on any engine — the classic
+    asynchronous sweep (and random tie-breaking) has a visit order no
+    two engines would agree on. The price, documented since the
+    original paper and in the GraphFrames API: synchronous LPA can
+    OSCILLATE on near-bipartite structure instead of converging, so
+    the round count is part of the operator's contract (callers read
+    the community assignment AT round ``n_rounds``; there is no
+    convergence guarantee to check).
+
+    Scale shape (100 TB edge tables): per round one node-keyed hash
+    join of the symmetrized edge table against the node-sized label
+    table, one partial-agg groupBy on (node, label), and one window
+    rank partitioned by node — never a per-node collect_list of
+    neighbour labels (hubs with 10^7 neighbours would OOM an array;
+    the groupBy pre-shrinks to distinct labels and the window spills).
+    localCheckpoint per round truncates the iterative lineage.
+
+    Reference analogue: the community/centrality analysis family
+    (scripts/analysis/graph_metrics.py) — detection as an iterative
+    relational plan instead of a NetworkX call.
+    """
+    from pyspark.sql import Window
+
+    und = (
+        _undirected_pairs(edges)
+        .select("a", "b")
+        .unionByName(
+            _undirected_pairs(edges).select(
+                F.col("b").alias("a"), F.col("a").alias("b")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab = und.select("a").distinct().select("a", F.col("a").alias("lab"))
+    w = Window.partitionBy("a").orderBy(F.desc("c"), "lab")
+    for _ in range(n_rounds):
+        votes = (
+            und.join(lab.select(F.col("a").alias("b"), "lab"), "b")
+            .groupBy("a", "lab")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        lab = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("a", "lab")
+            .localCheckpoint(eager=True)
+        )
+    return lab.select(
+        F.col("a").alias("node_id"), F.col("lab").alias("community")
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of the degrees at the two ends of an edge — positive
+    for social-style hub-to-hub graphs, negative for web/biology-style
+    hub-to-leaf graphs; the one-number summary of whether a crawl
+    frontier's host graph is core-periphery or clustered.
+
+    Computed over the DIRECTED STUB list (each undirected edge counted
+    in both orientations — the standard convention, which makes the
+    two marginals identical and the formula integer-exact with no
+    square root):
+
+        r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)
+
+    All sufficient statistics are exact BIGINTs; ``r_ppm`` is emitted
+    in parts-per-million fixed point with truncation toward zero on
+    BOTH engines (sign split out explicitly — floor-vs-truncate
+    integer-division semantics differ between engines on negatives,
+    a real cross-engine trap). |r| ≤ 1 guarantees |num| ≤ den, so the
+    1e6 scale-up is safe while den < 9.2·10¹² — beyond that (≈ 10⁶
+    stubs of average degree 10³) swap the ppm projection for
+    decimal(38) arithmetic; the BIGINT sufficient statistics
+    themselves hold to Σx² < 2^63.
+
+    Scale shape: one symmetrize + distinct, one node-sized degree
+    aggregation, two node-keyed joins to attach endpoint degrees, one
+    partial-agg global fold to 1 row. No window, no sort, no driver
+    loop.
+    """
+    und = (
+        _undirected_pairs(edges)
+        .select("a", "b")
+        .unionByName(
+            _undirected_pairs(edges).select(
+                F.col("b").alias("a"), F.col("a").alias("b")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    stubs = (
+        und.join(deg.select(F.col("a"), F.col("d").alias("dx")), "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("d").alias("dy")), "b"
+        )
+    )
+    stats = stubs.agg(
+        F.count(F.lit(1)).cast("long").alias("m_stubs"),
+        F.sum("dx").cast("long").alias("s_x"),
+        F.sum(F.expr("dx * dy")).cast("long").alias("s_xy"),
+        F.sum(F.expr("dx * dx")).cast("long").alias("s_x2"),
+    )
+    num = F.expr("m_stubs * s_xy - s_x * s_x")
+    den = F.expr("m_stubs * s_x2 - s_x * s_x")
+    sign = (
+        F.when(num < 0, F.lit(-1)).when(num > 0, F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    return stats.select(
+        "m_stubs",
+        "s_x",
+        "s_xy",
+        "s_x2",
+        num.cast("long").alias("num"),
+        den.cast("long").alias("den"),
+        F.when(den == 0, F.lit(None).cast("long"))
+        .otherwise(
+            sign * F.expr(
+                "(1000000 * abs(m_stubs * s_xy - s_x * s_x))"
+                " div (m_stubs * s_x2 - s_x * s_x)"
+            )
+        )
+        .alias("r_ppm"),
+    )

@@ -117,3 +117,63 @@ def bigram_kn(
         .select("w1", "w2", "c12", "c1", "n1_fwd", "n1_bwd",
                 "pcont_micro", "pkn_micro")
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information: score every
+    bigram by how much more often it occurs than its parts predict —
+    the classic phrase detector (Church & Hanks 1990; the word2vec
+    phrase pass uses the same lift statistic). Returns (w1, w2, c12,
+    c1, c2, n_bigrams, lift_ppm) for bigrams with ``c12 ≥ min_count``.
+
+    PMI = log( p(w1,w2) / (p(w1)·p(w2)) ) with all probabilities
+    estimated on the bigram stream (c1 = Σ_x c(w1,x), c2 = Σ_x
+    c(x,w2), N = Σ c12). log is monotone, so ranking by PMI equals
+    ranking by the RATIONAL lift c12·N / (c1·c2) — which this operator
+    emits in parts-per-million fixed point, keeping the whole table
+    (and its oracle) in exact BIGINT arithmetic with no cross-engine
+    transcendentals:
+
+        lift_ppm = (((1e6 · c12) div c1) · N) div c2
+
+    The two-step divide bounds every intermediate: (1e6·c12) div c1 ≤
+    1e6 since c12 ≤ c1, so the product is ≤ 1e6·N — BIGINT-safe to
+    N ≈ 9·10¹² bigram tokens (≈ 40 TB of English text; beyond that,
+    drop the unit to 1e3 or pre-slice by language/domain as a PMI
+    table is per-corpus anyway). The floor happening before ·N costs
+    < c1/(1e6·c12) relative precision — sub-ppm for any bigram that
+    clears ``min_count`` on a corpus large enough to matter.
+
+    Scale shape: one (w1,w2) partial-agg groupBy over the narrow
+    per-document bigram transform (no positional self-join), two
+    re-aggregations of the distinct-bigram-bounded c12 table for the
+    margins, and a broadcast 1-row cross-join for N — no global sort,
+    nothing driver-side. min_count prunes the long tail BEFORE the
+    margin joins.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be ≥ 1: {min_count}")
+    c12 = (
+        bigram_pairs(df, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    left = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    right = c12.groupBy("w2").agg(F.sum("c12").cast("long").alias("c2"))
+    totals = c12.agg(F.sum("c12").cast("long").alias("n_bigrams"))
+    return (
+        c12.filter(F.col("c12") >= int(min_count))
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lift_ppm",
+            F.expr(f"((({MICRO} * c12) div c1) * n_bigrams) div c2"),
+        )
+        .select("w1", "w2", "c12", "c1", "c2", "n_bigrams", "lift_ppm")
+    )

@@ -157,3 +157,61 @@ def test_keyword_plan_shape(spark):
     # global ordering of the corpus
     assert "Sort [doc_id" in plan or "Sort [" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+# ---- PMI collocations (ngram_lm.pmi_collocations)
+
+
+def test_pmi_exact_python_replay(spark):
+    """Exact integer replay of the full collocation table in pure
+    Python — every count, margin and the two-step floor-divide."""
+    from collections import Counter
+
+    from metal_history_knowledge_graph_spark.operators.ngram_lm import (
+        pmi_collocations,
+    )
+
+    docs = [
+        (0, "new york is a city and new york is big"),
+        (1, "the city of new york and the big apple"),
+        (2, "a big city is a big city"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    c12 = Counter()
+    for _, text in docs:
+        t = text.split()
+        for i in range(len(t) - 1):
+            c12[(t[i], t[i + 1])] += 1
+    c1, c2 = Counter(), Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        c2[w2] += c
+    n = sum(c12.values())
+    want = {
+        (w1, w2): (c, c1[w1], c2[w2], n,
+                   (((1_000_000 * c) // c1[w1]) * n) // c2[w2])
+        for (w1, w2), c in c12.items() if c >= 2
+    }
+    got = {
+        (r.w1, r.w2): (r.c12, r.c1, r.c2, r.n_bigrams, r.lift_ppm)
+        for r in pmi_collocations(df, min_count=2).collect()
+    }
+    assert got == want
+    # 'new york' is a true collocation: lift far above 1e6 (= PMI 0)
+    assert got[("new", "york")][4] > 1_000_000
+
+
+def test_pmi_min_count_prunes_and_guard(spark):
+    from metal_history_knowledge_graph_spark.operators.ngram_lm import (
+        pmi_collocations,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b a b c d")], "doc_id long, text string"
+    )
+    got = {(r.w1, r.w2) for r in pmi_collocations(df, min_count=2).collect()}
+    assert got == {("a", "b")}  # "b a", "b c", "c d" occur once
+    all_rows = pmi_collocations(df, min_count=1).collect()
+    assert len(all_rows) == 4
+    with pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(df, min_count=0)

@@ -4103,6 +4103,209 @@ def _assortativity_oracle() -> str:
     """
 
 
+# ---- directed macro-structure: SCC / condensation / bow-tie --------
+#
+# Planted bow-tie digraph over the 0..499 residue space (same node
+# derivation as the LPA/kcore families): a 40-node directed circulant
+# CORE (steps +1/+2/+3/+7 mod 40 — one SCC, small diameter), two
+# 20-node circulant IN blocks chained into the core (40→60→0 anchors),
+# two OUT blocks chained off it (39→80→100), a tendril hub fed from IN
+# (45→120) fanning out to singleton leaves (120→s for s ≥ 121). Every
+# edge is generated FROM THE NODES PRESENT in orders, so both engines
+# see the identical graph at any sf.
+
+_SCC_STEPS = (1, 2, 3, 7)
+_SCC_ANCHORS = ((40, 60), (60, 0), (39, 80), (80, 100), (45, 120))
+
+_SCC_SQL_CTES = (
+    f"scc_nodes AS (SELECT DISTINCT o_orderkey % {_GRAPH_N} AS s FROM orders),\n"
+    "scc_e AS (\n"
+    "  SELECT src, dst FROM (\n"
+    "    SELECT s AS src, (s + j) % 40 AS dst\n"
+    "      FROM scc_nodes, (VALUES (1), (2), (3), (7)) t(j) WHERE s < 40\n"
+    "    UNION\n"
+    "    SELECT s, (s - ((s - 40) % 20)) + ((((s - 40) % 20) + j) % 20)\n"
+    "      FROM scc_nodes, (VALUES (1), (2), (3), (7)) t(j)\n"
+    "      WHERE s >= 40 AND s < 120\n"
+    + "".join(
+        f"    UNION SELECT {a}, {b} FROM scc_nodes WHERE s = {a}\n"
+        for a, b in _SCC_ANCHORS
+    )
+    + "    UNION SELECT 120, s FROM scc_nodes WHERE s >= 121\n"
+    "  ) WHERE src <> dst\n"
+    "),\n"
+    "scc_reach AS (\n"
+    "  SELECT src AS a, dst AS b FROM scc_e\n"
+    "  UNION\n"
+    "  SELECT r.a, e.dst FROM scc_reach r JOIN scc_e e ON r.b = e.src\n"
+    "),\n"
+    "scc_v AS (SELECT src AS v FROM scc_e UNION SELECT dst FROM scc_e),\n"
+    "scc_mutual AS (\n"
+    "  SELECT r1.a AS v, r1.b AS u\n"
+    "  FROM scc_reach r1 JOIN scc_reach r2 ON r1.a = r2.b AND r1.b = r2.a\n"
+    "),\n"
+    "scc_assign AS (\n"
+    "  SELECT CAST(n.v AS BIGINT) AS node_id,\n"
+    "         CAST(least(n.v, coalesce(min(m.u), n.v)) AS BIGINT) AS scc_id\n"
+    "  FROM scc_v n LEFT JOIN scc_mutual m ON m.v = n.v\n"
+    "  GROUP BY n.v\n"
+    ")"
+)
+
+
+def _scc_edges(spark, sf_dir):
+    n = _GRAPH_N
+    nodes = (
+        _t(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % n).alias("s"))
+        .distinct()
+    )
+    parts = []
+    core = nodes.filter(F.col("s") < 40)
+    for j in _SCC_STEPS:
+        parts.append(
+            core.select(
+                F.col("s").alias("src"), ((F.col("s") + j) % 40).alias("dst")
+            )
+        )
+    mid = nodes.filter((F.col("s") >= 40) & (F.col("s") < 120))
+    pos = (F.col("s") - 40) % 20
+    for j in _SCC_STEPS:
+        parts.append(
+            mid.select(
+                F.col("s").alias("src"),
+                (F.col("s") - pos + ((pos + j) % 20)).alias("dst"),
+            )
+        )
+    for a, b in _SCC_ANCHORS:
+        parts.append(
+            nodes.filter(F.col("s") == a).select(
+                F.lit(a).cast("long").alias("src"),
+                F.lit(b).cast("long").alias("dst"),
+            )
+        )
+    parts.append(
+        nodes.filter(F.col("s") >= 121).select(
+            F.lit(120).cast("long").alias("src"), F.col("s").alias("dst")
+        )
+    )
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    return e.filter(F.col("src") != F.col("dst")).distinct()
+
+
+_SCC_CACHE: dict = {}
+
+
+def _scc_assign(spark, sf_dir):
+    """Memoized SCC assignment (localCheckpointed) — q_scc, q_scc_dag
+    and q_bowtie share one peel instead of re-running the iterative
+    coloring three times in a driver pass (the _kg_store pattern)."""
+    key = (id(spark), sf_dir)
+    if key not in _SCC_CACHE:
+        from metal_history_knowledge_graph_spark.operators.webgraph import (
+            strongly_connected_components,
+        )
+
+        e = _scc_edges(spark, sf_dir).select(
+            F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+        )
+        _SCC_CACHE[key] = strongly_connected_components(e).localCheckpoint(
+            eager=True
+        )
+    return _SCC_CACHE[key]
+
+
+def q_scc(spark, sf_dir):
+    """Strongly connected components of the planted bow-tie digraph
+    (operators/webgraph.strongly_connected_components — the forward-
+    backward min-label coloring peel). scc_id = smallest member id, a
+    pure function of the graph independent of peel order, so DuckDB
+    verifies the DEFINITION by recursive-CTE transitive closure +
+    mutual-reachability min rather than replaying the trajectory."""
+    return _scc_assign(spark, sf_dir).orderBy("node_id")
+
+
+def q_scc_dag(spark, sf_dir):
+    """Condensation DAG (operators/webgraph.scc_condensation): the
+    distinct SCC-level quotient edges — acyclic by construction, the
+    vocabulary-sized object crawl planning schedules over."""
+    from metal_history_knowledge_graph_spark.operators.webgraph import (
+        scc_condensation,
+    )
+
+    e = _scc_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    )
+    return scc_condensation(e, assign=_scc_assign(spark, sf_dir)).orderBy(
+        "src_scc", "dst_scc"
+    )
+
+
+def q_bowtie(spark, sf_dir):
+    """Broder bow-tie macro-map (operators/webgraph.bowtie_classify):
+    CORE = largest SCC (ties → smallest id), IN strictly reaches it,
+    OUT is strictly reached from it, OTHER folds tendrils/tubes/
+    disconnected. Reachability flags reuse the SCC min-label kernel
+    with a 0/1 seed."""
+    from metal_history_knowledge_graph_spark.operators.webgraph import (
+        bowtie_classify,
+    )
+
+    e = _scc_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    )
+    return bowtie_classify(e, assign=_scc_assign(spark, sf_dir)).orderBy(
+        "node_id"
+    )
+
+
+def _scc_oracle() -> str:
+    return (
+        f"WITH RECURSIVE {_SCC_SQL_CTES}\n"
+        "SELECT node_id, scc_id FROM scc_assign ORDER BY node_id"
+    )
+
+
+def _scc_dag_oracle() -> str:
+    return (
+        f"WITH RECURSIVE {_SCC_SQL_CTES}\n"
+        "SELECT DISTINCT sa.scc_id AS src_scc, sb.scc_id AS dst_scc\n"
+        "FROM scc_e e\n"
+        "JOIN scc_assign sa ON e.src = sa.node_id\n"
+        "JOIN scc_assign sb ON e.dst = sb.node_id\n"
+        "WHERE sa.scc_id <> sb.scc_id\n"
+        "ORDER BY src_scc, dst_scc"
+    )
+
+
+def _bowtie_oracle() -> str:
+    return (
+        f"WITH RECURSIVE {_SCC_SQL_CTES},\n"
+        "bt_sizes AS (SELECT scc_id, count(*) AS c FROM scc_assign GROUP BY scc_id),\n"
+        "bt_core AS (SELECT scc_id FROM bt_sizes ORDER BY c DESC, scc_id LIMIT 1),\n"
+        "bt_core_nodes AS (\n"
+        "  SELECT node_id AS v FROM scc_assign\n"
+        "  WHERE scc_id = (SELECT scc_id FROM bt_core)\n"
+        "),\n"
+        "bt_reaches AS (SELECT DISTINCT r.a AS v FROM scc_reach r\n"
+        "               JOIN bt_core_nodes c ON r.b = c.v),\n"
+        "bt_reached AS (SELECT DISTINCT r.b AS v FROM scc_reach r\n"
+        "               JOIN bt_core_nodes c ON r.a = c.v)\n"
+        "SELECT s.node_id,\n"
+        "       CASE WHEN c.v IS NOT NULL THEN 'CORE'\n"
+        "            WHEN rc.v IS NOT NULL THEN 'IN'\n"
+        "            WHEN rf.v IS NOT NULL THEN 'OUT'\n"
+        "            ELSE 'OTHER' END AS cls\n"
+        "FROM scc_assign s\n"
+        "LEFT JOIN bt_core_nodes c ON s.node_id = c.v\n"
+        "LEFT JOIN bt_reaches rc ON s.node_id = rc.v\n"
+        "LEFT JOIN bt_reached rf ON s.node_id = rf.v\n"
+        "ORDER BY s.node_id"
+    )
+
+
 def q_random_walks(spark, sf_dir):
     """Deterministic DeepWalk corpus (operators/walks.random_walks)
     over the standard derived functional graph: 2 walks of length 4
@@ -5420,6 +5623,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_random_walks": q_random_walks,
         "q_assortativity": q_assortativity,
         "q_burst_terms": q_burst_terms,
+        "q_scc": q_scc,
+        "q_scc_dag": q_scc_dag,
+        "q_bowtie": q_bowtie,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -7842,6 +8048,9 @@ def oracle_sql() -> dict[str, str]:
         "q_lpa_communities": _lpa_oracle(n_rounds=8),
         "q_random_walks": _walks_oracle(walk_len=4, walks_per_node=2),
         "q_assortativity": _assortativity_oracle(),
+        "q_scc": _scc_oracle(),
+        "q_scc_dag": _scc_dag_oracle(),
+        "q_bowtie": _bowtie_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

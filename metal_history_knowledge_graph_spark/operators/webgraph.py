@@ -1,0 +1,228 @@
+"""Directed web-graph structure: strongly connected components,
+condensation DAG, and Broder bow-tie classification.
+
+The reference's analysis family (scripts/analysis/graph_metrics.py)
+treats the knowledge graph as undirected and hands components /
+centrality to NetworkX; the DIRECTED macro-structure of a crawled link
+graph — which hosts form the mutually-reachable CORE, which only feed
+into it (IN), which are only fed by it (OUT) — is the classic web-graph
+question (Broder et al. 2000, "Graph structure in the Web") and is what
+a crawl planner reads to decide where seeds and recrawl budget go.
+
+SCC is the forward-backward min-label coloring peel (the BSP/MapReduce
+formulation of Orzan's coloring, cf. the MultiStep SCC literature):
+per peel round, propagate the minimum reachable node id FORWARD (f)
+and BACKWARD (b) to fixed point over the active subgraph. Within one
+SCC every member has the same forward-reachable set and the same
+backward-reachable set, so f and b are SCC-constant; and f(v) == b(v)
+== c means c reaches v AND v reaches c, i.e. v ∈ SCC(c) with c = the
+smallest member (c ≤ min(SCC) because c is reachable from inside, and
+min(SCC) both reaches and is reached by v so f,b ≤ min(SCC)). Whole
+SCCs therefore peel together — at minimum the SCC holding the smallest
+active id each round — and ``scc_id = min member id`` is a pure
+function of the graph, independent of peel order. That is what makes a
+DECISION oracle possible: DuckDB replays the *definition* (recursive-
+CTE transitive closure + mutual-reachability min), not the trajectory.
+
+Scale shape (100 TB edge tables): every step is a node-keyed equi-join
++ min partial agg; labels only DECREASE, so the convergence probe is a
+``limit(1)`` count on (new < old) — no full-table comparison action.
+No windows over unbounded partitions, no driver collect of node/edge
+sets, no per-node neighbour arrays. ``localCheckpoint`` truncates the
+iterative lineage every round (CLAUDE.md two-consumer rule). The known
+weakness of coloring SCC — a condensation CHAIN peels one level per
+round — is bounded by ``max_peel`` and RAISES rather than silently
+returning a partial assignment; real web host graphs are macro-shallow
+(the bow-tie has O(1) levels), and deep chains should be trimmed
+upstream (drop in-degree-0/out-degree-0 hosts iteratively) before SCC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _directed_pairs(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _min_label_fixpoint(
+    lab: DataFrame, e: DataFrame, forward: bool, max_hops: int
+) -> DataFrame:
+    """Converge ``lab(v) = min(seed(v), min over seeds of nodes
+    reachable from v)`` along (``forward=True``) or against
+    (``forward=False``) edge direction.
+
+    ``lab``: (v, lab) seed table; ``e``: (src, dst) directed pairs.
+    One node-keyed join + min agg per hop; labels only decrease, so
+    the stop probe is a limit(1) count of strict decreases. Raises on
+    non-convergence — a wrong-but-plausible reachability labeling is
+    worse than an error.
+    """
+    here, there = ("src", "dst") if forward else ("dst", "src")
+    for _ in range(max_hops):
+        nbr = (
+            e.join(
+                lab.select(F.col("v").alias(there), F.col("lab").alias("nl")),
+                there,
+            )
+            .groupBy(F.col(here).alias("v"))
+            .agg(F.min("nl").alias("nl"))
+        )
+        new = (
+            lab.join(nbr, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nl"), F.col("lab"))
+                ).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(lab.select("v", F.col("lab").alias("old")), "v")
+            .filter(F.col("lab") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            return lab
+    raise ValueError(
+        f"min-label propagation did not converge within {max_hops} hops; "
+        "raise max_hops (bound = longest shortest path to the minimum "
+        "reachable node)"
+    )
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_peel: int = 25, max_hops: int = 64
+) -> DataFrame:
+    """(node_id, scc_id) for every node appearing in the edge table,
+    with ``scc_id`` = the smallest member id (canonical — a pure
+    function of the graph; see module docstring for the peel proof).
+
+    ``max_peel`` bounds coloring rounds (≥ the condensation DAG's
+    level count); ``max_hops`` bounds each round's label propagation
+    (≥ the active subgraph's directed diameter). Both RAISE on
+    exhaustion rather than return a partial assignment.
+    """
+    e = _directed_pairs(edges).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    empty = nodes.select("v", F.col("v").alias("scc_id")).limit(0)
+    assigned: DataFrame | None = None
+    for _ in range(max_peel):
+        if nodes.limit(1).count() == 0:
+            break
+        seed = nodes.select("v", F.col("v").alias("lab"))
+        f = _min_label_fixpoint(seed, e, forward=True, max_hops=max_hops)
+        b = _min_label_fixpoint(seed, e, forward=False, max_hops=max_hops)
+        done = (
+            f.join(b.select("v", F.col("lab").alias("blab")), "v")
+            .filter(F.col("lab") == F.col("blab"))
+            .select("v", F.col("lab").alias("scc_id"))
+            .localCheckpoint(eager=True)
+        )
+        assigned = (
+            done if assigned is None else assigned.unionByName(done)
+        ).localCheckpoint(eager=True)
+        nodes = nodes.join(done, "v", "left_anti").localCheckpoint(eager=True)
+        e = (
+            e.join(nodes.select(F.col("v").alias("src")), "src", "left_semi")
+            .join(nodes.select(F.col("v").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        if nodes.limit(1).count() > 0:
+            raise ValueError(
+                f"SCC peel did not drain within {max_peel} rounds — the "
+                "condensation DAG is deeper than max_peel; trim degree-0 "
+                "levels upstream or raise max_peel"
+            )
+    out = empty if assigned is None else assigned
+    return out.select(F.col("v").alias("node_id"), "scc_id")
+
+
+def scc_condensation(
+    edges: DataFrame, assign: DataFrame | None = None, **scc_kwargs
+) -> DataFrame:
+    """Distinct (src_scc, dst_scc) edges of the condensation DAG —
+    the SCC-level quotient graph, guaranteed acyclic. This is the
+    object crawl planning actually schedules over: vocabulary-sized
+    (hosts → SCCs), so downstream topological analysis is cheap."""
+    if assign is None:
+        assign = strongly_connected_components(edges, **scc_kwargs)
+    e = _directed_pairs(edges)
+    a = assign.select(F.col("node_id").alias("src"), F.col("scc_id").alias("src_scc"))
+    b = assign.select(F.col("node_id").alias("dst"), F.col("scc_id").alias("dst_scc"))
+    return (
+        e.join(a, "src")
+        .join(b, "dst")
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .select("src_scc", "dst_scc")
+        .distinct()
+    )
+
+
+def bowtie_classify(
+    edges: DataFrame, assign: DataFrame | None = None, max_hops: int = 64
+) -> DataFrame:
+    """(node_id, cls) with cls ∈ {CORE, IN, OUT, OTHER}: Broder's
+    macro-map relative to the LARGEST SCC (ties → smallest scc_id).
+    IN strictly reaches the core, OUT is strictly reached from it —
+    the two are disjoint, since mutual reachability with the core
+    means membership. OTHER folds Broder's finer tendril/tube/
+    disconnected taxonomy into one bucket (they share the operational
+    meaning: no path through the core).
+
+    Reachability-to/from-core reuses the SCC min-label kernel with a
+    0/1 seed (core = 0): after forward propagation, lab == 0 ⟺ the
+    node reaches a core member. One 1-row driver read picks the core
+    id; everything else is joins + min aggs.
+    """
+    if assign is None:
+        assign = strongly_connected_components(edges, max_hops=max_hops)
+    assign = assign.localCheckpoint(eager=True)
+    core_row = (
+        assign.groupBy("scc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "scc_id")
+        .limit(1)
+        .collect()
+    )
+    if not core_row:
+        return assign.select("node_id", F.lit("OTHER").alias("cls")).limit(0)
+    core_id = core_row[0]["scc_id"]
+    e = _directed_pairs(edges).localCheckpoint(eager=True)
+    seed = assign.select(
+        F.col("node_id").alias("v"),
+        F.when(F.col("scc_id") == F.lit(core_id), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("lab"),
+    ).localCheckpoint(eager=True)
+    reaches = _min_label_fixpoint(seed, e, forward=True, max_hops=max_hops)
+    reached = _min_label_fixpoint(seed, e, forward=False, max_hops=max_hops)
+    flags = (
+        seed.select("v", (F.col("lab") == 0).alias("is_core"))
+        .join(reaches.select("v", (F.col("lab") == 0).alias("fwd")), "v")
+        .join(reached.select("v", (F.col("lab") == 0).alias("bwd")), "v")
+    )
+    return flags.select(
+        F.col("v").alias("node_id"),
+        F.when(F.col("is_core"), F.lit("CORE"))
+        .when(F.col("fwd"), F.lit("IN"))
+        .when(F.col("bwd"), F.lit("OUT"))
+        .otherwise(F.lit("OTHER"))
+        .alias("cls"),
+    )

@@ -1,0 +1,191 @@
+"""SCC / condensation / bow-tie: hand-built macro-structure plus a
+Tarjan cross-check on a deterministic pseudo-random digraph."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from metal_history_knowledge_graph_spark.operators.webgraph import (
+    bowtie_classify,
+    scc_condensation,
+    strongly_connected_components,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "subj_id long, obj_id long"
+    )
+
+
+# core cycle {0,1,2}; 10 -> 11 -> core (IN chain); core -> 20 -> 21
+# (OUT chain); tendril 30 hanging off IN; disconnected 2-cycle {40,41}.
+BOWTIE_PAIRS = [
+    (0, 1), (1, 2), (2, 0),
+    (10, 11), (11, 0),
+    (2, 20), (20, 21),
+    (10, 30),
+    (40, 41), (41, 40),
+]
+
+
+def test_scc_hand_graph(spark):
+    got = {
+        r["node_id"]: r["scc_id"]
+        for r in strongly_connected_components(
+            _edges(spark, BOWTIE_PAIRS)
+        ).collect()
+    }
+    assert got == {
+        0: 0, 1: 0, 2: 0,
+        10: 10, 11: 11, 20: 20, 21: 21, 30: 30,
+        40: 40, 41: 40,
+    }
+
+
+def test_bowtie_hand_graph(spark):
+    got = {
+        r["node_id"]: r["cls"]
+        for r in bowtie_classify(_edges(spark, BOWTIE_PAIRS)).collect()
+    }
+    assert got == {
+        0: "CORE", 1: "CORE", 2: "CORE",
+        10: "IN", 11: "IN",
+        20: "OUT", 21: "OUT",
+        30: "OTHER", 40: "OTHER", 41: "OTHER",
+    }
+
+
+def test_condensation_hand_graph(spark):
+    e = _edges(spark, BOWTIE_PAIRS)
+    got = {
+        (r["src_scc"], r["dst_scc"]) for r in scc_condensation(e).collect()
+    }
+    assert got == {
+        (10, 11), (11, 0), (10, 30), (0, 20), (20, 21),
+    }
+
+
+def _pseudo_random_pairs(n_nodes=60, n_edges=150):
+    """Deterministic digraph: endpoints from md5 of the edge index."""
+    pairs = set()
+    for i in range(n_edges):
+        h = hashlib.md5(f"webgraph-{i}".encode()).hexdigest()
+        a = int(h[:8], 16) % n_nodes
+        b = int(h[8:16], 16) % n_nodes
+        if a != b:
+            pairs.add((a, b))
+    return sorted(pairs)
+
+
+def _tarjan_scc(pairs):
+    """Iterative Tarjan; returns {node: min id of its SCC}."""
+    adj: dict = {}
+    nodes = set()
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        nodes.update((a, b))
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    result: dict = {}
+    counter = [0]
+
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for j in range(pi, len(adj.get(v, []))):
+                w = adj[v][j]
+                if w not in index:
+                    work[-1] = (v, j + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    result[w] = m
+            work.pop()
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[v])
+    return result
+
+
+def test_scc_matches_tarjan_on_random_digraph(spark):
+    pairs = _pseudo_random_pairs()
+    want = _tarjan_scc(pairs)
+    got = {
+        r["node_id"]: r["scc_id"]
+        for r in strongly_connected_components(
+            _edges(spark, pairs), max_peel=40
+        ).collect()
+    }
+    assert got == want
+
+
+def test_condensation_is_acyclic(spark):
+    pairs = _pseudo_random_pairs()
+    dag = {
+        (r["src_scc"], r["dst_scc"])
+        for r in scc_condensation(_edges(spark, pairs), max_peel=40).collect()
+    }
+    # Kahn's algorithm drains iff acyclic
+    nodes = {x for p in dag for x in p}
+    indeg = {v: 0 for v in nodes}
+    for _, b in dag:
+        indeg[b] += 1
+    frontier = [v for v in nodes if indeg[v] == 0]
+    seen = 0
+    while frontier:
+        v = frontier.pop()
+        seen += 1
+        for a, b in dag:
+            if a == v:
+                indeg[b] -= 1
+                if indeg[b] == 0:
+                    frontier.append(b)
+    assert seen == len(nodes)
+
+
+def test_scc_peel_exhaustion_raises(spark):
+    # condensation chain of three singleton levels: needs 3 peel rounds
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    with pytest.raises(ValueError, match="did not drain"):
+        strongly_connected_components(e, max_peel=1)
+
+
+def test_scc_empty_graph(spark):
+    e = _edges(spark, [(5, 5)])  # self-loop only -> filtered out
+    out = strongly_connected_components(e)
+    assert out.count() == 0
+    assert out.columns == ["node_id", "scc_id"]
+
+
+def test_bowtie_core_tiebreak_smallest_scc(spark):
+    # two 2-cycles, equal size: core must be the one with smaller scc_id
+    e = _edges(spark, [(7, 8), (8, 7), (3, 4), (4, 3)])
+    got = {r["node_id"]: r["cls"] for r in bowtie_classify(e).collect()}
+    assert got == {3: "CORE", 4: "CORE", 7: "OTHER", 8: "OTHER"}

@@ -4306,6 +4306,142 @@ def _bowtie_oracle() -> str:
     )
 
 
+def q_trap_hosts(spark, sf_dir):
+    """Crawl-trap detection (operators/traps.crawl_trap_signals): a
+    synthetic crawl log planted with the classic trap shapes —
+    infinite-calendar hosts (h0/h1: date paths + constant content),
+    a path-alias loop host (h2: repeated segment), a session-mint
+    host (h3: ≥3 query params + constant content) — against healthy
+    hosts carrying real document texts. Signals are exact BIGINT ppm
+    over DISTINCT URLs; the oracle re-derives every per-URL feature
+    (path depth, repeated segments via list_distinct, param counts,
+    date-path regex) and both aggregations in one DuckDB statement."""
+    from metal_history_knowledge_graph_spark.operators.traps import (
+        crawl_trap_signals,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 12
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            m <= 1,
+            F.concat(
+                F.lit("http://h"), m.cast("string"), F.lit(".com/blog/"),
+                (F.col("doc_id") % 20 + 2000).cast("string"), F.lit("/"),
+                (F.col("doc_id") % 12 + 1).cast("string"),
+                F.lit("/post-"), did,
+            ),
+        )
+        .when(m == 2, F.concat(F.lit("http://h2.com/a/b/a/"), did))
+        .when(
+            m == 3,
+            F.concat(
+                F.lit("http://h3.com/search?q=x&sess="), did,
+                F.lit("&page="), (F.col("doc_id") % 50).cast("string"),
+                F.lit("&sort=asc"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://h"), m.cast("string"), F.lit(".com/page/"), did
+            )
+        )
+    )
+    text = (
+        F.when(m <= 1, F.lit("calendar page"))
+        .when(m == 3, F.lit("search results"))
+        .otherwise(F.col("text"))
+    )
+    crawl = docs.select(
+        F.concat(F.lit("h"), m.cast("string")).alias("host"),
+        url.alias("url"),
+        text.alias("text"),
+    )
+    return crawl_trap_signals(crawl).orderBy("host")
+
+
+def _trap_hosts_oracle() -> str:
+    return """
+        WITH trap_crawl AS (
+          SELECT 'h' || CAST(doc_id % 12 AS VARCHAR) AS host,
+            CASE
+              WHEN doc_id % 12 <= 1 THEN
+                'http://h' || CAST(doc_id % 12 AS VARCHAR) || '.com/blog/'
+                || CAST(doc_id % 20 + 2000 AS VARCHAR) || '/'
+                || CAST(doc_id % 12 + 1 AS VARCHAR) || '/post-'
+                || CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 12 = 2 THEN
+                'http://h2.com/a/b/a/' || CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 12 = 3 THEN
+                'http://h3.com/search?q=x&sess=' || CAST(doc_id AS VARCHAR)
+                || '&page=' || CAST(doc_id % 50 AS VARCHAR) || '&sort=asc'
+              ELSE 'http://h' || CAST(doc_id % 12 AS VARCHAR) || '.com/page/'
+                   || CAST(doc_id AS VARCHAR)
+            END AS url,
+            CASE WHEN doc_id % 12 <= 1 THEN 'calendar page'
+                 WHEN doc_id % 12 = 3 THEN 'search results'
+                 ELSE text END AS text
+          FROM documents
+        ),
+        trap_segged AS (
+          SELECT DISTINCT host, url,
+            list_filter(
+              string_split(
+                regexp_replace(
+                  regexp_replace(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''),
+                  '[?#].*$', ''),
+                '/'),
+              s -> s <> '') AS segs
+          FROM trap_crawl
+        ),
+        trap_per_url AS (
+          SELECT host, url,
+            CAST(len(segs) AS BIGINT) AS depth,
+            CASE WHEN len(list_filter(
+                   string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                   s -> s <> '')) >= 3 THEN 1 ELSE 0 END AS param_heavy,
+            CASE WHEN len(segs) > len(list_distinct(segs))
+                 THEN 1 ELSE 0 END AS rep_seg,
+            CASE WHEN regexp_matches(url, '/(19|20)[0-9]{2}/[0-9]{1,2}(/|$)')
+                 THEN 1 ELSE 0 END AS calendar
+          FROM trap_segged
+        ),
+        trap_url_stats AS (
+          SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+                 CAST(max(depth) AS BIGINT) AS max_depth,
+                 CAST(sum(CASE WHEN depth > 6 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_deep,
+                 CAST(sum(param_heavy) AS BIGINT) AS n_param,
+                 CAST(sum(rep_seg) AS BIGINT) AS n_repseg,
+                 CAST(sum(calendar) AS BIGINT) AS n_calendar
+          FROM trap_per_url GROUP BY host
+        ),
+        trap_content AS (
+          SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+                 CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts
+          FROM trap_crawl GROUP BY host
+        ),
+        trap_sig AS (
+          SELECT u.host, n_pages, n_urls, n_texts, max_depth,
+            CAST((1000000 * greatest(0, n_urls - n_texts)) // n_urls
+                 AS BIGINT) AS dup_ppm,
+            CAST((1000000 * n_deep) // n_urls AS BIGINT) AS deep_ppm,
+            CAST((1000000 * n_param) // n_urls AS BIGINT) AS param_ppm,
+            CAST((1000000 * n_repseg) // n_urls AS BIGINT) AS repseg_ppm,
+            CAST((1000000 * n_calendar) // n_urls AS BIGINT) AS calendar_ppm
+          FROM trap_url_stats u JOIN trap_content c ON u.host = c.host
+        )
+        SELECT host, n_pages, n_urls, n_texts, max_depth, dup_ppm, deep_ppm,
+               param_ppm, repseg_ppm, calendar_ppm,
+               (n_urls >= 20 AND (dup_ppm >= 500000 OR repseg_ppm >= 500000
+                                  OR calendar_ppm >= 500000)) AS is_trap
+        FROM trap_sig
+        ORDER BY host
+    """
+
+
 def q_random_walks(spark, sf_dir):
     """Deterministic DeepWalk corpus (operators/walks.random_walks)
     over the standard derived functional graph: 2 walks of length 4
@@ -5626,6 +5762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scc": q_scc,
         "q_scc_dag": q_scc_dag,
         "q_bowtie": q_bowtie,
+        "q_trap_hosts": q_trap_hosts,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -8051,6 +8188,7 @@ def oracle_sql() -> dict[str, str]:
         "q_scc": _scc_oracle(),
         "q_scc_dag": _scc_dag_oracle(),
         "q_bowtie": _bowtie_oracle(),
+        "q_trap_hosts": _trap_hosts_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

@@ -148,7 +148,7 @@ def run_analytics(spark) -> dict[str, float]:
                  "q_kn_bigrams", "q_heavy_hitters", "q_discovery_plan",
                  "q_fuzzy_join", "q_temperature_mix", "q_pub_dates",
                  "q_ktruss", "q_lpa_communities", "q_random_walks",
-                 "q_burst_terms"):
+                 "q_burst_terms", "q_trap_hosts"):
         fn = qmap[name]
         walls = []
         for _ in range(repeats):

@@ -52,38 +52,51 @@ def _directed_pairs(edges: DataFrame) -> DataFrame:
 
 
 def _min_label_fixpoint(
-    lab: DataFrame, e: DataFrame, forward: bool, max_hops: int
+    lab: DataFrame,
+    e: DataFrame,
+    forward: bool,
+    max_hops: int,
+    probe_every: int = 3,
 ) -> DataFrame:
     """Converge ``lab(v) = min(seed(v), min over seeds of nodes
     reachable from v)`` along (``forward=True``) or against
     (``forward=False``) edge direction.
 
     ``lab``: (v, lab) seed table; ``e``: (src, dst) directed pairs.
-    One node-keyed join + min agg per hop; labels only decrease, so
-    the stop probe is a limit(1) count of strict decreases. Raises on
-    non-convergence — a wrong-but-plausible reachability labeling is
-    worse than an error.
+    One node-keyed join + min agg per hop. ``probe_every`` hops are
+    chained LAZILY between one checkpoint + one convergence probe —
+    labels are pointwise monotone non-increasing, so lab_{t+k} == lab_t
+    forces equality at every step in between, making the batched probe
+    exactly as sound as a per-hop probe while cutting driver actions
+    (the critical path of iterative graph work at web scale) by ~k×.
+    Raises on non-convergence — a wrong-but-plausible reachability
+    labeling is worse than an error.
     """
     here, there = ("src", "dst") if forward else ("dst", "src")
-    for _ in range(max_hops):
+
+    def one_hop(cur: DataFrame) -> DataFrame:
         nbr = (
             e.join(
-                lab.select(F.col("v").alias(there), F.col("lab").alias("nl")),
+                cur.select(F.col("v").alias(there), F.col("lab").alias("nl")),
                 there,
             )
             .groupBy(F.col(here).alias("v"))
             .agg(F.min("nl").alias("nl"))
         )
-        new = (
-            lab.join(nbr, "v", "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("lab"), F.coalesce(F.col("nl"), F.col("lab"))
-                ).alias("lab"),
-            )
-            .localCheckpoint(eager=True)
+        return cur.join(nbr, "v", "left").select(
+            "v",
+            F.least(
+                F.col("lab"), F.coalesce(F.col("nl"), F.col("lab"))
+            ).alias("lab"),
         )
+
+    hops = 0
+    while hops < max_hops:
+        new = lab
+        for _ in range(min(probe_every, max_hops - hops)):
+            new = one_hop(new)
+            hops += 1
+        new = new.localCheckpoint(eager=True)
         changed = (
             new.join(lab.select("v", F.col("lab").alias("old")), "v")
             .filter(F.col("lab") < F.col("old"))

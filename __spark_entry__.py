@@ -5644,6 +5644,56 @@ def kg_quality(spark, sf_dir):
     )
 
 
+def q_priority_sample(spark, sf_dir):
+    """Priority sampling (operators/sampling.priority_sample — the
+    Duffield–Lund–Thorup weighted WITHOUT-replacement top-k with
+    unbiased subset-sum estimators): 40 documents weighted by n_chars.
+    Priorities are integer-exact (md5-derived 32-bit u, inverted key
+    qkey = max(1, u·2^20 div w), threshold weight 2^52 div τ_q), so
+    the DuckDB oracle replays every selection AND the w_hat estimator
+    bit-exactly. Plan: narrow md5 + TakeOrderedAndProject(k+1) — the
+    only window runs over the 41 survivors."""
+    from metal_history_knowledge_graph_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("weight")
+    )
+    out = priority_sample(docs, "weight", 40, "doc_id", seed=0)
+    return out.select("doc_id", "weight", "qkey", "w_hat").orderBy("doc_id")
+
+
+def _priority_sample_oracle(k: int = 40, seed: int = 0) -> str:
+    """DuckDB replay of q_priority_sample: same md5 u, same integer
+    qkey, same (k+1)-th-smallest threshold and max(w, 2^52 div τ)
+    estimator."""
+    return f"""
+        WITH wr AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                   CAST(('0x' || substr(md5('prio:{seed}|'
+                       || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                       AS BIGINT) + 1 AS u
+            FROM documents WHERE n_chars > 0
+        ), keyed AS (
+            SELECT doc_id, w,
+                   greatest(CAST(1 AS BIGINT), (u * 1048576) // w) AS qkey
+            FROM wr
+        ), ranked AS (
+            SELECT doc_id, w, qkey,
+                   row_number() OVER (ORDER BY qkey, doc_id) AS rn
+            FROM keyed
+        ), tau AS (
+            SELECT 4503599627370496 // qkey AS tau_w
+            FROM ranked WHERE rn = {k + 1}
+        )
+        SELECT doc_id, w AS weight, qkey,
+               CAST(greatest(w, coalesce(
+                   (SELECT tau_w FROM tau), w)) AS BIGINT) AS w_hat
+        FROM ranked WHERE rn <= {k} ORDER BY doc_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's CORRECTNESS gate
     verifies the first 50 entries, so every one of those carries an
@@ -5763,6 +5813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scc_dag": q_scc_dag,
         "q_bowtie": q_bowtie,
         "q_trap_hosts": q_trap_hosts,
+        "q_priority_sample": q_priority_sample,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -8189,6 +8240,7 @@ def oracle_sql() -> dict[str, str]:
         "q_scc_dag": _scc_dag_oracle(),
         "q_bowtie": _bowtie_oracle(),
         "q_trap_hosts": _trap_hosts_oracle(),
+        "q_priority_sample": _priority_sample_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

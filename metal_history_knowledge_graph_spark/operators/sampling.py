@@ -487,3 +487,126 @@ def temperature_mix(
     return df.where(
         hash_bucket(F.col(key_col), seed, domain="tmix:") < cutoff
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    seed: int = 0,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup, JACM 2007): a weighted
+    WITHOUT-replacement sample of exactly ``min(k, n)`` rows whose
+    ``w_hat`` column is an unbiased subset-sum estimator — the sampler
+    a pipeline needs when "keep the 10k most representative documents,
+    weighted by tokens, and still estimate any stratum's total token
+    mass from the sample alone" must hold. Complements
+    :func:`pps_systematic_sample` (WITH-replacement expected counts).
+
+    Priorities are integer-exact for cross-engine replay: each row
+    draws ``u`` = md5-derived 32-bit int + 1 (so ``u ∈ [1, 2^32]``,
+    never zero), and the DLT priority ``w/u`` is ranked via the
+    inverted integer key ``qkey = max(1, (u·2^20) div w)`` — ascending
+    qkey ⟺ descending priority, every compare a BIGINT compare, ties
+    broken by key. ``u·2^20 ≤ 2^52`` keeps the product BIGINT-safe;
+    the ``max(1, ·)`` clamp (reached only when ``w > u·2^20``) is part
+    of the operator definition so both engines agree on ultra-heavy
+    rows. The DLT threshold is the (k+1)-th smallest qkey τ_q, mapped
+    back to weight units as ``tau_w = 2^52 div τ_q``, and the
+    estimator is ``w_hat = max(w, tau_w)`` (``w_hat = w`` when the
+    population has ≤ k rows — the sample is then exhaustive and
+    exact). E[Σ_{i∈S, i∈A} w_hat_i] = Σ_{i∈A} w_i for any fixed subset
+    A, per DLT Theorem 1.
+
+    Scale shape: the per-row key is one md5 inside whole-stage codegen
+    (narrow, no shuffle); the top-(k+1) cut is
+    ``TakeOrderedAndProject`` — per-partition heaps of size k+1
+    merged on one reducer, never a global sort; the only window runs
+    over the k+1 survivors (bounded, not data-sized); the threshold
+    row broadcasts back via a 1-row cross-join. Priority samples are
+    MERGEABLE (union the (key, w, qkey) tables, re-cut top-k — qkeys
+    are pure row functions, independent of which shard drew them), so
+    per-partition / per-day samples fold into a corpus sample without
+    rescanning; see :func:`priority_merge`.
+
+    Reference repo has no sampling surface; this is a training-data
+    addition (brief: sampling as a first-class component).
+    """
+    if k <= 0:
+        raise ValueError(f"priority_sample: k must be > 0, got {k}")
+    w = F.col(weight_col).cast("long")
+    neg = df.filter(w.isNull() | (w < 0)).limit(1).count()
+    if neg:
+        raise ValueError(
+            f"priority_sample: null/negative {weight_col} values — corrupt input"
+        )
+    u = (md5_mod(F.col(key_col), f"prio:{seed}|", 1 << 32, hex_chars=8) + 1)
+    keyed = (
+        df.filter(w > 0)
+        .withColumn("_u", u.cast("long"))
+        .withColumn(
+            "qkey",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"(_u * 1048576L) div CAST({weight_col} AS BIGINT)"),
+            ),
+        )
+        .drop("_u")
+    )
+    return _priority_cut(keyed, weight_col, k, key_col, checkpoint=checkpoint)
+
+
+def _priority_cut(
+    keyed: DataFrame, weight_col: str, k: int, key_col: str,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Shared top-k + threshold + estimator tail of priority sampling:
+    input already carries ``qkey``. Bounded state only — a (k+1)-row
+    TakeOrdered, a window over those k+1 rows, a 1-row broadcast."""
+    top = keyed.orderBy("qkey", key_col).limit(k + 1)
+    rn = F.row_number().over(Window.orderBy("qkey", key_col))
+    # localCheckpoint: ranked feeds BOTH the threshold row and the kept
+    # rows; k+1 rows of state, and the TakeOrdered lineage runs once
+    # (the build_triples two-consumer rule). checkpoint=False exists
+    # only so plan gates can see the pre-cut TakeOrderedAndProject.
+    ranked = top.withColumn("_rn", rn)
+    if checkpoint:
+        ranked = ranked.localCheckpoint(eager=True)
+    tau = ranked.filter(F.col("_rn") == k + 1).select(
+        F.expr("4503599627370496L div qkey").alias("_tau_w")
+    )
+    w = F.col(weight_col).cast("long")
+    # Left join on TRUE, not crossJoin: when the population has ≤ k
+    # rows there is no (k+1)-th qkey, tau is EMPTY, and a cross join
+    # would wipe the sample; the left join keeps it with _tau_w NULL.
+    out = ranked.filter(F.col("_rn") <= k).join(
+        F.broadcast(tau), F.lit(True), "left"
+    )
+    return (
+        out.withColumn(
+            "w_hat", F.greatest(w, F.coalesce(F.col("_tau_w"), w)).cast("long")
+        )
+        .drop("_rn", "_tau_w")
+    )
+
+
+def priority_merge(
+    parts: list[DataFrame], weight_col: str, k: int, key_col: str
+) -> DataFrame:
+    """Merge per-shard priority samples into the corpus-level sample:
+    union the carried (key, weight, qkey) tables and re-cut the
+    top-k + threshold. Because qkey is a pure function of (key,
+    weight, seed) — independent of shard membership — the merged
+    result is IDENTICAL to sampling the concatenated corpus directly
+    whenever each shard kept min(k, shard rows) (DLT §4 mergeability;
+    pinned in test_sampling_priority). This is the incremental path:
+    sample each day's partition once, fold daily samples into the
+    rolling corpus sample without rescanning history."""
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return _priority_cut(
+        merged.drop("w_hat").dropDuplicates([key_col]), weight_col, k, key_col
+    )

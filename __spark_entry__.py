@@ -5694,6 +5694,87 @@ def _priority_sample_oracle(k: int = 40, seed: int = 0) -> str:
     """
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel over the event log (operators/temporal.
+    funnel_steps + funnel_counts): view → click → signup → purchase,
+    each step strictly after the user's previous-step completion in
+    (ts, event_id) order. Returns the per-user completion table joined
+    with the per-step conversion rollup — ts as exact unix micros so
+    both engines hash identically. Spark is a chain of 3 equi-joins
+    with partial-agg min(struct) anchors (no window over the event
+    log); the DuckDB oracle replays each step with a row_number pick.
+    """
+    from metal_history_knowledge_graph_spark.operators.temporal import (
+        funnel_counts,
+        funnel_steps,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    comp = funnel_steps(ev, ["view", "click", "signup", "purchase"])
+    counts = funnel_counts(comp).select("step_no", "n_keys", "conv_permille")
+    return (
+        comp.join(counts, "step_no")
+        .select(
+            "step_no",
+            "step",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("n_keys").cast("long").alias("step_keys"),
+            "conv_permille",
+        )
+        .orderBy("step_no", "user_id")
+    )
+
+
+def _funnel_oracle(steps=("view", "click", "signup", "purchase")) -> str:
+    """DuckDB replay of q_funnel: per step a join to the previous
+    anchor + strict (ts, event_id) ordering + row_number()=1 pick."""
+    ctes = [
+        f"""WITH r1 AS (
+            SELECT user_id, ts, event_id FROM (
+                SELECT user_id, ts, event_id, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events WHERE event_type = '{steps[0]}'
+            ) WHERE rn = 1
+        )"""
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"""r{i + 1} AS (
+            SELECT user_id, ts, event_id FROM (
+                SELECT e.user_id, e.ts, e.event_id, row_number() OVER (
+                    PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+                FROM events e JOIN r{i} p ON e.user_id = p.user_id
+                WHERE e.event_type = '{steps[i]}'
+                  AND (e.ts > p.ts OR (e.ts = p.ts AND e.event_id > p.event_id))
+            ) WHERE rn = 1
+        )"""
+        )
+    unions = "\nUNION ALL ".join(
+        f"SELECT {i + 1} AS step_no, '{s}' AS step, user_id, ts, event_id "
+        f"FROM r{i + 1}"
+        for i, s in enumerate(steps)
+    )
+    ctes.append(f"longf AS ({unions})")
+    ctes.append(
+        "cnt AS (SELECT step_no, count(*) AS n FROM longf GROUP BY step_no)"
+    )
+    return (
+        ",\n".join(ctes)
+        + """
+        SELECT l.step_no, l.step, l.user_id,
+               epoch_us(l.ts) AS ts_us,
+               CAST(l.event_id AS BIGINT) AS event_id,
+               CAST(c.n AS BIGINT) AS step_keys,
+               CAST(c.n * 1000 // (SELECT n FROM cnt WHERE step_no = 1)
+                   AS BIGINT) AS conv_permille
+        FROM longf l JOIN cnt c ON l.step_no = c.step_no
+        ORDER BY l.step_no, l.user_id
+    """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's CORRECTNESS gate
     verifies the first 50 entries, so every one of those carries an
@@ -5814,6 +5895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bowtie": q_bowtie,
         "q_trap_hosts": q_trap_hosts,
         "q_priority_sample": q_priority_sample,
+        "q_funnel": q_funnel,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -8241,6 +8323,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bowtie": _bowtie_oracle(),
         "q_trap_hosts": _trap_hosts_oracle(),
         "q_priority_sample": _priority_sample_oracle(),
+        "q_funnel": _funnel_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

@@ -208,3 +208,115 @@ def snapshot_diff(
         .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
         .otherwise(F.lit("unchanged")),
     ).select(key_col, "status", "old_fp", "new_fp")
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    within_minutes: int | None = None,
+) -> DataFrame:
+    """Ordered funnel analysis: for each key, the earliest completion
+    of each step in ``steps`` where step *i* must occur strictly after
+    the key's step *i−1* completion (strictness in ``(ts, id)``
+    lexicographic order — deterministic under ts ties, so the SQL
+    oracle replays every row). ``within_minutes`` optionally requires
+    every step to land within that span of the step-1 anchor (the
+    classic "converted within 7 days" constraint).
+
+    Returns the long per-key completion table
+    ``(step_no, step, key, ts, id)`` — a key appears for steps
+    ``1..j`` where ``j`` is how deep it got. Feed to
+    :func:`funnel_counts` for the per-step conversion rollup.
+
+    Scale shape: one equi-join + partial-agg ``min(struct(ts, id))``
+    per step — the anchor table shrinks monotonically step over step,
+    hot keys collapse map-side (min is partial-aggregable, unlike a
+    row_number window which must co-locate every event of a hot key),
+    and the step list is vocabulary-sized so the join chain is bounded.
+    No window over the event log, no Python.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"funnel needs >= 2 steps, got {steps}")
+    reached = None
+    parts = []
+    for i, s in enumerate(steps):
+        ev = events.filter(F.col(type_col) == s).select(
+            F.col(key_col).alias("_k"),
+            F.col(ts_col).cast("timestamp").alias("_ts"),
+            F.col(id_col).cast("long").alias("_id"),
+        )
+        if i == 0:
+            m = ev.groupBy("_k").agg(F.min(F.struct("_ts", "_id")).alias("_m"))
+            reached = m.select(
+                "_k",
+                F.col("_m._ts").alias("_ts"),
+                F.col("_m._id").alias("_id"),
+                F.col("_m._ts").alias("_t1"),
+            )
+        else:
+            prev = reached.select(
+                "_k",
+                F.col("_ts").alias("_pts"),
+                F.col("_id").alias("_pid"),
+                "_t1",
+            )
+            cand = ev.join(prev, "_k").filter(
+                (F.col("_ts") > F.col("_pts"))
+                | ((F.col("_ts") == F.col("_pts")) & (F.col("_id") > F.col("_pid")))
+            )
+            if within_minutes is not None:
+                cand = cand.filter(
+                    F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_t1"))
+                    <= within_minutes * 60 * 1_000_000
+                )
+            m = cand.groupBy("_k").agg(
+                F.min(F.struct("_ts", "_id", "_t1")).alias("_m")
+            )
+            reached = m.select(
+                "_k",
+                F.col("_m._ts").alias("_ts"),
+                F.col("_m._id").alias("_id"),
+                F.col("_m._t1").alias("_t1"),
+            )
+        parts.append(
+            reached.select(
+                F.lit(i + 1).cast("int").alias("step_no"),
+                F.lit(s).alias("step"),
+                F.col("_k").alias(key_col),
+                F.col("_ts").alias(ts_col),
+                F.col("_id").alias(id_col),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def funnel_counts(completions: DataFrame) -> DataFrame:
+    """Per-step conversion rollup of :func:`funnel_steps` output:
+    ``(step_no, step, n_keys, conv_permille)`` where conv_permille is
+    the integer ‰ of step-1 keys that reached this step (floor-divide
+    — cross-engine exact). The rollup is steps-sized; the step-1 total
+    broadcasts back via a 1-row join."""
+    agg = completions.groupBy("step_no", "step").agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )
+    base = agg.filter(F.col("step_no") == 1).select(
+        F.col("n_keys").alias("_n1")
+    )
+    return (
+        agg.join(F.broadcast(base), F.lit(True), "left")
+        .select(
+            "step_no",
+            "step",
+            "n_keys",
+            F.expr("CAST(n_keys * 1000L div _n1 AS BIGINT)").alias(
+                "conv_permille"
+            ),
+        )
+    )

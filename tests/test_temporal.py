@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from metal_history_knowledge_graph_spark.operators.temporal import (
@@ -434,3 +435,87 @@ def test_pagerank_weighted_degenerates_and_shifts_mass(spark):
     )
     with _pytest.raises(ValueError, match="null/non-positive"):
         pagerank_weighted(bad_null)
+
+
+# ---- funnel analysis (funnel_steps / funnel_counts) ----
+
+
+@pytest.fixture(scope="module")
+def funnel_events(spark):
+    # user 1: full funnel; user 2: stops after click; user 3: purchase
+    # BEFORE signup (must not count); user 4: same-ts tie resolved by id.
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:05:00", 1, "click"),
+        (3, "2024-01-01 10:10:00", 1, "signup"),
+        (4, "2024-01-01 12:00:00", 1, "purchase"),
+        (5, "2024-01-01 10:00:00", 2, "view"),
+        (6, "2024-01-01 10:20:00", 2, "click"),
+        (7, "2024-01-01 09:00:00", 3, "purchase"),
+        (8, "2024-01-01 10:00:00", 3, "view"),
+        (9, "2024-01-01 10:01:00", 3, "click"),
+        (10, "2024-01-01 10:02:00", 3, "signup"),
+        (11, "2024-01-01 10:00:00", 4, "view"),
+        (12, "2024-01-01 10:00:00", 4, "click"),  # same ts, id 12 > 11: counts
+        (13, "2024-01-01 09:59:59", 4, "signup"),  # before click: must not
+    ]
+    return spark.createDataFrame(
+        [(i, ts, u, t) for i, ts, u, t in rows],
+        "event_id long, ts string, user_id long, event_type string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+             "user_id", "event_type")
+
+
+def test_funnel_order_and_ties(spark, funnel_events):
+    from metal_history_knowledge_graph_spark.operators.temporal import (
+        funnel_steps,
+    )
+
+    comp = funnel_steps(funnel_events, ["view", "click", "signup", "purchase"])
+    got = {(r.step_no, r.user_id): r.event_id for r in comp.collect()}
+    assert got == {
+        (1, 1): 1, (2, 1): 2, (3, 1): 3, (4, 1): 4,
+        (1, 2): 5, (2, 2): 6,
+        (1, 3): 8, (2, 3): 9, (3, 3): 10,  # user 3: early purchase ignored
+        (1, 4): 11, (2, 4): 12,  # same-ts click counts; early signup doesn't
+    }
+
+
+def test_funnel_counts_permille(spark, funnel_events):
+    from metal_history_knowledge_graph_spark.operators.temporal import (
+        funnel_counts,
+        funnel_steps,
+    )
+
+    comp = funnel_steps(funnel_events, ["view", "click", "signup", "purchase"])
+    got = {r.step_no: (r.n_keys, r.conv_permille)
+           for r in funnel_counts(comp).collect()}
+    assert got == {1: (4, 1000), 2: (4, 1000), 3: (2, 500), 4: (1, 250)}
+
+
+def test_funnel_within_minutes(spark, funnel_events):
+    from metal_history_knowledge_graph_spark.operators.temporal import (
+        funnel_steps,
+    )
+
+    comp = funnel_steps(
+        funnel_events, ["view", "click", "signup", "purchase"],
+        within_minutes=30,
+    )
+    # user 1's purchase at 12:00 falls outside 30 min of the 10:00 anchor
+    got = {(r.step_no, r.user_id) for r in comp.collect()}
+    assert (4, 1) not in got and (3, 1) in got
+
+
+def test_funnel_no_window_over_events(spark, funnel_events):
+    """The completion chain is join+partial-agg only — no window runs
+    over the event log (hot users collapse map-side)."""
+    from metal_history_knowledge_graph_spark.operators.temporal import (
+        funnel_steps,
+    )
+
+    plan = (
+        funnel_steps(funnel_events, ["view", "click"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan

@@ -5775,6 +5775,109 @@ def _funnel_oracle(steps=("view", "click", "signup", "purchase")) -> str:
     )
 
 
+def q_cocitation(spark, sf_dir):
+    """Host co-citation similarity (operators/links.cocitation —
+    Small-1973 relatedness: hosts are similar when many pages link to
+    both). Pages carry three cross-host links (lang hub, cdn, a
+    doc_id%7 rotor host), so the pair table exercises real overlap
+    structure. The whole chain — href regex extraction, resolution,
+    host normalization, pair self-join, capped fanout, integer-‰
+    Jaccard over capped degrees — is replayed in DuckDB with the same
+    shared HREF_PATTERN. Fanout capped at 3 (the scale guard a hub
+    page needs) so the cap path itself is oracle-pinned."""
+    from metal_history_knowledge_graph_spark.operators.links import (
+        cocitation,
+        extract_links,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<a href="http://'), F.col("lang"), F.lit(".example/p/"),
+        did, F.lit('">x</a> '),
+        F.lit('<a href="//cdn.example/lib.js">z</a> '),
+        F.lit('<a href="http://h'), (F.col("doc_id") % 7).cast("string"),
+        F.lit('.example/r/'), did, F.lit('">r</a>'),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit("/"), did
+        ).alias("url"),
+        html.alias("html"),
+    )
+    links = extract_links(pages, url_col="url", html_col="html")
+    return (
+        cocitation(links, min_common=2, max_fanout=3)
+        .orderBy("host_a", "host_b")
+    )
+
+
+def _cocitation_oracle(min_common: int = 2, max_fanout: int = 3) -> str:
+    """DuckDB replay of q_cocitation's full chain (same HREF_PATTERN,
+    same host regexes, same fanout cap and integer Jaccard)."""
+    from metal_history_knowledge_graph_spark.operators.links import (
+        HREF_PATTERN,
+    )
+
+    pat = HREF_PATTERN.replace("'", "''")
+    host = (
+        "lower(regexp_replace(regexp_replace(regexp_extract({u}, "
+        "'^[hH][tT][tT][pP][sS]?://([^/?#]+)', 1), '^.*@', ''), "
+        "':\\d+$', ''))"
+    )
+    return f"""
+        WITH pages AS (
+            SELECT 'http://' || source || '/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   '<a href="http://' || lang || '.example/p/'
+                       || CAST(doc_id AS VARCHAR) || '">x</a> '
+                   || '<a href="//cdn.example/lib.js">z</a> '
+                   || '<a href="http://h' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example/r/' || CAST(doc_id AS VARCHAR)
+                       || '">r</a>' AS html
+            FROM documents
+        ), hrefs AS (
+            SELECT url, unnest(regexp_extract_all(html, '{pat}', 1)) AS href
+            FROM pages
+        ), res AS (
+            SELECT url, {host.format(u="url")} AS src_host,
+                   CASE WHEN href LIKE '//%' THEN 'http:' || href
+                        WHEN href LIKE '/%' THEN 'http://'
+                             || {host.format(u="url")} || href
+                        ELSE href END AS dst_url
+            FROM hrefs
+        ), it0 AS (
+            SELECT DISTINCT url AS k, {host.format(u="dst_url")} AS i
+            FROM res
+            WHERE {host.format(u="dst_url")} IS NOT NULL
+              AND length({host.format(u="dst_url")}) > 0
+              AND src_host IS NOT NULL
+              AND {host.format(u="dst_url")} <> src_host
+        ), it AS (
+            SELECT k, i FROM (
+                SELECT k, i,
+                       row_number() OVER (PARTITION BY k ORDER BY i) AS rn
+                FROM it0
+            ) WHERE rn <= {max_fanout}
+        ), pairs AS (
+            SELECT a.i AS host_a, b.i AS host_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM it a JOIN it b ON a.k = b.k AND a.i < b.i
+            GROUP BY 1, 2
+            HAVING count(*) >= {min_common}
+        ), deg AS (
+            SELECT i, CAST(count(*) AS BIGINT) AS d FROM it GROUP BY 1
+        )
+        SELECT p.host_a, p.host_b, p.n_common,
+               CAST(p.n_common * 1000 // (da.d + db.d - p.n_common)
+                   AS BIGINT) AS jaccard_permille
+        FROM pairs p
+        JOIN deg da ON p.host_a = da.i
+        JOIN deg db ON p.host_b = db.i
+        ORDER BY p.host_a, p.host_b
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's CORRECTNESS gate
     verifies the first 50 entries, so every one of those carries an
@@ -5896,6 +5999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trap_hosts": q_trap_hosts,
         "q_priority_sample": q_priority_sample,
         "q_funnel": q_funnel,
+        "q_cocitation": q_cocitation,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -8324,6 +8428,7 @@ def oracle_sql() -> dict[str, str]:
         "q_trap_hosts": _trap_hosts_oracle(),
         "q_priority_sample": _priority_sample_oracle(),
         "q_funnel": _funnel_oracle(),
+        "q_cocitation": _cocitation_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

@@ -20,7 +20,7 @@ shared via HREF_PATTERN so it cannot drift).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: href values in single or double quotes; captures the URL only.
@@ -221,4 +221,110 @@ def link_features(links: DataFrame) -> DataFrame:
             "ext_permille",
             F.expr("(n_external * 1000L) div greatest(n_resolved, 1L)"),
         )
+    )
+
+
+def common_neighbor_pairs(
+    items: DataFrame,
+    key_col: str,
+    item_col: str,
+    min_common: int = 1,
+    max_fanout: int | None = None,
+) -> DataFrame:
+    """Pairs of items sharing keys — the shared kernel of co-citation
+    (items = linked hosts, keys = citing pages) and bibliographic
+    coupling (items = citing hosts, keys = shared link targets).
+    Returns ``(item_a, item_b, n_common, jaccard_permille)`` with
+    item_a < item_b, n_common = |keys(a) ∩ keys(b)| and the integer-‰
+    Jaccard ``1000·c div (deg_a + deg_b − c)`` over the (capped)
+    per-item key degrees — all-BIGINT, cross-engine exact.
+
+    Scale shape: the pair explosion is Σ_k C(d_k, 2) over per-key
+    fanouts d_k — quadratic in hub pages, which is why ``max_fanout``
+    exists: it caps each key's item list at F (deterministic — the F
+    smallest items, a window PARTITIONED by key over the already
+    key-deduplicated list), bounding the blowup at Σ min(d_k, F)²/2
+    exactly the way WebGraph/Spark co-citation jobs do in practice.
+    Degrees are computed AFTER the cap so the Jaccard stays consistent
+    with the pair counts. One self-join on the key (hash shuffle),
+    partial-agg count; min_common prunes the long tail before the
+    degree joins.
+    """
+    it = items.select(
+        F.col(key_col).alias("_k"), F.col(item_col).alias("_i")
+    ).distinct()
+    if max_fanout is not None:
+        w = Window.partitionBy("_k").orderBy("_i")
+        it = (
+            it.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_fanout)
+            .drop("_rn")
+        )
+    a, b = it.alias("a"), it.alias("b")
+    pairs = (
+        a.join(b, F.col("a._k") == F.col("b._k"))
+        .filter(F.col("a._i") < F.col("b._i"))
+        .groupBy(
+            F.col("a._i").alias("item_a"), F.col("b._i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    deg = it.groupBy("_i").agg(F.count(F.lit(1)).alias("_d"))
+    return (
+        pairs.join(deg.withColumnRenamed("_i", "item_a"), "item_a")
+        .withColumnRenamed("_d", "_da")
+        .join(deg.withColumnRenamed("_i", "item_b"), "item_b")
+        .withColumnRenamed("_d", "_db")
+        .select(
+            "item_a",
+            "item_b",
+            "n_common",
+            F.expr("CAST(n_common * 1000L div (_da + _db - n_common) AS BIGINT)")
+            .alias("jaccard_permille"),
+        )
+    )
+
+
+def cocitation(
+    links: DataFrame, min_common: int = 1, max_fanout: int | None = None
+) -> DataFrame:
+    """Host co-citation (Small 1973, the classic web-graph relatedness
+    signal): hosts a and b are similar when many PAGES link to both.
+    Input is the :func:`extract_links` output; self-links (dst_host =
+    src_host) are dropped the way :func:`host_graph` drops them.
+    Output columns renamed (host_a, host_b, n_common,
+    jaccard_permille)."""
+    it = links.filter(
+        F.col("dst_host").isNotNull()
+        & F.col("src_host").isNotNull()
+        & (F.col("dst_host") != F.col("src_host"))
+    )
+    out = common_neighbor_pairs(
+        it, "src_url", "dst_host", min_common=min_common,
+        max_fanout=max_fanout,
+    )
+    return out.withColumnRenamed("item_a", "host_a").withColumnRenamed(
+        "item_b", "host_b"
+    )
+
+
+def bibliographic_coupling(
+    links: DataFrame, min_common: int = 1, max_fanout: int | None = None
+) -> DataFrame:
+    """Bibliographic coupling (Kessler 1963): source hosts a and b are
+    similar when they link OUT to many of the same destination hosts —
+    the dual of :func:`cocitation` (key and item swapped: keys are
+    destination hosts, items are the citing source hosts)."""
+    it = links.filter(
+        F.col("dst_host").isNotNull()
+        & F.col("src_host").isNotNull()
+        & (F.col("dst_host") != F.col("src_host"))
+    )
+    out = common_neighbor_pairs(
+        it, "dst_host", "src_host", min_common=min_common,
+        max_fanout=max_fanout,
+    )
+    return out.withColumnRenamed("item_a", "host_a").withColumnRenamed(
+        "item_b", "host_b"
     )

@@ -132,3 +132,68 @@ def test_anchor_plan_is_jvm_only(spark):
     plan = anchor_terms(extract_anchors(_anchor_pages(spark))) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---- common-neighbor similarity (cocitation / bibliographic_coupling) ----
+
+
+def _link_rows(spark):
+    # pages p1..p4; hosts x,y,z. x&y co-cited by p1,p2; x&z by p1 only.
+    rows = [
+        ("http://s1.example/p1", "s1.example", "x.example"),
+        ("http://s1.example/p1", "s1.example", "y.example"),
+        ("http://s1.example/p1", "s1.example", "z.example"),
+        ("http://s2.example/p2", "s2.example", "x.example"),
+        ("http://s2.example/p2", "s2.example", "y.example"),
+        ("http://s2.example/p3", "s2.example", "z.example"),
+        ("http://s3.example/p4", "s3.example", "s3.example"),  # self: dropped
+        ("http://s3.example/p4", "s3.example", "x.example"),
+    ]
+    return spark.createDataFrame(
+        rows, "src_url string, src_host string, dst_host string"
+    )
+
+
+def test_cocitation_counts_and_jaccard(spark):
+    from metal_history_knowledge_graph_spark.operators.links import cocitation
+
+    got = {
+        (r.host_a, r.host_b): (r.n_common, r.jaccard_permille)
+        for r in cocitation(_link_rows(spark)).collect()
+    }
+    # deg: x=3 (p1,p2,p4), y=2 (p1,p2), z=2 (p1,p3)
+    assert got[("x.example", "y.example")] == (2, 2 * 1000 // (3 + 2 - 2))
+    assert got[("x.example", "z.example")] == (1, 1000 // 4)
+    assert got[("y.example", "z.example")] == (1, 1000 // 3)
+    assert len(got) == 3
+
+
+def test_cocitation_min_common_and_fanout_cap(spark):
+    from metal_history_knowledge_graph_spark.operators.links import cocitation
+
+    assert {
+        (r.host_a, r.host_b)
+        for r in cocitation(_link_rows(spark), min_common=2).collect()
+    } == {("x.example", "y.example")}
+    # cap 2: p1 keeps its 2 smallest hosts (x,y) — z loses p1's citation
+    capped = {
+        (r.host_a, r.host_b): r.n_common
+        for r in cocitation(_link_rows(spark), max_fanout=2).collect()
+    }
+    assert ("x.example", "z.example") not in capped
+    assert capped[("x.example", "y.example")] == 2
+
+
+def test_bibliographic_coupling_dual(spark):
+    from metal_history_knowledge_graph_spark.operators.links import (
+        bibliographic_coupling,
+    )
+
+    got = {
+        (r.host_a, r.host_b): r.n_common
+        for r in bibliographic_coupling(_link_rows(spark)).collect()
+    }
+    # s1 links {x,y,z}, s2 links {x,y,z}, s3 links {x}
+    assert got[("s1.example", "s2.example")] == 3
+    assert got[("s1.example", "s3.example")] == 1
+    assert got[("s2.example", "s3.example")] == 1

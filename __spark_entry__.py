@@ -5878,6 +5878,97 @@ def _cocitation_oracle(min_common: int = 2, max_fanout: int = 3) -> str:
     """
 
 
+def q_hyperball(spark, sf_dir):
+    """HyperBall neighborhood function + effective diameter over the
+    planted bow-tie digraph (operators/webgraph.hyperball —
+    Boldi–Rosa–Vigna 2011, the all-pairs-distance estimator that
+    replaces impossible n² BFS at web scale). Every register update
+    and every estimate is a deterministic integer (md5 buckets,
+    lowbit ranks, dyadic harmonic sums, α·m² floor-divides), so the
+    DuckDB oracle replays the ESTIMATOR bit-exactly against true
+    recursive-CTE BFS balls — the HLL trajectory itself is the
+    verified object, not a tolerance band."""
+    from metal_history_knowledge_graph_spark.operators.webgraph import (
+        hyperball,
+    )
+
+    e = _scc_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    )
+    return hyperball(e, n_iters=8).orderBy("t")
+
+
+def _hyperball_oracle(n_iters: int = 8, seed: int = 0) -> str:
+    """Recursive-CTE replay of q_hyperball: exact BFS balls per t,
+    then the same md5 registers, dyadic Z sums, and integer
+    estimates."""
+    return f"""
+        WITH RECURSIVE {_SCC_SQL_CTES},
+        hb_v AS (SELECT src AS v FROM scc_e UNION SELECT dst FROM scc_e),
+        hb_ball AS (
+            SELECT v, v AS u, 0 AS t FROM hb_v
+            UNION
+            SELECT b.v, e.dst, b.t + 1
+            FROM hb_ball b JOIN scc_e e ON b.u = e.src
+            WHERE b.t < {n_iters}
+        ),
+        hb_mind AS (SELECT v, u, min(t) AS d FROM hb_ball GROUP BY v, u),
+        hb_h AS (
+            SELECT v,
+                   CAST(('0x' || substr(md5('hbb:{seed}|'
+                       || CAST(v AS VARCHAR)), 1, 8))::UBIGINT % 16
+                       AS BIGINT) AS b,
+                   CAST(('0x' || substr(md5('hbr:{seed}|'
+                       || CAST(v AS VARCHAR)), 1, 15))::UBIGINT
+                       AS BIGINT) AS h
+            FROM hb_v
+        ),
+        hb_low AS (
+            SELECT v, b,
+                   CASE WHEN h = 0 THEN 1152921504606846976
+                        ELSE h & (-h) END AS lowbit
+            FROM hb_h
+        ),
+        hb_ts AS (SELECT CAST(range AS INT) AS t FROM range({n_iters} + 1)),
+        hb_regs AS (
+            SELECT m.v, ts.t, h.b, max(h.lowbit) AS lowbit
+            FROM hb_mind m
+            JOIN hb_low h ON m.u = h.v
+            CROSS JOIN hb_ts ts
+            WHERE m.d <= ts.t
+            GROUP BY m.v, ts.t, h.b
+        ),
+        hb_z AS (
+            SELECT v, t,
+                   (16 - count(*)) * 1099511627776
+                   + sum(549755813888 // lowbit) AS znum
+            FROM hb_regs GROUP BY v, t
+        ),
+        hb_est AS (
+            SELECT t, CAST((172288 * 1099511627776)
+                // greatest(znum, 1) AS BIGINT) AS est
+            FROM hb_z
+        ),
+        hb_nf AS (
+            SELECT t, CAST(sum(est) AS BIGINT) AS nf_milli
+            FROM hb_est GROUP BY t
+        ),
+        hb_final AS (SELECT nf_milli AS nft FROM hb_nf WHERE t = {n_iters}),
+        hb_grown AS (
+            SELECT t, nf_milli,
+                   CAST(nf_milli * 1000 // greatest(nft, 1) AS BIGINT)
+                       AS growth_permille
+            FROM hb_nf CROSS JOIN hb_final
+        ),
+        hb_eff AS (
+            SELECT CAST(min(t) AS INT) AS eff_diameter
+            FROM hb_grown WHERE growth_permille >= 900
+        )
+        SELECT g.t, g.nf_milli, g.growth_permille, e.eff_diameter
+        FROM hb_grown g CROSS JOIN hb_eff e ORDER BY g.t
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's CORRECTNESS gate
     verifies the first 50 entries, so every one of those carries an
@@ -6000,6 +6091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_priority_sample": q_priority_sample,
         "q_funnel": q_funnel,
         "q_cocitation": q_cocitation,
+        "q_hyperball": q_hyperball,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -8429,6 +8521,7 @@ def oracle_sql() -> dict[str, str]:
         "q_priority_sample": _priority_sample_oracle(),
         "q_funnel": _funnel_oracle(),
         "q_cocitation": _cocitation_oracle(),
+        "q_hyperball": _hyperball_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

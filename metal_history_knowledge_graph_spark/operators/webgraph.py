@@ -239,3 +239,118 @@ def bowtie_classify(
         .otherwise(F.lit("OTHER"))
         .alias("cls"),
     )
+
+
+def hyperball(
+    edges: DataFrame,
+    n_iters: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """HyperBall (Boldi–Rosa–Vigna 2011): the neighborhood function
+    N(t) = Σ_v |{u : dist(v,u) ≤ t}| estimated with one 16-register
+    HyperLogLog counter per node, plus the effective diameter (the
+    smallest t where N(t) reaches 90% of N(n_iters)) — the standard
+    way to measure "how far apart is the web" (Broder 2000 §4) on
+    graphs where all-pairs BFS is impossible.
+
+    Output: one row per t ∈ [0, n_iters] with ``(t, nf_milli,
+    growth_permille, eff_diameter)`` — nf_milli = the HLL estimate of
+    N(t) in integer milli-units, growth_permille = 1000·N(t) div
+    N(n_iters), eff_diameter = min t with growth ≥ 900 (constant
+    column).
+
+    EVERY number is a deterministic integer function of the graph, so
+    the DuckDB oracle replays the estimator bit-exactly against true
+    BFS balls (recursive CTE): register buckets/values come from md5
+    (bucket = 4 hash bits; the rank ρ is carried as ``lowbit =
+    h & -h`` — monotone in ρ, so register max-merge works on lowbit
+    directly and 2^-ρ = 1/(2·lowbit) stays dyadic); the harmonic-mean
+    denominator is the exact dyadic sum ``Z·2^40 = (16 − filled)·2^40
+    + Σ 2^39 div lowbit``; the per-node estimate is ``172288·2^40 div
+    Z`` (α₁₆·m² = 0.673·256 = 172.288, carried ×1000). No linear-
+    counting small-range correction — it needs ln(); at web scale
+    balls pass 2.5m within a hop or two and the raw estimator is the
+    regime that matters (bias at t=0 is a known constant, same in
+    both engines).
+
+    Scale shape: registers live in LONG FORM (node, bucket, lowbit) —
+    ≤ 16 rows per node; each iteration is one node-keyed equi-join
+    with the reversed edge list + a max partial agg (register merge is
+    map-side combinable), lineage cut per hop. n·16 register rows at
+    10⁹ hosts is the canonical HyperBall memory trade (BRV §4 packs
+    them into bitmaps; the long form keeps every step an exact-SQL
+    aggregate). nf_milli sums fit BIGINT up to ~10⁷ nodes (milli ×
+    n²); past that, re-scale to unit estimates (drop the ×1000) —
+    documented rather than silently floated.
+    """
+    m, d_shift = 16, (1 << 40)
+    e = _directed_pairs(edges).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    from metal_history_knowledge_graph_spark.operators.sampling import md5_mod
+
+    reg = (
+        nodes.withColumn(
+            "_h", md5_mod(F.col("v"), f"hbr:{seed}|", 1 << 60, hex_chars=15)
+        )
+        .select(
+            "v",
+            md5_mod(F.col("v"), f"hbb:{seed}|", m, hex_chars=8).alias("b"),
+            F.when(F.col("_h") == 0, F.lit(1 << 60))
+            .otherwise(F.expr("_h & -_h"))
+            .cast("long")
+            .alias("lowbit"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _nf(r: DataFrame, t: int) -> DataFrame:
+        z = r.groupBy("v").agg(
+            (
+                (F.lit(m) - F.count(F.lit(1))) * F.lit(d_shift)
+                + F.sum(F.expr("CAST(549755813888L div lowbit AS BIGINT)"))
+            ).alias("znum")
+        )
+        est = z.select(
+            F.expr("CAST((172288L * 1099511627776L) div greatest(znum, 1L) "
+                   "AS BIGINT)").alias("est")
+        )
+        return est.agg(
+            F.lit(t).cast("int").alias("t"),
+            F.coalesce(F.sum("est"), F.lit(0)).cast("long").alias("nf_milli"),
+        )
+
+    snaps = [_nf(reg, 0)]
+    rev = e.select(F.col("dst").alias("u"), F.col("src").alias("v2"))
+    for t in range(1, n_iters + 1):
+        pushed = (
+            rev.join(reg.select(F.col("v").alias("u"), "b", "lowbit"), "u")
+            .select(F.col("v2").alias("v"), "b", "lowbit")
+        )
+        reg = (
+            reg.unionByName(pushed)
+            .groupBy("v", "b")
+            .agg(F.max("lowbit").alias("lowbit"))
+            .localCheckpoint(eager=True)
+        )
+        snaps.append(_nf(reg, t))
+    nf = snaps[0]
+    for s in snaps[1:]:
+        nf = nf.unionByName(s)
+    nf = nf.localCheckpoint(eager=True)
+    final = nf.filter(F.col("t") == n_iters).select(
+        F.col("nf_milli").alias("_nfT")
+    )
+    grown = nf.join(F.broadcast(final), F.lit(True), "left").select(
+        "t",
+        "nf_milli",
+        F.expr("CAST(nf_milli * 1000L div greatest(_nfT, 1L) AS BIGINT)")
+        .alias("growth_permille"),
+    )
+    eff = grown.filter(F.col("growth_permille") >= 900).agg(
+        F.min("t").cast("int").alias("eff_diameter")
+    )
+    return grown.join(F.broadcast(eff), F.lit(True), "left")

@@ -189,3 +189,69 @@ def test_bowtie_core_tiebreak_smallest_scc(spark):
     e = _edges(spark, [(7, 8), (8, 7), (3, 4), (4, 3)])
     got = {r["node_id"]: r["cls"] for r in bowtie_classify(e).collect()}
     assert got == {3: "CORE", 4: "CORE", 7: "OTHER", 8: "OTHER"}
+
+
+# ---- HyperBall neighborhood function / effective diameter ----
+
+
+def _py_hyperball(edges, n_iters, seed=0):
+    """Pure-Python replay: exact BFS balls + the integer HLL estimator."""
+    import hashlib
+
+    nodes = sorted({v for e in edges for v in e})
+    adj = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+    h = {}
+    for v in nodes:
+        b = int(hashlib.md5(f"hbb:{seed}|{v}".encode()).hexdigest()[:8], 16) % 16
+        hv = int(hashlib.md5(f"hbr:{seed}|{v}".encode()).hexdigest()[:15], 16)
+        low = (1 << 60) if hv == 0 else hv & -hv
+        h[v] = (b, low)
+    nf = []
+    for t in range(n_iters + 1):
+        total = 0
+        for v in nodes:
+            ball, frontier = {v}, {v}
+            for _ in range(t):
+                frontier = {u for f in frontier for u in adj.get(f, ())} - ball
+                ball |= frontier
+            regs = {}
+            for u in ball:
+                b, low = h[u]
+                regs[b] = max(regs.get(b, 0), low)
+            znum = (16 - len(regs)) * (1 << 40) + sum(
+                (1 << 39) // low for low in regs.values()
+            )
+            total += (172288 * (1 << 40)) // max(znum, 1)
+        nf.append(total)
+    return nf
+
+
+def test_hyperball_matches_python_replay(spark):
+    from metal_history_knowledge_graph_spark.operators.webgraph import hyperball
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (2, 7), (7, 8), (5, 6)]
+    e = spark.createDataFrame(edges, "subj_id long, obj_id long")
+    got = {r.t: r.nf_milli for r in hyperball(e, n_iters=6).collect()}
+    want = _py_hyperball(edges, 6)
+    assert got == {t: want[t] for t in range(7)}
+
+
+def test_hyperball_monotone_and_effective_diameter(spark):
+    from metal_history_knowledge_graph_spark.operators.webgraph import hyperball
+
+    # directed path 0->1->...->9: N(t) strictly grows until t=9
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "subj_id long, obj_id long"
+    )
+    rows = sorted(hyperball(e, n_iters=10).collect(), key=lambda r: r.t)
+    vals = [r.nf_milli for r in rows]
+    assert all(a <= b for a, b in zip(vals, vals[1:]))
+    assert vals[9] == vals[10]  # converged at the true diameter
+    eff = rows[0].eff_diameter
+    assert all(r.eff_diameter == eff for r in rows)
+    # eff diameter = first t reaching 90% of final
+    t90 = next(r.t for r in rows if r.growth_permille >= 900)
+    assert eff == t90 and 0 < eff <= 9

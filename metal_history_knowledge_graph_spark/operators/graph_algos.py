@@ -158,9 +158,26 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return edges.sparkSession.createDataFrame([], "node_id long, rank_fixed long")
+    ranks = nodes.withColumn("rank_fixed", F.lit(scale // n).cast("long"))
+    ranks = _pr_iterate(e, nodes, ranks, n, n_iters, damping_pct, scale)
+    return ranks.select(F.col("node").alias("node_id"), "rank_fixed")
+
+
+def _pr_iterate(
+    e: DataFrame,
+    nodes: DataFrame,
+    ranks: DataFrame,
+    n: int,
+    n_iters: int,
+    damping_pct: int,
+    scale: int,
+) -> DataFrame:
+    """The shared PageRank power-iteration loop: (node, rank_fixed) →
+    n_iters fixed-point BIGINT updates over edge table ``e``. Extracted
+    so :func:`pagerank_resume` warm-starts the identical arithmetic
+    (the cold-start oracle trajectory stays byte-identical)."""
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     teleport = ((100 - damping_pct) * scale) // (100 * n)
-    ranks = nodes.withColumn("rank_fixed", F.lit(scale // n).cast("long"))
     for _ in range(n_iters):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -185,6 +202,64 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+    return ranks
+
+
+def pagerank_resume(
+    edges: DataFrame,
+    prev_ranks: DataFrame,
+    n_iters: int = 2,
+    damping_pct: int = 85,
+    scale: int = PAGERANK_SCALE,
+) -> DataFrame:
+    """Incremental PageRank maintenance: re-rank the UPDATED edge
+    table warm-started from a previous run's ``(node_id, rank_fixed)``
+    output instead of the uniform vector — the nightly-crawl path
+    (yesterday's graph plus today's edge delta) where a handful of
+    warm iterations replaces a cold power-iteration run, because the
+    rank vector moves little under small graph deltas (Desikan et al.
+    2005, incremental PageRank; Langville–Meyer §10 restart bounds).
+
+    Nodes absent from ``prev_ranks`` (newly discovered hosts) start at
+    ``scale div N_new`` — the same mass a cold start would give them;
+    departed nodes' stale rows are dropped by the inner join onto the
+    current node set. Prev mass is deliberately NOT renormalized: the
+    operator's contract is the exact fixed-point trajectory from the
+    given start vector (that determinism is what the DuckDB oracle
+    replays), and the teleport term re-injects (1−d) of the mass each
+    hop so any normalization drift decays geometrically anyway.
+
+    Scale shape: identical per-iteration cost to :func:`pagerank`
+    (one src-keyed join + one dst-keyed partial agg), but typically
+    run for 2–3 iterations instead of 15–20 — the warm start is the
+    whole point. The prev table joins node-keyed (never broadcast —
+    it is node-sized).
+    """
+    e = (
+        edges.select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame([], "node_id long, rank_fixed long")
+    prev = prev_ranks.select(
+        F.col("node_id").alias("node"), F.col("rank_fixed").alias("_prev")
+    )
+    ranks = nodes.join(prev, "node", "left").select(
+        "node",
+        F.coalesce(F.col("_prev"), F.lit(scale // n)).cast("long").alias(
+            "rank_fixed"
+        ),
+    )
+    ranks = _pr_iterate(e, nodes, ranks, n, n_iters, damping_pct, scale)
     return ranks.select(F.col("node").alias("node_id"), "rank_fixed")
 
 

@@ -519,3 +519,48 @@ def test_funnel_no_window_over_events(spark, funnel_events):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan
+
+
+def test_pagerank_resume_continues_trajectory(spark):
+    """Warm-starting from iteration-3 ranks and running 2 more equals
+    a cold 5-iteration run on the SAME graph — the resume loop is the
+    identical arithmetic."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        pagerank,
+        pagerank_resume,
+    )
+
+    e = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 40) for i in range(40)]
+        + [(i, (i + 1) % 40) for i in range(40)],
+        "subj_id long, obj_id long",
+    )
+    cold = {r.node_id: r.rank_fixed for r in pagerank(e, n_iters=5).collect()}
+    warm = {
+        r.node_id: r.rank_fixed
+        for r in pagerank_resume(e, pagerank(e, n_iters=3), n_iters=2).collect()
+    }
+    assert warm == cold
+
+
+def test_pagerank_resume_seeds_new_nodes(spark):
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        pagerank,
+        pagerank_resume,
+    )
+
+    base = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "subj_id long, obj_id long"
+    )
+    prev = pagerank(base, n_iters=3)
+    upd = base.unionByName(
+        spark.createDataFrame([(2, 9)], "subj_id long, obj_id long")
+    )
+    out = {r.node_id: r.rank_fixed
+           for r in pagerank_resume(upd, prev, n_iters=1).collect()}
+    assert 9 in out  # new node participates
+    # node 2 now splits mass between 0 and 9: node 0 gets teleport +
+    # 0.85 * (prev(2) div 2); replay by hand
+    p = {r.node_id: r.rank_fixed for r in prev.collect()}
+    teleport = (15 * 10**12) // (100 * 4)
+    assert out[9] == teleport + (85 * (p[2] // 2)) // 100

@@ -148,7 +148,9 @@ def run_analytics(spark) -> dict[str, float]:
                  "q_kn_bigrams", "q_heavy_hitters", "q_discovery_plan",
                  "q_fuzzy_join", "q_temperature_mix", "q_pub_dates",
                  "q_ktruss", "q_lpa_communities", "q_random_walks",
-                 "q_burst_terms", "q_trap_hosts"):
+                 "q_burst_terms", "q_trap_hosts", "q_priority_sample",
+                 "q_funnel", "q_cocitation", "q_hyperball",
+                 "q_pagerank_inc", "q_kmv_jaccard"):
         fn = qmap[name]
         walls = []
         for _ in range(repeats):

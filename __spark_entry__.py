@@ -6308,6 +6308,105 @@ def _qdigest_quantiles_oracle(bits: int = _QD_BITS) -> str:
     """
 
 
+def q_densest(spark, sf_dir):
+    """Densest-subgraph extraction by Bahmani–Kumar–Vassilvitskii
+    synchronous (1+ε) peeling (operators/graph_algos.densest_subgraph
+    — VLDB 2012, the canonical MapReduce graph-mining algorithm): a
+    20-node clique planted into the sparse derived digraph must be
+    recovered as the max-density snapshot. Every peel round is integer
+    (thr = 2m·1500 div 1000n), so the DuckDB oracle replays the whole
+    trajectory — per-round edge restriction, degree tables, thresholds
+    and the best-round election — as chained MATERIALIZED CTEs."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        densest_subgraph,
+    )
+
+    base = _derived_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    )
+    nn = (
+        _t(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % _GRAPH_N).alias("s"))
+        .distinct()
+        .filter(F.col("s") < 20)
+    )
+    clique = (
+        nn.alias("x")
+        .join(nn.alias("y"), F.col("x.s") < F.col("y.s"))
+        .select(
+            F.col("x.s").cast("long").alias("subj_id"),
+            F.col("y.s").cast("long").alias("obj_id"),
+        )
+    )
+    return densest_subgraph(
+        base.unionByName(clique), eps_permille=500, max_rounds=24
+    ).orderBy("node_id")
+
+
+def _densest_oracle(rounds: int = 24, eps_pm: int = 500) -> str:
+    """Chained-CTE replay of q_densest's full peel trajectory."""
+    ctes = [
+        f"WITH {_DERIVED_EDGES_SQL}",
+        """ds_e0 AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM (
+                SELECT src, dst FROM edges
+                UNION ALL
+                SELECT n1.src, n2.src FROM nodes n1 JOIN nodes n2
+                ON n1.src < n2.src AND n1.src < 20 AND n2.src < 20
+            ) WHERE src <> dst
+        )""",
+    ]
+    for r in range(rounds):
+        if r > 0:
+            ctes.append(
+                f"""ds_e{r} AS MATERIALIZED (
+                SELECT e.a, e.b FROM ds_e{r - 1} e
+                JOIN ds_k{r - 1} ka ON e.a = ka.v
+                JOIN ds_k{r - 1} kb ON e.b = kb.v
+            )"""
+            )
+        ctes += [
+            f"ds_s{r} AS MATERIALIZED (SELECT count(*) AS m FROM ds_e{r})",
+            f"""ds_d{r} AS MATERIALIZED (
+                SELECT v, count(*) AS deg FROM (
+                    SELECT a AS v FROM ds_e{r}
+                    UNION ALL SELECT b FROM ds_e{r}
+                ) GROUP BY v
+            )""",
+            f"ds_n{r} AS MATERIALIZED (SELECT count(*) AS n FROM ds_d{r})",
+            f"""ds_k{r} AS MATERIALIZED (
+                SELECT v FROM ds_d{r} CROSS JOIN ds_s{r} CROSS JOIN ds_n{r}
+                WHERE deg > (2 * m * (1000 + {eps_pm})) // (1000 * n)
+            )""",
+        ]
+    stats = "\nUNION ALL ".join(
+        f"SELECT {r} AS r, m, n FROM ds_s{r} CROSS JOIN ds_n{r} WHERE m > 0"
+        for r in range(rounds)
+    )
+    snaps = "\nUNION ALL ".join(
+        f"SELECT v, {r} AS r FROM ds_d{r}" for r in range(rounds)
+    )
+    ctes += [
+        f"ds_stats AS ({stats})",
+        "ds_best AS (SELECT r, (1000 * m) // n AS density_milli, n, m "
+        "FROM ds_stats ORDER BY (1000 * m) // n DESC, r LIMIT 1)",
+        f"ds_snaps AS ({snaps})",
+    ]
+    return (
+        ",\n".join(ctes)
+        + """
+        SELECT CAST(s.v AS BIGINT) AS node_id,
+               CAST(b.r AS INT) AS best_round,
+               CAST(b.density_milli AS BIGINT) AS density_milli,
+               CAST(b.n AS BIGINT) AS n_nodes,
+               CAST(b.m AS BIGINT) AS m_edges
+        FROM ds_snaps s JOIN ds_best b ON s.r = b.r
+        ORDER BY node_id
+    """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's CORRECTNESS gate
     verifies the first 50 entries, so every one of those carries an
@@ -6436,6 +6535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmv_jaccard": q_kmv_jaccard,
         "q_qdigest": q_qdigest,
         "q_qdigest_quantiles": q_qdigest_quantiles,
+        "q_densest": q_densest,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -8871,6 +8971,7 @@ def oracle_sql() -> dict[str, str]:
         "q_kmv_jaccard": _kmv_jaccard_oracle(),
         "q_qdigest": _qdigest_oracle(),
         "q_qdigest_quantiles": _qdigest_quantiles_oracle(),
+        "q_densest": _densest_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

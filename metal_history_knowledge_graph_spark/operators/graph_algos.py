@@ -1339,3 +1339,90 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         )
         .alias("r_ppm"),
     )
+
+
+def densest_subgraph(
+    edges: DataFrame,
+    eps_permille: int = 500,
+    max_rounds: int = 24,
+) -> DataFrame:
+    """Densest-subgraph extraction by synchronous (1+ε) peeling —
+    Bahmani–Kumar–Vassilvitskii (VLDB 2012), THE MapReduce-era
+    formulation: per round, compute the average degree 2m/n of the
+    active undirected subgraph and remove EVERY node whose degree is ≤
+    ``thr = (2·m·(1000+ε)) div (1000·n)`` (the integer-floor form of
+    deg < 2(1+ε)·m/n — our rule removes the boundary-degree nodes too,
+    a superset of Bahmani's set, so the ≤ log_{1+ε}(n) round bound and
+    the 2(1+ε)-approximation survive while every compare stays a
+    BIGINT compare both engines replay exactly). The answer is the
+    round snapshot with the maximum density m/n (integer milli, ties →
+    earliest round). Dense cores are link farms / template clusters in
+    a host graph — the crawl-quality signal this family feeds.
+
+    Output: one row per node of the best snapshot ``(node_id,
+    best_round, density_milli, n_nodes, m_edges)`` (the last four
+    constant).
+
+    Scale shape: each round is one degree aggregation (count partial
+    agg) + two semi-joins to restrict the edge set — no windows, no
+    driver-side node sets; the only driver state is the per-round
+    (n, m) scalar pair (two 1-row aggregates, the SCC-peel pattern).
+    Rounds are ≤ log_{1+ε} n ≈ 52 for 10⁹ nodes at ε = 0.5. Raises if
+    ``max_rounds`` doesn't drain — a partial peel is not an answer.
+    """
+    if not 0 < eps_permille:
+        raise ValueError(f"eps_permille must be > 0, got {eps_permille}")
+    und = (
+        edges.select(
+            F.least(F.col("subj_id"), F.col("obj_id")).alias("a"),
+            F.greatest(F.col("subj_id"), F.col("obj_id")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    best = None  # (density_milli, round, n, m, nodes_df)
+    e = und
+    for r in range(max_rounds):
+        m = e.count()
+        if m == 0:
+            break
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionByName(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+        n = deg.count()
+        density_milli = (1000 * m) // n
+        if best is None or density_milli > best[0]:
+            best = (density_milli, r, n, m, deg.select("v"))
+        thr = (2 * m * (1000 + eps_permille)) // (1000 * n)
+        keep = deg.filter(F.col("deg") > thr).select("v")
+        e = (
+            e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        if e.count() > 0:
+            raise ValueError(
+                f"densest_subgraph peel did not drain in {max_rounds} "
+                "rounds — raise max_rounds (bound: log_(1+eps) n)"
+            )
+    if best is None:
+        return spark.createDataFrame(
+            [],
+            "node_id long, best_round int, density_milli long, "
+            "n_nodes long, m_edges long",
+        )
+    density_milli, r, n, m, nodes = best
+    return nodes.select(
+        F.col("v").cast("long").alias("node_id"),
+        F.lit(r).cast("int").alias("best_round"),
+        F.lit(density_milli).cast("long").alias("density_milli"),
+        F.lit(n).cast("long").alias("n_nodes"),
+        F.lit(m).cast("long").alias("m_edges"),
+    )

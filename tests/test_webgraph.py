@@ -255,3 +255,47 @@ def test_hyperball_monotone_and_effective_diameter(spark):
     # eff diameter = first t reaching 90% of final
     t90 = next(r.t for r in rows if r.growth_permille >= 900)
     assert eff == t90 and 0 < eff <= 9
+
+
+# ---- densest subgraph (Bahmani synchronous peeling) ----
+
+
+def test_densest_recovers_planted_clique(spark):
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        densest_subgraph,
+    )
+
+    edges = [(a, b) for a in range(10) for b in range(a + 1, 10)] + [
+        (i, (i + 1) % 100) for i in range(100)
+    ]
+    e = spark.createDataFrame(edges, "subj_id long, obj_id long")
+    rows = densest_subgraph(e).collect()
+    assert {r.node_id for r in rows} == set(range(10))
+    assert rows[0].density_milli == 4500  # 45 edges / 10 nodes
+    assert rows[0].m_edges == 45 and rows[0].n_nodes == 10
+
+
+def test_densest_regular_graph_is_round_zero(spark):
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        densest_subgraph,
+    )
+
+    # a cycle is its own densest subgraph (density 1.0 everywhere)
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 20) for i in range(20)], "subj_id long, obj_id long"
+    )
+    rows = densest_subgraph(e).collect()
+    assert len(rows) == 20 and rows[0].best_round == 0
+    assert rows[0].density_milli == 1000
+
+
+def test_densest_empty_and_guard(spark):
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        densest_subgraph,
+    )
+    import pytest as _pt
+
+    e = spark.createDataFrame([], "subj_id long, obj_id long")
+    assert densest_subgraph(e).count() == 0
+    with _pt.raises(ValueError, match="eps_permille"):
+        densest_subgraph(e, eps_permille=0)

@@ -6407,6 +6407,93 @@ def _densest_oracle(rounds: int = 24, eps_pm: int = 500) -> str:
     )
 
 
+def q_butterflies(spark, sf_dir):
+    """Bipartite butterfly census of the synthetic page→host link
+    graph (operators/links.butterfly_stats): pages sharing the same
+    two hosts form 2×2 bicliques — the link-farm/template-network
+    motif. Reuses q_cocitation's synthetic 3-link pages; the DuckDB
+    oracle replays href extraction → wedge grouping → C(c,2) sums."""
+    from metal_history_knowledge_graph_spark.operators.links import (
+        butterfly_stats,
+        extract_links,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<a href="http://'), F.col("lang"), F.lit(".example/p/"),
+        did, F.lit('">x</a> '),
+        F.lit('<a href="//cdn.example/lib.js">z</a> '),
+        F.lit('<a href="http://h'), (F.col("doc_id") % 7).cast("string"),
+        F.lit('.example/r/'), did, F.lit('">r</a>'),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit("/"), did
+        ).alias("url"),
+        html.alias("html"),
+    )
+    links = extract_links(pages, url_col="url", html_col="html")
+    return butterfly_stats(links, max_fanout=64)
+
+
+def _butterflies_oracle(max_fanout: int = 64) -> str:
+    from metal_history_knowledge_graph_spark.operators.links import (
+        HREF_PATTERN,
+    )
+
+    pat = HREF_PATTERN.replace("'", "''")
+    host = (
+        "lower(regexp_replace(regexp_replace(regexp_extract({u}, "
+        "'^[hH][tT][tT][pP][sS]?://([^/?#]+)', 1), '^.*@', ''), "
+        "':\\d+$', ''))"
+    )
+    return f"""
+        WITH pages AS (
+            SELECT 'http://' || source || '/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   '<a href="http://' || lang || '.example/p/'
+                       || CAST(doc_id AS VARCHAR) || '">x</a> '
+                   || '<a href="//cdn.example/lib.js">z</a> '
+                   || '<a href="http://h' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example/r/' || CAST(doc_id AS VARCHAR)
+                       || '">r</a>' AS html
+            FROM documents
+        ), hrefs AS (
+            SELECT url, unnest(regexp_extract_all(html, '{pat}', 1)) AS href
+            FROM pages
+        ), res AS (
+            SELECT url, {host.format(u="url")} AS src_host,
+                   CASE WHEN href LIKE '//%' THEN 'http:' || href
+                        WHEN href LIKE '/%' THEN 'http://'
+                             || {host.format(u="url")} || href
+                        ELSE href END AS dst_url
+            FROM hrefs
+        ), it0 AS (
+            SELECT DISTINCT {host.format(u="dst_url")} AS k, url AS i
+            FROM res
+            WHERE {host.format(u="dst_url")} IS NOT NULL
+              AND length({host.format(u="dst_url")}) > 0
+              AND src_host IS NOT NULL
+              AND {host.format(u="dst_url")} <> src_host
+        ), it AS (
+            SELECT k, i FROM (
+                SELECT k, i,
+                       row_number() OVER (PARTITION BY k ORDER BY i) AS rn
+                FROM it0
+            ) WHERE rn <= {max_fanout}
+        ), bpairs AS (
+            SELECT a.i AS pa, b.i AS pb, count(*) AS c
+            FROM it a JOIN it b ON a.k = b.k AND a.i < b.i
+            GROUP BY 1, 2
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_page_pairs,
+               CAST(sum(c) AS BIGINT) AS n_wedges,
+               CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_butterflies
+        FROM bpairs
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's CORRECTNESS gate
     verifies the first 50 entries, so every one of those carries an
@@ -6536,6 +6623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_qdigest": q_qdigest,
         "q_qdigest_quantiles": q_qdigest_quantiles,
         "q_densest": q_densest,
+        "q_butterflies": q_butterflies,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -8972,6 +9060,7 @@ def oracle_sql() -> dict[str, str]:
         "q_qdigest": _qdigest_oracle(),
         "q_qdigest_quantiles": _qdigest_quantiles_oracle(),
         "q_densest": _densest_oracle(),
+        "q_butterflies": _butterflies_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

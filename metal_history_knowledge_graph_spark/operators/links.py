@@ -328,3 +328,37 @@ def bibliographic_coupling(
     return out.withColumnRenamed("item_a", "host_a").withColumnRenamed(
         "item_b", "host_b"
     )
+
+
+def butterfly_stats(
+    links: DataFrame, max_fanout: int | None = None
+) -> DataFrame:
+    """Bipartite butterfly (2×2 biclique) census over the page→host
+    link graph — the bipartite analogue of triangle counting (Wang et
+    al. VLDB 2019 "Vertex priority based butterfly counting"): a
+    butterfly is two pages both linking to the same two hosts, the
+    motif that makes link farms / template networks visible long
+    before PageRank moves. Butterflies = Σ over page pairs
+    C(common_hosts, 2), computed from the :func:`common_neighbor_pairs`
+    kernel (key = dst_host, item = src_url) — wedges group by host, so
+    the hub-host explosion is bounded by the same ``max_fanout`` cap.
+
+    Output: one row ``(n_page_pairs, n_wedges, n_butterflies)`` —
+    page pairs sharing ≥1 host, total wedge count Σ common, and the
+    butterfly total. All integer aggregates of the pair table
+    (vocabulary-sized after the cap), partial-agg friendly."""
+    it = links.filter(
+        F.col("dst_host").isNotNull()
+        & F.col("src_host").isNotNull()
+        & (F.col("dst_host") != F.col("src_host"))
+    )
+    pairs = common_neighbor_pairs(
+        it, "dst_host", "src_url", min_common=1, max_fanout=max_fanout
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_page_pairs"),
+        F.sum("n_common").cast("long").alias("n_wedges"),
+        F.sum(
+            F.expr("n_common * (n_common - 1) div 2")
+        ).cast("long").alias("n_butterflies"),
+    )

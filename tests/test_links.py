@@ -197,3 +197,24 @@ def test_bibliographic_coupling_dual(spark):
     assert got[("s1.example", "s2.example")] == 3
     assert got[("s1.example", "s3.example")] == 1
     assert got[("s2.example", "s3.example")] == 1
+
+
+def test_butterfly_stats_known_counts(spark):
+    from metal_history_knowledge_graph_spark.operators.links import (
+        butterfly_stats,
+    )
+
+    # pages p1,p2 both link {x,y} -> C(2,2)=1 butterfly; p3 links {x}
+    rows = [
+        ("http://s.example/p1", "s.example", "x.example"),
+        ("http://s.example/p1", "s.example", "y.example"),
+        ("http://s.example/p2", "s.example", "x.example"),
+        ("http://s.example/p2", "s.example", "y.example"),
+        ("http://s.example/p3", "s.example", "x.example"),
+    ]
+    links = spark.createDataFrame(
+        rows, "src_url string, src_host string, dst_host string"
+    )
+    r = butterfly_stats(links).collect()[0]
+    # pairs: (p1,p2) c=2; (p1,p3) c=1; (p2,p3) c=1 -> wedges 4, bfly 1
+    assert (r.n_page_pairs, r.n_wedges, r.n_butterflies) == (3, 4, 1)

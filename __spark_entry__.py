@@ -6494,6 +6494,47 @@ def _butterflies_oracle(max_fanout: int = 64) -> str:
     """
 
 
+def q_decayed_counts(spark, sf_dir):
+    """Exponentially time-decayed activity counts (operators/temporal.
+    decayed_counts — the recrawl-freshness signal): per event type,
+    events weighted 2^-((T−bucket) div 7) in 2^30 fixed-point units,
+    decay quantized to whole half-life periods so every weight is
+    dyadic and the DuckDB oracle replays the aggregate exactly. One
+    narrow bucket projection + one partial-agg groupBy."""
+    from metal_history_knowledge_graph_spark.operators.temporal import (
+        decayed_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return decayed_counts(
+        ev, key_col="event_type", bucket_hours=24, half_life_buckets=7
+    ).orderBy("key")
+
+
+def _decayed_counts_oracle(
+    bucket_us: int = 86_400_000_000, hl: int = 7, fb: int = 30
+) -> str:
+    return f"""
+        WITH dk AS (
+            SELECT event_type AS key,
+                   epoch_us(ts) // {bucket_us} AS b
+            FROM events
+        ), dmx AS (SELECT max(b) AS T FROM dk),
+        dw AS (
+            SELECT key, b,
+                   CASE WHEN greatest(0, (T - b) // {hl}) > {fb} THEN 0
+                        ELSE (1::BIGINT <<
+                            ({fb} - greatest(0, (T - b) // {hl})))
+                   END AS w
+            FROM dk CROSS JOIN dmx
+        )
+        SELECT key, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(w) AS BIGINT) AS decayed_fixed,
+               CAST(max(b) AS BIGINT) AS last_bucket
+        FROM dw GROUP BY key ORDER BY key
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's CORRECTNESS gate
     verifies the first 50 entries, so every one of those carries an
@@ -6624,6 +6665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_qdigest_quantiles": q_qdigest_quantiles,
         "q_densest": q_densest,
         "q_butterflies": q_butterflies,
+        "q_decayed_counts": q_decayed_counts,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -9061,6 +9103,7 @@ def oracle_sql() -> dict[str, str]:
         "q_qdigest_quantiles": _qdigest_quantiles_oracle(),
         "q_densest": _densest_oracle(),
         "q_butterflies": _butterflies_oracle(),
+        "q_decayed_counts": _decayed_counts_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

@@ -320,3 +320,76 @@ def funnel_counts(completions: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def decayed_counts(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    bucket_hours: int = 24,
+    half_life_buckets: int = 7,
+    now_bucket: int | None = None,
+    frac_bits: int = 30,
+) -> DataFrame:
+    """Exponentially time-decayed activity counts per key — the
+    freshness signal recrawl scheduling ranks hosts by ("how active
+    was this host, weighted toward the recent past"), with half-life
+    decay quantized to whole half-life periods so EVERY weight is a
+    dyadic rational and the whole aggregate is exact BIGINT.
+
+    An event in time bucket ``b`` (``unix_ts div 3600·bucket_hours``)
+    seen from ``now_bucket`` ``T`` contributes weight
+    ``2^(frac_bits − steps)`` where ``steps = (T − b) div
+    half_life_buckets`` — i.e. 1.0 (scaled by 2^frac_bits) for the
+    current half-life period, 0.5 for the previous, …, 0 once
+    ``steps > frac_bits`` (~30 half-lives; genuinely dead). Future
+    events (b > T) count at full weight — clock skew shouldn't zero a
+    host. ``now_bucket`` defaults to the max event bucket (one scalar
+    aggregate), making the output a pure function of the input.
+
+    Output: ``(key, n_events, decayed_fixed, last_bucket)`` with
+    ``decayed_fixed`` in 2^frac_bits units. Overflow headroom: 2^30
+    per event leaves room for 2^33 events per key in a BIGINT.
+
+    Scale shape: a single narrow projection (bucket arithmetic in
+    whole-stage codegen) + one partial-agg groupBy on the key — hot
+    hosts collapse map-side. The decayed sum is NOT incrementally
+    foldable across epochs by halving a stored total (floor(Σ/2) ≠
+    Σ floor(w/2)); re-aggregate from the event log or per-bucket
+    count rollups instead — the per-(key, bucket) count table IS the
+    mergeable summary, and this operator folds it exactly.
+    """
+    if bucket_hours <= 0 or half_life_buckets <= 0:
+        raise ValueError("bucket_hours and half_life_buckets must be > 0")
+    b = F.expr(
+        f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div "
+        f"{3_600_000_000 * bucket_hours}L"
+    )
+    keyed = events.select(F.col(key_col).alias("key"), b.alias("_b"))
+    if now_bucket is None:
+        now_bucket = keyed.agg(F.max("_b")).collect()[0][0]
+        if now_bucket is None:
+            return keyed.sparkSession.createDataFrame(
+                [], "key string, n_events long, decayed_fixed long, "
+                    "last_bucket long",
+            )
+    steps_sql = (
+        f"greatest(0L, ({int(now_bucket)}L - _b) div "
+        f"{half_life_buckets}L)"
+    )
+    return (
+        keyed.withColumn(
+            "_w",
+            F.expr(
+                f"CASE WHEN {steps_sql} > {frac_bits} THEN 0L "
+                f"ELSE shiftleft(1L, {frac_bits} - CAST({steps_sql} AS INT)) "
+                f"END"
+            ),
+        )
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_w").cast("long").alias("decayed_fixed"),
+            F.max("_b").alias("last_bucket"),
+        )
+    )

@@ -564,3 +564,40 @@ def test_pagerank_resume_seeds_new_nodes(spark):
     p = {r.node_id: r.rank_fixed for r in prev.collect()}
     teleport = (15 * 10**12) // (100 * 4)
     assert out[9] == teleport + (85 * (p[2] // 2)) // 100
+
+
+def test_decayed_counts_weights_and_mergeable_rollup(spark):
+    from metal_history_knowledge_graph_spark.operators.temporal import (
+        decayed_counts,
+    )
+
+    # key 'a': events at bucket 0, 7, 14 (days); now = bucket 14,
+    # half-life 7 -> weights 2^28, 2^29, 2^30
+    rows = [
+        ("a", "2024-01-01 00:00:00"),
+        ("a", "2024-01-08 00:00:00"),
+        ("a", "2024-01-15 00:00:00"),
+        ("b", "2024-01-15 12:00:00"),  # same bucket as now: full weight
+    ]
+    ev = spark.createDataFrame(rows, "k string, ts string").select(
+        "k", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {r.key: (r.n_events, r.decayed_fixed, r.last_bucket)
+           for r in decayed_counts(ev, key_col="k").collect()}
+    base = 19723  # 2024-01-01 in days since epoch
+    assert got["a"] == (3, (1 << 28) + (1 << 29) + (1 << 30), base + 14)
+    assert got["b"] == (1, 1 << 30, base + 14)
+
+
+def test_decayed_counts_ancient_events_zero(spark):
+    from metal_history_knowledge_graph_spark.operators.temporal import (
+        decayed_counts,
+    )
+
+    ev = spark.createDataFrame(
+        [("x", "1990-01-01 00:00:00"), ("x", "2024-01-01 00:00:00")],
+        "k string, ts string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    r = decayed_counts(ev, key_col="k").collect()[0]
+    # the 1990 event is > 30 half-lives old: weight exactly 0
+    assert r.n_events == 2 and r.decayed_fixed == 1 << 30

@@ -6535,6 +6535,91 @@ def _decayed_counts_oracle(
     """
 
 
+def q_domain_groups(spark, sf_dir):
+    """eTLD+1 registrable-domain rollup (operators/urlnorm.
+    registrable_domain + domain_groups): synthetic urls rotate through
+    .com / .co.uk / .org / .gov.uk / IPv4 authorities with varied
+    subdomains, and per-domain url+host counts must group
+    shop.example.co.uk with example.co.uk — the key crawl budgets use.
+    The DuckDB oracle replays host extraction, the shared
+    public-suffix list, label slicing and the rollup exactly."""
+    from metal_history_knowledge_graph_spark.operators.urlnorm import (
+        domain_groups,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = F.element_at(
+        F.array(
+            F.lit("example.com"), F.lit("example.co.uk"), F.lit("foo.org"),
+            F.lit("bar.gov.uk"), F.lit("10.0.0.1"),
+        ),
+        (did % 5 + 1).cast("int"),
+    )
+    sub = F.when(
+        did % 5 == 4, F.lit("")  # IPs get no subdomain
+    ).otherwise(F.concat(F.lit("w"), (did % 13).cast("string"), F.lit(".")))
+    urls = docs.select(
+        F.concat(
+            F.lit("http://"), sub, base, F.lit("/p/"), did.cast("string")
+        ).alias("url")
+    )
+    return domain_groups(urls).orderBy("domain")
+
+
+def _domain_groups_oracle() -> str:
+    from metal_history_knowledge_graph_spark.operators.urlnorm import (
+        PUBLIC_SUFFIXES_2,
+    )
+
+    ps = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES_2)
+    host = (
+        "lower(regexp_replace(regexp_replace(regexp_extract(url, "
+        "'^[hH][tT][tT][pP][sS]?://([^/?#]+)', 1), '^.*@', ''), "
+        "':\\d+$', ''))"
+    )
+    return f"""
+        WITH du AS (
+            SELECT 'http://'
+                   || CASE WHEN doc_id % 5 = 4 THEN ''
+                      ELSE 'w' || CAST(doc_id % 13 AS VARCHAR) || '.' END
+                   || CASE doc_id % 5
+                        WHEN 0 THEN 'example.com'
+                        WHEN 1 THEN 'example.co.uk'
+                        WHEN 2 THEN 'foo.org'
+                        WHEN 3 THEN 'bar.gov.uk'
+                        ELSE '10.0.0.1' END
+                   || '/p/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+        ), dh AS (
+            SELECT {host} AS h FROM du
+            WHERE {host} IS NOT NULL AND length({host}) > 0
+        ), dd AS (
+            SELECT h,
+                   CASE
+                     WHEN regexp_matches(h,
+                         '^\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}$')
+                         THEN h
+                     WHEN len(string_split(h, '.')) <= 1 THEN h
+                     WHEN array_to_string(string_split(h, '.')[
+                              len(string_split(h, '.')) - 1 :], '.')
+                          IN ({ps})
+                          AND len(string_split(h, '.')) >= 3
+                         THEN array_to_string(string_split(h, '.')[
+                              len(string_split(h, '.')) - 2 :], '.')
+                     WHEN len(string_split(h, '.')) >= 2
+                         THEN array_to_string(string_split(h, '.')[
+                              len(string_split(h, '.')) - 1 :], '.')
+                     ELSE h
+                   END AS domain
+            FROM dh
+        )
+        SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_hosts
+        FROM dd GROUP BY domain ORDER BY domain
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's CORRECTNESS gate
     verifies the first 50 entries, so every one of those carries an
@@ -6666,6 +6751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_densest": q_densest,
         "q_butterflies": q_butterflies,
         "q_decayed_counts": q_decayed_counts,
+        "q_domain_groups": q_domain_groups,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -9104,6 +9190,7 @@ def oracle_sql() -> dict[str, str]:
         "q_densest": _densest_oracle(),
         "q_butterflies": _butterflies_oracle(),
         "q_decayed_counts": _decayed_counts_oracle(),
+        "q_domain_groups": _domain_groups_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

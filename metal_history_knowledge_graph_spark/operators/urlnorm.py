@@ -108,3 +108,69 @@ def url_dup_groups(df: DataFrame, url_col: str = "url") -> DataFrame:
             F.min(url_col).alias("representative"),
         )
     )
+
+
+#: embedded public-suffix subset: the high-traffic TWO-LABEL suffixes.
+#: The full Mozilla PSL is ~9k rules and updates weekly — in production
+#: swap this tuple for a PSL snapshot (it stays a vocabulary-sized CASE
+#: expression / broadcast either way). Sorted; shared verbatim with the
+#: DuckDB oracle.
+PUBLIC_SUFFIXES_2 = (
+    "ac.jp", "ac.uk", "co.id", "co.in", "co.jp", "co.kr", "co.nz",
+    "co.uk", "co.za", "com.ar", "com.au", "com.br", "com.cn", "com.hk",
+    "com.mx", "com.my", "com.sg", "com.tr", "com.tw", "com.ua",
+    "com.vn", "edu.au", "gov.au", "gov.uk", "me.uk", "ne.jp", "net.au",
+    "net.br", "net.cn", "or.jp", "org.au", "org.br", "org.cn",
+    "org.uk",
+)
+
+_IPV4_RE = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
+
+
+def registrable_domain(host: Column) -> Column:
+    """eTLD+1 (registrable domain) of a lowercase host: the last THREE
+    labels when the trailing two form a listed public suffix
+    (``shop.example.co.uk`` → ``example.co.uk``), else the last two
+    (``a.b.example.com`` → ``example.com``). IPv4 literals and
+    single-label hosts pass through whole; a host that IS a public
+    suffix returns itself. This is the key per-domain crawl budgets,
+    robots grouping and dedup rollups must use — per-HOST grouping
+    splits ``www.example.co.uk`` from ``example.co.uk`` and treats
+    every ``*.blogspot``-style subdomain as one site.
+
+    One native expression tree (split + slice + IN-list) in
+    whole-stage codegen — no UDF, no join; the suffix list is a
+    vocabulary-sized literal set."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.array_join(F.slice(parts, n - 1, 2), ".")
+    last3 = F.array_join(F.slice(parts, n - 2, 3), ".")
+    is_ps2 = last2.isin(*PUBLIC_SUFFIXES_2)
+    return (
+        F.when(host.rlike(_IPV4_RE), host)
+        .when(n <= 1, host)
+        .when(is_ps2 & (n >= 3), last3)
+        .when(n >= 2, last2)
+        .otherwise(host)
+    )
+
+
+def domain_groups(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-registrable-domain rollup of a url table: ``(domain,
+    n_urls, n_hosts)`` — the table per-domain crawl budgets and
+    politeness quotas key on. One narrow host/domain projection +
+    one partial-agg groupBy (count_distinct hosts is per-domain
+    bounded)."""
+    from metal_history_knowledge_graph_spark.operators.links import _host_of
+
+    h = _host_of(F.col(url_col))
+    return (
+        df.select(h.alias("_host"))
+        .filter(F.col("_host").isNotNull() & (F.length("_host") > 0))
+        .select(registrable_domain(F.col("_host")).alias("domain"), "_host")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("_host").alias("n_hosts"),
+        )
+    )

@@ -4,6 +4,8 @@ semantics and the narrow plan shape."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from metal_history_knowledge_graph_spark.operators.urlnorm import (
     canonicalize_urls,
     url_dup_groups,
@@ -63,3 +65,48 @@ def test_url_dup_groups(spark):
     assert (a["n_raw"], a["n_spellings"]) == (3, 3)
     assert a["representative"] == "HTTP://e.COM:80/a/"
     assert rows["http://e.com/b"]["n_raw"] == 1
+
+
+def test_registrable_domain_rules(spark):
+    from metal_history_knowledge_graph_spark.operators.urlnorm import (
+        registrable_domain,
+    )
+
+    cases = [
+        ("shop.example.co.uk", "example.co.uk"),
+        ("example.co.uk", "example.co.uk"),
+        ("co.uk", "co.uk"),            # a bare public suffix: itself
+        ("a.b.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+        ("10.0.0.1", "10.0.0.1"),      # IPv4 passes through whole
+        ("w3.bar.gov.uk", "bar.gov.uk"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    got = {
+        r.h: r.d
+        for r in df.select(
+            "h", registrable_domain(F.col("h")).alias("d")
+        ).collect()
+    }
+    for h, want in cases:
+        assert got[h] == want, (h, got[h], want)
+
+
+def test_domain_groups_rollup(spark):
+    from metal_history_knowledge_graph_spark.operators.urlnorm import (
+        domain_groups,
+    )
+
+    urls = spark.createDataFrame(
+        [
+            ("http://a.example.co.uk/1",),
+            ("http://b.example.co.uk/2",),
+            ("http://a.example.co.uk/3",),
+            ("http://x.other.com/4",),
+        ],
+        "url string",
+    )
+    got = {r.domain: (r.n_urls, r.n_hosts)
+           for r in domain_groups(urls).collect()}
+    assert got == {"example.co.uk": (3, 2), "other.com": (1, 1)}

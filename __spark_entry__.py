@@ -6620,6 +6620,69 @@ def _domain_groups_oracle() -> str:
     """
 
 
+def q_modularity(spark, sf_dir):
+    """Exact integer Newman modularity (graph_algos.modularity_4m2 —
+    Q·4m² = Σ_c [4·m·m_c − D_c²], denominators cleared so community
+    quality is a BIGINT, never a float summation lottery) of the LPA
+    communities over the planted 20-block circulant graph. The DuckDB
+    oracle chains the full 8-round LPA replay AND the modularity
+    arithmetic — assignment and score verified together."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        label_propagation,
+        modularity_4m2,
+    )
+
+    e = _lpa_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    )
+    assign = label_propagation(e, n_rounds=8)
+    return modularity_4m2(e, assign)
+
+
+def _modularity_oracle(n_rounds: int = 8) -> str:
+    """LPA replay (shared CTE chain) + cleared-denominator modularity."""
+    lpa = _lpa_oracle(n_rounds)
+    ctes = lpa[: lpa.rindex("\nSELECT")]
+    return (
+        ctes
+        + f""",
+        mq_und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM lpa_e WHERE src <> dst
+        ),
+        mq_tag AS (
+            SELECT u.a, u.b, la.lab AS ca, lb.lab AS cb
+            FROM mq_und u
+            JOIN l{n_rounds} la ON u.a = la.node
+            JOIN l{n_rounds} lb ON u.b = lb.node
+        ),
+        mq_m AS (SELECT count(*) AS m FROM mq_tag),
+        mq_intra AS (
+            SELECT ca AS c, count(*) AS mc FROM mq_tag
+            WHERE ca = cb GROUP BY ca
+        ),
+        mq_deg AS (
+            SELECT c, CAST(sum(d) AS BIGINT) AS dc FROM (
+                SELECT v, c, count(*) AS d FROM (
+                    SELECT a AS v, ca AS c FROM mq_tag
+                    UNION ALL SELECT b, cb FROM mq_tag
+                ) GROUP BY v, c
+            ) GROUP BY c
+        ),
+        mq_terms AS (
+            SELECT d.c,
+                   4 * mq_m.m * coalesce(i.mc, 0) - d.dc * d.dc AS term
+            FROM mq_deg d LEFT JOIN mq_intra i ON d.c = i.c
+            CROSS JOIN mq_m
+        )
+        SELECT CAST(sum(term) AS BIGINT) AS q_4m2,
+               CAST((SELECT m FROM mq_m) AS BIGINT) AS m_edges,
+               CAST(count(*) AS BIGINT) AS n_communities
+        FROM mq_terms
+    """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's CORRECTNESS gate
     verifies the first 50 entries, so every one of those carries an
@@ -6752,6 +6815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_butterflies": q_butterflies,
         "q_decayed_counts": q_decayed_counts,
         "q_domain_groups": q_domain_groups,
+        "q_modularity": q_modularity,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -9191,6 +9255,7 @@ def oracle_sql() -> dict[str, str]:
         "q_butterflies": _butterflies_oracle(),
         "q_decayed_counts": _decayed_counts_oracle(),
         "q_domain_groups": _domain_groups_oracle(),
+        "q_modularity": _modularity_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

@@ -1426,3 +1426,66 @@ def densest_subgraph(
         F.lit(n).cast("long").alias("n_nodes"),
         F.lit(m).cast("long").alias("m_edges"),
     )
+
+
+def modularity_4m2(edges: DataFrame, assign: DataFrame) -> DataFrame:
+    """Exact integer Newman modularity of a community assignment:
+    returns one row ``(q_4m2, m_edges, n_communities)`` where
+    ``q_4m2 = Q · 4m²`` — the standard Q = Σ_c [m_c/m − (D_c/2m)²]
+    cleared of its denominators (``Σ_c [4·m·m_c − D_c²]``), so the
+    quality of an LPA/SCC/k-core community split is a pure BIGINT both
+    engines agree on (floats would make Q a summation-order lottery).
+    m = undirected edge count, m_c = intra-community edges, D_c = sum
+    of member degrees. Overflow bound: D_c ≤ 2m, so each term ≤ 4m² —
+    BIGINT-safe to m ≈ 10⁹ edges per community; shard the sum into
+    DECIMAL(38) beyond that (documented, not silently floated).
+
+    Scale shape: one degree partial agg, one two-sided community tag
+    join of the edge table, two vocabulary-sized rollups. ``assign``
+    must cover every edge endpoint (inner joins drop strays — feed the
+    full label table, not a filtered one)."""
+    # canonical undirected pairs: least/greatest + distinct, so an
+    # input carrying both (u,v) and (v,u) counts ONE undirected edge
+    # (_undirected_pairs keeps direction and would double-count m)
+    und = (
+        edges.select(
+            F.least(F.col("subj_id"), F.col("obj_id")).alias("a"),
+            F.greatest(F.col("subj_id"), F.col("obj_id")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = assign.select(F.col("node_id").alias("a"), F.col("community").alias("ca"))
+    b = assign.select(F.col("node_id").alias("b"), F.col("community").alias("cb"))
+    tagged = und.join(a, "a").join(b, "b").localCheckpoint(eager=True)
+    m = tagged.count()
+    if m == 0:
+        return edges.sparkSession.createDataFrame(
+            [(0, 0, 0)], "q_4m2 long, m_edges long, n_communities long"
+        )
+    intra = (
+        tagged.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).alias("mc"))
+    )
+    deg = (
+        tagged.select(F.col("a").alias("v"), F.col("ca").alias("c"))
+        .unionByName(tagged.select(F.col("b").alias("v"), F.col("cb").alias("c")))
+        .groupBy("v", "c")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .groupBy("c")
+        .agg(F.sum("d").alias("dc"))
+    )
+    per_c = deg.join(intra, "c", "left").select(
+        "c",
+        (
+            F.lit(4 * m) * F.coalesce(F.col("mc"), F.lit(0))
+            - F.col("dc") * F.col("dc")
+        ).alias("term"),
+    )
+    return per_c.agg(
+        F.sum("term").cast("long").alias("q_4m2"),
+        F.lit(m).cast("long").alias("m_edges"),
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+    )

@@ -3,6 +3,7 @@ against a pure-Python synchronous reference with the identical
 min-label tie-break on seeded random graphs; planted two-clique
 recovery; symmetrization and partition invariance."""
 
+from pyspark.sql import functions as F
 import itertools
 import random
 
@@ -88,3 +89,40 @@ def test_partition_invariance(spark):
         map(tuple, label_propagation(df.repartition(13), n_rounds=5).collect())
     )
     assert a == b
+
+
+def test_modularity_known_values(spark):
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        modularity_4m2,
+    )
+
+    # two triangles joined by one bridge edge; perfect 2-community split
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (0, 3)],
+        "subj_id long, obj_id long",
+    )
+    assign = spark.createDataFrame(
+        [(i, 0 if i < 3 else 3) for i in range(6)],
+        "node_id long, community long",
+    )
+    r = modularity_4m2(e, assign).collect()[0]
+    # m=7; community A: mc=3, Dc=7; B: mc=3, Dc=7
+    # Q*4m^2 = 2*(4*7*3 - 49) = 70  (Q = 70/196 = 0.357)
+    assert (r.q_4m2, r.m_edges, r.n_communities) == (70, 7, 2)
+    # everything in one community: Q = 0 exactly
+    one = assign.select("node_id", F.lit(0).alias("community"))
+    assert modularity_4m2(e, one).collect()[0].q_4m2 == 0
+
+
+def test_modularity_counts_reversed_duplicates_once(spark):
+    from metal_history_knowledge_graph_spark.operators.graph_algos import (
+        modularity_4m2,
+    )
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2)], "subj_id long, obj_id long"
+    )
+    assign = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0)], "node_id long, community long"
+    )
+    assert modularity_4m2(e, assign).collect()[0].m_edges == 2

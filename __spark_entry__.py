@@ -6683,6 +6683,111 @@ def _modularity_oracle(n_rounds: int = 8) -> str:
     )
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprints (operators/winnow.py — Schleimer et al.
+    2003 rightmost-min selection, MOSS): the full (doc_id, pos, fp)
+    selection set at k=8, w=12 over documents doc_id < 150. The
+    DuckDB oracle replays gram hashing, per-window minima, and the
+    rightmost tie-break relationally (range join + two GROUP BYs) —
+    bit-exact because both engines hash via md5-hex→BIGINT."""
+    from metal_history_knowledge_graph_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return winnow_fingerprints(docs, k=8, w=12).orderBy("doc_id", "pos", "fp")
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """MOSS candidate pairs over the whole documents table: docs
+    ranked by shared winnowing-fingerprint values (k=8, w=12,
+    min_shared=2) with the max_df=50 stop-fingerprint cap applied
+    before the inverted-index self-join."""
+    from metal_history_knowledge_graph_spark.operators.winnow import (
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    fps = winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, w=12)
+    return winnow_candidate_pairs(fps, min_shared=2, max_df=50).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _winnow_cte(doc_pred: str, k: int = 8, w: int = 12) -> str:
+    """Shared winnowing replay CTE chain (normalize → gram hashes →
+    window minima → rightmost position → distinct, plus the short-doc
+    whole-string fingerprint), parameterized by a document predicate.
+    Ends with an ``all_fps(doc_id, pos, fp)`` CTE."""
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+            FROM documents WHERE text IS NOT NULL AND {doc_pred}
+        ), g AS (
+            SELECT doc_id, CAST(i AS INT) AS pos,
+                   CAST(('0x' || substr(md5('win:'
+                       || substr(norm, CAST(i AS INT), {k})), 1, 15))::UBIGINT
+                       AS BIGINT) AS h
+            FROM d, UNNEST(generate_series(1, length(norm) - {k - 1})) AS t(i)
+            WHERE length(norm) >= {k}
+        ), ng AS (
+            SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+        ), starts AS (
+            SELECT ng.doc_id, CAST(j AS INT) AS j
+            FROM ng, UNNEST(generate_series(1, greatest(1, n - {w - 1}))) AS s(j)
+        ), wins AS (
+            SELECT s.doc_id, s.j, min(g.h) AS mh
+            FROM starts s JOIN g ON g.doc_id = s.doc_id
+                          AND g.pos BETWEEN s.j AND s.j + {w - 1}
+            GROUP BY s.doc_id, s.j
+        ), sel AS (
+            SELECT w.doc_id, max(g.pos) AS pos, w.mh AS fp
+            FROM wins w JOIN g ON g.doc_id = w.doc_id
+                        AND g.pos BETWEEN w.j AND w.j + {w - 1}
+                        AND g.h = w.mh
+            GROUP BY w.doc_id, w.j, w.mh
+        ), all_fps AS (
+            SELECT DISTINCT doc_id, pos, fp FROM sel
+            UNION ALL
+            SELECT doc_id, CAST(1 AS INT) AS pos,
+                   CAST(('0x' || substr(md5('win:' || norm), 1, 15))::UBIGINT
+                       AS BIGINT) AS fp
+            FROM d WHERE length(norm) BETWEEN 1 AND {k - 1}
+        )
+    """
+
+
+def _winnow_oracle() -> str:
+    return (
+        _winnow_cte("doc_id < 150")
+        + """
+        SELECT doc_id, pos, fp FROM all_fps ORDER BY doc_id, pos, fp
+    """
+    )
+
+
+def _winnow_pairs_oracle() -> str:
+    return (
+        _winnow_cte("TRUE")
+        + """
+        , fpd AS (SELECT DISTINCT doc_id, fp FROM all_fps),
+        kept AS (
+            SELECT doc_id, fp FROM fpd
+            WHERE fp NOT IN (
+                SELECT fp FROM fpd GROUP BY fp HAVING count(*) > 50
+            )
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS shared_fps
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= 2
+        ORDER BY doc_a, doc_b
+    """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's CORRECTNESS gate
     verifies the first 50 entries, so every one of those carries an
@@ -6816,6 +6921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decayed_counts": q_decayed_counts,
         "q_domain_groups": q_domain_groups,
         "q_modularity": q_modularity,
+        "q_winnow": q_winnow,
+        "q_winnow_pairs": q_winnow_pairs,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -9256,6 +9363,8 @@ def oracle_sql() -> dict[str, str]:
         "q_decayed_counts": _decayed_counts_oracle(),
         "q_domain_groups": _domain_groups_oracle(),
         "q_modularity": _modularity_oracle(),
+        "q_winnow": _winnow_oracle(),
+        "q_winnow_pairs": _winnow_pairs_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

@@ -6758,6 +6758,77 @@ def _winnow_cte(doc_pred: str, k: int = 8, w: int = 12) -> str:
     """
 
 
+def q_suffix_ranks(spark, sf_dir):
+    """Generalized suffix array by distributed prefix doubling
+    (operators/suffix.py — Larsson–Sadakane over DataFrame joins):
+    dense 0-based rank of every suffix of docs doc_id < 80 (texts
+    truncated to 120 chars to bound the position count), equal suffix
+    strings across documents sharing a rank. The DuckDB oracle is the
+    definition itself: dense_rank() over the literal suffix strings —
+    both engines compare strings in UTF-8 binary order."""
+    from metal_history_knowledge_graph_spark.operators.suffix import suffix_ranks
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", F.col("text").substr(1, 120).alias("text"))
+    )
+    return suffix_ranks(docs).orderBy("doc_id", "pos")
+
+
+def q_suffix_array(spark, sf_dir):
+    """The suffix-array total-order view (operators/suffix.py
+    suffix_array): position sa_rank in global suffix order holds
+    suffix (doc_id, pos); duplicate suffix strings tie-broken by
+    (doc_id, pos). Oracle: row_number() over (suffix, doc_id, pos)."""
+    from metal_history_knowledge_graph_spark.operators.suffix import suffix_array
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", F.col("text").substr(1, 120).alias("text"))
+    )
+    return suffix_array(docs).orderBy("sa_rank")
+
+
+def _suffix_base_cte() -> str:
+    return """
+        WITH d AS (
+            SELECT doc_id, substr(text, 1, 120) AS t
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) >= 1 AND doc_id < 80
+        ), p AS (
+            SELECT doc_id, CAST(i AS INT) AS pos,
+                   substr(t, CAST(i AS INT)) AS suf
+            FROM d, UNNEST(generate_series(1, length(t))) AS s(i)
+        )
+    """
+
+
+def _suffix_ranks_oracle() -> str:
+    return (
+        _suffix_base_cte()
+        + """
+        SELECT doc_id, pos,
+               CAST(dense_rank() OVER (ORDER BY suf) - 1 AS BIGINT)
+                   AS suffix_rank
+        FROM p ORDER BY doc_id, pos
+    """
+    )
+
+
+def _suffix_array_oracle() -> str:
+    return (
+        _suffix_base_cte()
+        + """
+        SELECT CAST(row_number() OVER (ORDER BY suf, doc_id, pos) - 1
+                    AS BIGINT) AS sa_rank,
+               doc_id, pos
+        FROM p ORDER BY sa_rank
+    """
+    )
+
+
 def _winnow_oracle() -> str:
     return (
         _winnow_cte("doc_id < 150")
@@ -6923,6 +6994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_modularity": q_modularity,
         "q_winnow": q_winnow,
         "q_winnow_pairs": q_winnow_pairs,
+        "q_suffix_ranks": q_suffix_ranks,
+        "q_suffix_array": q_suffix_array,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -9365,6 +9438,8 @@ def oracle_sql() -> dict[str, str]:
         "q_modularity": _modularity_oracle(),
         "q_winnow": _winnow_oracle(),
         "q_winnow_pairs": _winnow_pairs_oracle(),
+        "q_suffix_ranks": _suffix_ranks_oracle(),
+        "q_suffix_array": _suffix_array_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

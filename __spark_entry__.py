@@ -6768,12 +6768,7 @@ def q_suffix_ranks(spark, sf_dir):
     both engines compare strings in UTF-8 binary order."""
     from metal_history_knowledge_graph_spark.operators.suffix import suffix_ranks
 
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 80)
-        .select("doc_id", F.col("text").substr(1, 120).alias("text"))
-    )
-    return suffix_ranks(docs).orderBy("doc_id", "pos")
+    return suffix_ranks(_suffix_docs(spark, sf_dir)).orderBy("doc_id", "pos")
 
 
 def q_suffix_array(spark, sf_dir):
@@ -6783,12 +6778,41 @@ def q_suffix_array(spark, sf_dir):
     (doc_id, pos). Oracle: row_number() over (suffix, doc_id, pos)."""
     from metal_history_knowledge_graph_spark.operators.suffix import suffix_array
 
-    docs = (
+    return suffix_array(_suffix_docs(spark, sf_dir)).orderBy("sa_rank")
+
+
+def _suffix_docs(spark, sf_dir):
+    return (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 80)
         .select("doc_id", F.col("text").substr(1, 120).alias("text"))
     )
-    return suffix_array(docs).orderBy("sa_rank")
+
+
+def q_lcp(spark, sf_dir):
+    """LCP array by level-walking the stored prefix-doubling rank
+    tables (operators/suffix.lcp_adjacent — the doubling LCP, NOT
+    Kasai, which is inherently sequential): per adjacent SA pair, walk
+    levels high→low adding h whenever the level-h ranks at the current
+    offsets match. The DuckDB oracle computes each adjacent LCP from
+    the literal suffix strings (max prefix length where the substrings
+    agree) — definition vs join-only implementation."""
+    from metal_history_knowledge_graph_spark.operators.suffix import lcp_adjacent
+
+    return lcp_adjacent(_suffix_docs(spark, sf_dir)).orderBy("sa_rank")
+
+
+def q_longest_repeats(spark, sf_dir):
+    """Top-15 longest substrings occurring ≥ 2 times anywhere in the
+    doc_id < 80 slice (overlapping + cross-document), with SA-interval
+    occurrence counts (operators/suffix.longest_repeats): n_occ = 1 +
+    adjacent pairs whose common prefix extends the candidate. Oracle
+    replays candidates and counts from the literal suffix strings."""
+    from metal_history_knowledge_graph_spark.operators.suffix import (
+        longest_repeats,
+    )
+
+    return longest_repeats(_suffix_docs(spark, sf_dir), min_len=8, k=15)
 
 
 def _suffix_base_cte() -> str:
@@ -6825,6 +6849,67 @@ def _suffix_array_oracle() -> str:
                     AS BIGINT) AS sa_rank,
                doc_id, pos
         FROM p ORDER BY sa_rank
+    """
+    )
+
+
+def _lcp_cte() -> str:
+    """Adjacent-pair LCP from the literal suffix strings: max k with
+    equal k-prefixes (prefix equality at k implies it at every j<k, so
+    max(k) IS the LCP). Ends with ``lcps(sa_rank, doc_id, pos, lcp,
+    suf)``."""
+    return (
+        _suffix_base_cte()
+        + """
+        , sa AS (
+            SELECT CAST(row_number() OVER (ORDER BY suf, doc_id, pos) - 1
+                        AS BIGINT) AS sa_rank,
+                   doc_id, pos, suf
+            FROM p
+        ), adj AS (
+            SELECT a.sa_rank, a.doc_id, a.pos, a.suf, b.suf AS prev_suf
+            FROM sa a LEFT JOIN sa b ON b.sa_rank = a.sa_rank - 1
+        ), lcps AS (
+            SELECT sa_rank, doc_id, pos,
+                   CAST(coalesce((
+                       SELECT max(k)
+                       FROM UNNEST(generate_series(1,
+                            least(length(suf), length(prev_suf)))) t(k)
+                       WHERE substr(suf, 1, CAST(k AS INT))
+                             = substr(prev_suf, 1, CAST(k AS INT))
+                   ), 0) AS BIGINT) AS lcp,
+                   suf
+            FROM adj
+        )
+    """
+    )
+
+
+def _lcp_oracle() -> str:
+    return _lcp_cte() + """
+        SELECT sa_rank, doc_id, pos, lcp FROM lcps ORDER BY sa_rank
+    """
+
+
+def _longest_repeats_oracle(min_len: int = 8, k: int = 15) -> str:
+    return (
+        _lcp_cte()
+        + f"""
+        , reps AS (
+            SELECT substr(suf, 1, CAST(lcp AS INT)) AS substring,
+                   lcp AS rep_len
+            FROM lcps WHERE lcp >= {min_len}
+        ), cand AS (
+            SELECT DISTINCT substring, rep_len FROM reps
+            ORDER BY rep_len DESC, substring LIMIT {k}
+        )
+        SELECT c.substring, c.rep_len,
+               CAST(count(*) + 1 AS BIGINT) AS n_occ
+        FROM cand c JOIN reps r
+          ON r.rep_len >= c.rep_len
+         AND substr(r.substring, 1, CAST(c.rep_len AS INT)) = c.substring
+        GROUP BY c.substring, c.rep_len
+        ORDER BY c.rep_len DESC, c.substring
     """
     )
 
@@ -6996,6 +7081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_pairs": q_winnow_pairs,
         "q_suffix_ranks": q_suffix_ranks,
         "q_suffix_array": q_suffix_array,
+        "q_lcp": q_lcp,
+        "q_longest_repeats": q_longest_repeats,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -9440,6 +9527,8 @@ def oracle_sql() -> dict[str, str]:
         "q_winnow_pairs": _winnow_pairs_oracle(),
         "q_suffix_ranks": _suffix_ranks_oracle(),
         "q_suffix_array": _suffix_array_oracle(),
+        "q_lcp": _lcp_oracle(),
+        "q_longest_repeats": _longest_repeats_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

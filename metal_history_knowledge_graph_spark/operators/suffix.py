@@ -75,22 +75,21 @@ def _global_dense_rank(keys: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
-def suffix_ranks(
+def _rank_levels(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_rounds: int = 64,
-) -> DataFrame:
-    """``(id, pos, suffix_rank)`` — the dense 0-based rank of the
-    suffix ``text[pos:]`` (1-based ``pos``) among ALL suffixes of all
-    documents; equal suffix strings share a rank. NULL/empty texts
-    contribute nothing.
-
-    ``max_rounds`` bounds the doubling loop (round r compares
-    prefixes of length 2^r, so 64 covers any text); the loop exits
-    early once ranks are all-distinct, which for natural text happens
-    around log2(longest repeated substring).
-    """
+) -> tuple[DataFrame, list[tuple[int, DataFrame]], int]:
+    """Shared prefix-doubling kernel: returns ``(final_ranks, levels,
+    max_len)`` where ``levels`` is the list of ``(h, ranks_h)`` rank
+    tables produced on the way — ``ranks_h`` dense-ranks every suffix
+    by its first ``h`` characters (whole string where shorter). The
+    levels are what :func:`lcp_adjacent` walks; plain
+    :func:`suffix_ranks` callers just take the final table. Each level
+    is an eagerly localCheckpoint-ed (id, pos, rank) table — log
+    maxlen copies of the position table, the standard space trade of
+    doubling-based LCP (kept per shard, never globally, at scale)."""
     chars = (
         df.filter(F.col(text_col).isNotNull() & (F.length(text_col) >= 1))
         .select(
@@ -121,10 +120,10 @@ def suffix_ranks(
     ).collect()[0]
     n = stats["n"]
     if n == 0:
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, pos int, suffix_rank long"
-        )
+        empty = df.sparkSession.createDataFrame([], "_id long, _pos int, _rank long")
+        return empty, [], 0
     max_len = stats["maxlen"]  # longest suffix = longest text
+    levels = [(1, r)]
     h = 1
     for _ in range(max_rounds):
         if h >= max_len:
@@ -154,6 +153,27 @@ def suffix_ranks(
             .localCheckpoint(eager=True)
         )
         h *= 2
+        levels.append((h, r))
+    return r, levels, max_len
+
+
+def suffix_ranks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """``(id, pos, suffix_rank)`` — the dense 0-based rank of the
+    suffix ``text[pos:]`` (1-based ``pos``) among ALL suffixes of all
+    documents; equal suffix strings share a rank. NULL/empty texts
+    contribute nothing.
+
+    ``max_rounds`` bounds the doubling loop (round r compares
+    prefixes of length 2^r, so 64 covers any text); the loop exits
+    early once ranks are all-distinct, which for natural text happens
+    around log2(longest repeated substring).
+    """
+    r, _, _ = _rank_levels(df, text_col, id_col, max_rounds)
     return r.select(
         F.col("_id").alias(id_col),
         F.col("_pos").cast("int").alias("pos"),
@@ -161,19 +181,10 @@ def suffix_ranks(
     )
 
 
-def suffix_array(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_rounds: int = 64,
-) -> DataFrame:
-    """The suffix array view of :func:`suffix_ranks`: rows ``(sa_rank,
-    id, pos)`` — position ``sa_rank`` in suffix order holds suffix
-    ``(id, pos)``. Where duplicate suffixes share a dense rank, the
-    tie is broken by ``(id, pos)`` so the array is a total order
-    (documented: a true SA over distinct suffixes; equal strings are
-    interchangeable)."""
-    ranks = suffix_ranks(df, text_col, id_col, max_rounds)
+def _sa_from_ranks(ranks: DataFrame, id_col: str) -> DataFrame:
+    """Total-order SA view from a ``(id, pos, suffix_rank)`` table —
+    the same two-phase distributed sort as ``_global_dense_rank`` but
+    with row_number (ties broken by (id, pos))."""
     w = Window.partitionBy("_pid").orderBy("suffix_rank", id_col, "pos")
     p = ranks.repartitionByRange("suffix_rank", id_col, "pos")
     local = (
@@ -199,4 +210,173 @@ def suffix_array(
         .select(
             (F.col("_off") + F.col("_lr") - 1).alias("sa_rank"), id_col, "pos"
         )
+    )
+
+
+def suffix_array(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """The suffix array view of :func:`suffix_ranks`: rows ``(sa_rank,
+    id, pos)`` — position ``sa_rank`` in suffix order holds suffix
+    ``(id, pos)``. Where duplicate suffixes share a dense rank, the
+    tie is broken by ``(id, pos)`` so the array is a total order
+    (documented: a true SA over distinct suffixes; equal strings are
+    interchangeable)."""
+    return _sa_from_ranks(suffix_ranks(df, text_col, id_col, max_rounds), id_col)
+
+
+def lcp_adjacent(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """The LCP array: ``(sa_rank, id, pos, lcp)`` where ``lcp`` is the
+    longest-common-prefix length between the suffix at ``sa_rank`` and
+    the one at ``sa_rank − 1`` (0 at ``sa_rank`` 0). This is the
+    structure exact-substring dedup (Lee et al. 2022) and longest-
+    repeat mining read: a substring occurs twice iff some adjacent LCP
+    covers it.
+
+    Distributed formulation: NOT Kasai (inherently sequential — walks
+    suffixes in text order carrying the previous LCP). Instead the
+    classic doubling LCP: keep every prefix-doubling rank level and,
+    per adjacent pair, walk the levels from the highest h downward —
+    equal level-h ranks at the current offsets mean the next h chars
+    match, so advance both offsets by h. O(log maxlen) broadcast-free
+    equi-joins against the level tables, one per level, each on 8-byte
+    (id, pos) keys; no string comparison anywhere. Where both
+    remainders are an identical string shorter than h the add
+    overshoots exactly once and dies (offsets move past the text end,
+    every later level sees NULL ranks), so capping by the remaining
+    suffix lengths restores exactness.
+    """
+    r, levels, _ = _rank_levels(df, text_col, id_col, max_rounds)
+    ranks = r.select(
+        F.col("_id").alias(id_col),
+        F.col("_pos").cast("int").alias("pos"),
+        F.col("_rank").cast("long").alias("suffix_rank"),
+    )
+    sa = _sa_from_ranks(ranks, id_col).localCheckpoint(eager=True)
+    lens = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_lid"), F.length(text_col).alias("_len")
+    )
+    prev = sa.select(
+        (F.col("sa_rank") + 1).alias("sa_rank"),
+        F.col(id_col).alias("_bid"),
+        F.col("pos").alias("_bpos"),
+    )
+    pairs = (
+        sa.join(prev, "sa_rank", "left")
+        .join(lens.withColumnRenamed("_lid", id_col), id_col, "left")
+        .withColumnRenamed("_len", "_alen")
+        .join(
+            lens.withColumnRenamed("_lid", "_bid").withColumnRenamed("_len", "_blen"),
+            "_bid",
+            "left",
+        )
+        .withColumn("_lcp", F.lit(0).cast("long"))
+    )
+    for h, rh in sorted(levels, key=lambda t: -t[0]):
+        ra = rh.select(
+            F.col("_id").alias(id_col),
+            F.col("_pos").alias("_apos_h"),
+            F.col("_rank").alias("_ra"),
+        )
+        rb = rh.select(
+            F.col("_id").alias("_bid"),
+            F.col("_pos").alias("_bpos_h"),
+            F.col("_rank").alias("_rb"),
+        )
+        pairs = (
+            pairs.withColumn("_apos_h", (F.col("pos") + F.col("_lcp")).cast("int"))
+            .withColumn("_bpos_h", (F.col("_bpos") + F.col("_lcp")).cast("int"))
+            .join(ra, [id_col, "_apos_h"], "left")
+            .join(rb, ["_bid", "_bpos_h"], "left")
+            # NULL rank (offset past text end, or sa_rank 0's missing
+            # predecessor) never equals anything → no add
+            .withColumn(
+                "_lcp",
+                F.when(
+                    F.col("_ra") == F.col("_rb"), F.col("_lcp") + F.lit(h)
+                ).otherwise(F.col("_lcp")),
+            )
+            .drop("_apos_h", "_bpos_h", "_ra", "_rb")
+            .localCheckpoint(eager=True)
+        )
+    return pairs.select(
+        "sa_rank",
+        id_col,
+        "pos",
+        F.when(F.col("_bid").isNull(), F.lit(0))
+        .otherwise(
+            F.least(
+                F.col("_lcp"),
+                F.col("_alen") - F.col("pos") + 1,
+                F.col("_blen") - F.col("_bpos") + 1,
+            )
+        )
+        .cast("long")
+        .alias("lcp"),
+    )
+
+
+def longest_repeats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 10,
+    k: int = 20,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Top-``k`` longest substrings that occur ≥ 2 times anywhere in
+    the collection (overlapping and cross-document occurrences both
+    count): ``(substring, rep_len, n_occ)``, ordered by ``rep_len``
+    desc then ``substring``. Only maximal-by-this-pair strings are
+    candidates (each adjacent SA pair contributes its full common
+    prefix), the classic SA longest-repeat readout.
+
+    ``n_occ`` is counted the SA way: all suffixes sharing a prefix are
+    contiguous in suffix order, so the occurrence count of a candidate
+    ``s`` is 1 + the number of adjacent pairs whose LCP ≥ len(s) and
+    whose common prefix starts with ``s`` — a broadcast join of the k
+    candidates against the LCP rows, never a rescan of the corpus."""
+    lcp = lcp_adjacent(df, text_col, id_col, max_rounds).filter(
+        F.col("lcp") >= min_len
+    )
+    texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_t"))
+    reps = (
+        lcp.join(texts, lcp[id_col] == texts["_tid"])
+        .select(
+            F.expr(f"substring(_t, pos, lcp)").alias("substring"),
+            F.col("lcp").alias("rep_len"),
+        )
+        .localCheckpoint(eager=True)  # feeds candidates AND the count join
+    )
+    cand = (
+        reps.distinct()
+        .orderBy(F.desc("rep_len"), "substring")
+        .limit(k)
+    )
+    counts = (
+        reps.join(
+            F.broadcast(cand.select(
+                F.col("substring").alias("_s"), F.col("rep_len").alias("_l")
+            )),
+            (F.col("rep_len") >= F.col("_l"))
+            & (F.col("substring").substr(F.lit(1), F.col("_l")) == F.col("_s")),
+        )
+        .groupBy("_s", "_l")
+        .agg((F.count(F.lit(1)) + 1).alias("n_occ"))
+    )
+    return (
+        cand.join(
+            counts,
+            (cand["substring"] == counts["_s"]) & (cand["rep_len"] == counts["_l"]),
+        )
+        .select("substring", "rep_len", "n_occ")
+        .orderBy(F.desc("rep_len"), "substring")
     )

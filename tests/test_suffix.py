@@ -8,6 +8,8 @@ suffix_array total-order view."""
 import random
 
 from metal_history_knowledge_graph_spark.operators.suffix import (
+    lcp_adjacent,
+    longest_repeats,
     suffix_array,
     suffix_ranks,
 )
@@ -67,6 +69,78 @@ def test_partition_invariance(spark):
 def test_empty_and_null_docs(spark):
     rows = [(0, ""), (1, None), (2, "ab")]
     assert _got(spark, rows) == ref_ranks([(2, "ab")])
+
+
+def _lcp(a, b):
+    n = 0
+    for x, y in zip(a, b):
+        if x != y:
+            break
+        n += 1
+    return n
+
+
+def ref_lcp_rows(rows):
+    sufs = sorted(
+        (t[p:], i, p + 1) for i, t in rows for p in range(len(t or ""))
+    )
+    out = set()
+    for r, (s, i, p) in enumerate(sufs):
+        out.add((r, i, p, 0 if r == 0 else _lcp(s, sufs[r - 1][0])))
+    return out
+
+
+def test_lcp_adjacent_matches_reference(spark):
+    rng = random.Random(11)
+    rows = [
+        (i, "".join(rng.choice("ab") for _ in range(rng.randint(1, 40))))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.sa_rank, r.doc_id, r.pos, r.lcp)
+        for r in lcp_adjacent(df).collect()
+    }
+    assert got == ref_lcp_rows(rows)
+
+
+def test_lcp_identical_docs_and_short_strings(spark):
+    # identical whole docs exercise the overshoot-then-cap path: the
+    # level-h add fires on strings shorter than h and the remaining-
+    # length cap must restore the exact LCP
+    rows = [(0, "ab"), (1, "ab"), (2, "abab"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.sa_rank, r.doc_id, r.pos, r.lcp)
+        for r in lcp_adjacent(df).collect()
+    }
+    assert got == ref_lcp_rows(rows)
+
+
+def test_longest_repeats_counts_overlapping(spark):
+    # "aaaa" contains "aa" 3 times (overlapping) plus one in doc 1
+    rows = [(0, "aaaa"), (1, "zaaz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.substring, r.rep_len, r.n_occ)
+        for r in longest_repeats(df, min_len=2, k=5).collect()
+    }
+    # repeats >= 2 chars: "aaa" occurs 2x (doc0 pos1,2), "aa" occurs
+    # 3x in doc0 + 1x in doc1 = 4
+    assert ("aaa", 3, 2) in got
+    assert ("aa", 2, 4) in got
+
+
+def test_longest_repeats_cross_doc(spark):
+    rows = [
+        (0, "the quick brown fox"),
+        (1, "a quick brown dog"),
+        (2, "no overlap here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = longest_repeats(df, min_len=5, k=3).collect()
+    assert top[0].substring == " quick brown "
+    assert top[0].rep_len == 13 and top[0].n_occ == 2
 
 
 def test_suffix_array_total_order(spark):

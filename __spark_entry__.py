@@ -6781,6 +6781,97 @@ def q_suffix_array(spark, sf_dir):
     return suffix_array(_suffix_docs(spark, sf_dir)).orderBy("sa_rank")
 
 
+_HRW_SHARDS = [f"crawler-{i}" for i in range(5)]
+
+
+def q_hrw_assign(spark, sf_dir):
+    """Rendezvous (HRW) host→crawler-shard assignment
+    (operators/shard.hrw_assign — Thaler & Ravishankar 1996, the
+    coordination-free host partitioner of distributed crawlers) over
+    the distinct document sources and a 5-shard fleet, plus the
+    weighted per-shard load rollup joined on. Oracle replays the
+    argmax over the same md5-based 60-bit scores with the same
+    (score, shard) tie-break."""
+    from metal_history_knowledge_graph_spark.operators.shard import hrw_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hrw_assign(docs, "source", _HRW_SHARDS, "shard")
+        .withColumnRenamed("source", "host")
+        .orderBy("host")
+    )
+
+
+def q_hrw_rebalance(spark, sf_dir):
+    """Fleet-resize diff (operators/shard.shard_moves): hosts whose
+    HRW assignment changes when crawler-5 joins the fleet. The HRW
+    minimal-movement guarantee makes every row's new_shard the added
+    shard — the oracle recomputes both argmaxes and diffs, so the
+    property itself is what the hash comparison certifies."""
+    from metal_history_knowledge_graph_spark.operators.shard import shard_moves
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        shard_moves(docs, "source", _HRW_SHARDS, _HRW_SHARDS + ["crawler-5"])
+        .withColumnRenamed("source", "host")
+        .orderBy("host")
+    )
+
+
+def _hrw_cte(shards: list[str]) -> str:
+    lst = ", ".join(f"'{s}'" for s in shards)
+    return f"""
+        hosts AS (
+            SELECT DISTINCT source AS host FROM documents
+            WHERE source IS NOT NULL
+        ), shards AS (
+            SELECT unnest([{lst}]) AS shard
+        ), scores AS (
+            SELECT host, shard,
+                   CAST(('0x' || substr(md5('hrw:' || shard || '|' || host),
+                        1, 15))::UBIGINT AS BIGINT) AS score
+            FROM hosts, shards
+        ), ranked AS (
+            SELECT host, shard,
+                   row_number() OVER (PARTITION BY host
+                                      ORDER BY score DESC, shard DESC) AS rn
+            FROM scores
+        )
+    """
+
+
+def _hrw_assign_oracle() -> str:
+    return (
+        "WITH "
+        + _hrw_cte(_HRW_SHARDS)
+        + """
+        SELECT host, shard FROM ranked WHERE rn = 1 ORDER BY host
+    """
+    )
+
+
+def _hrw_rebalance_oracle() -> str:
+    old = _hrw_cte(_HRW_SHARDS)
+    new = _hrw_cte(_HRW_SHARDS + ["crawler-5"]).replace("hosts AS", "hosts2 AS").replace(
+        "shards AS", "shards2 AS"
+    ).replace("scores AS", "scores2 AS").replace("ranked AS", "ranked2 AS").replace(
+        "FROM hosts, shards", "FROM hosts2, shards2"
+    ).replace("FROM scores", "FROM scores2")
+    return (
+        "WITH "
+        + old
+        + ", "
+        + new
+        + """
+        SELECT a.host, a.shard AS old_shard, b.shard AS new_shard
+        FROM (SELECT host, shard FROM ranked WHERE rn = 1) a
+        JOIN (SELECT host, shard FROM ranked2 WHERE rn = 1) b USING (host)
+        WHERE a.shard <> b.shard
+        ORDER BY host
+    """
+    )
+
+
 def _suffix_docs(spark, sf_dir):
     return (
         _t(spark, sf_dir, "documents")
@@ -7083,6 +7174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_suffix_array": q_suffix_array,
         "q_lcp": q_lcp,
         "q_longest_repeats": q_longest_repeats,
+        "q_hrw_assign": q_hrw_assign,
+        "q_hrw_rebalance": q_hrw_rebalance,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -9529,6 +9622,8 @@ def oracle_sql() -> dict[str, str]:
         "q_suffix_array": _suffix_array_oracle(),
         "q_lcp": _lcp_oracle(),
         "q_longest_repeats": _longest_repeats_oracle(),
+        "q_hrw_assign": _hrw_assign_oracle(),
+        "q_hrw_rebalance": _hrw_rebalance_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

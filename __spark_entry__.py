@@ -6781,6 +6781,69 @@ def q_suffix_array(spark, sf_dir):
     return suffix_array(_suffix_docs(spark, sf_dir)).orderBy("sa_rank")
 
 
+def q_cluster_eval(spark, sf_dir):
+    """Dedup-clustering quality scorecard (operators/cluster_eval.py):
+    pair-counting TP/FP/FN/TN + pairwise P/R + B-cubed P/R, all in
+    exact integer ppm, comparing a coarse prefix-40 text clustering
+    (pred) against exact-duplicate gold groups (md5 of normalized
+    text) over the documents table. The oracle replays the full
+    contingency-marginal arithmetic (C(n,2) sums, per-cell integer-DIV
+    B³) in one statement — float-free on both sides."""
+    from metal_history_knowledge_graph_spark.operators.cluster_eval import (
+        cluster_eval,
+    )
+
+    norm = F.lower(F.trim(F.col("text")))
+    labeled = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        norm.substr(1, 40).alias("pred_cluster"),
+        F.md5(norm).alias("gold_cluster"),
+    )
+    return cluster_eval(labeled)
+
+
+def _cluster_eval_oracle() -> str:
+    return """
+        WITH it0 AS (
+            SELECT doc_id,
+                   substr(lower(trim(text)), 1, 40) AS p,
+                   md5(lower(trim(text))) AS g
+            FROM documents
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        ), it AS (
+            SELECT doc_id, min(p) AS p, min(g) AS g FROM it0 GROUP BY doc_id
+        ), cells AS (
+            SELECT p, g, count(*) AS n FROM it GROUP BY p, g
+        ), np AS (SELECT p, count(*) AS np FROM it GROUP BY p),
+        ng AS (SELECT g, count(*) AS ng FROM it GROUP BY g),
+        pairs AS (
+            SELECT (SELECT sum(n * (n - 1) // 2) FROM cells) AS tp,
+                   (SELECT sum(np * (np - 1) // 2) FROM np) AS pp,
+                   (SELECT sum(ng * (ng - 1) // 2) FROM ng) AS gp,
+                   (SELECT count(*) * (count(*) - 1) // 2 FROM it) AS tot
+        ), b3 AS (
+            SELECT sum(c.n) AS n_items,
+                   sum(c.n * (c.n * 1000000 // np.np)) // sum(c.n) AS b3p,
+                   sum(c.n * (c.n * 1000000 // ng.ng)) // sum(c.n) AS b3r
+            FROM cells c JOIN np USING (p) JOIN ng USING (g)
+        )
+        SELECT CAST(b3.n_items AS BIGINT) AS n_items,
+               CAST(tp AS BIGINT) AS tp,
+               CAST(pp - tp AS BIGINT) AS fp,
+               CAST(gp - tp AS BIGINT) AS fn,
+               CAST(tot - pp - gp + tp AS BIGINT) AS tn,
+               CAST(CASE WHEN pp = 0 THEN 0
+                    ELSE tp * 1000000 // pp END AS BIGINT)
+                   AS pair_precision_ppm,
+               CAST(CASE WHEN gp = 0 THEN 0
+                    ELSE tp * 1000000 // gp END AS BIGINT)
+                   AS pair_recall_ppm,
+               CAST(b3p AS BIGINT) AS bcubed_precision_ppm,
+               CAST(b3r AS BIGINT) AS bcubed_recall_ppm
+        FROM pairs, b3
+    """
+
+
 _HRW_SHARDS = [f"crawler-{i}" for i in range(5)]
 
 
@@ -7176,6 +7239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_longest_repeats": q_longest_repeats,
         "q_hrw_assign": q_hrw_assign,
         "q_hrw_rebalance": q_hrw_rebalance,
+        "q_cluster_eval": q_cluster_eval,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -9624,6 +9688,7 @@ def oracle_sql() -> dict[str, str]:
         "q_longest_repeats": _longest_repeats_oracle(),
         "q_hrw_assign": _hrw_assign_oracle(),
         "q_hrw_rebalance": _hrw_rebalance_oracle(),
+        "q_cluster_eval": _cluster_eval_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

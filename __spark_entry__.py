@@ -6781,6 +6781,98 @@ def q_suffix_array(spark, sf_dir):
     return suffix_array(_suffix_docs(spark, sf_dir)).orderBy("sa_rank")
 
 
+def q_url_templates(spark, sf_dir):
+    """URL template mining (operators/urltemplates.py): five
+    deterministic messy URL shapes per document (numeric article ids
+    with hex slugs, ported tag pages, UUID profile paths, query+
+    fragment search URLs, empty-path uppercase hosts) → per
+    (host, template) rollup with totals, distincts and example. The
+    oracle replays the synthesis AND the whole generalization chain
+    (UUID → hex → digits → query values, global flags) relationally."""
+    from metal_history_knowledge_graph_spark.operators.urltemplates import (
+        url_template_rollup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    h = F.md5(F.col("text"))
+    base = F.concat(F.lit("http://"), F.col("source"))
+    uuid = F.concat_ws(
+        "-",
+        h.substr(1, 8), h.substr(9, 4), h.substr(13, 4), h.substr(17, 4),
+        h.substr(21, 12),
+    )
+    url = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(base, F.lit("/article/"), did, F.lit("-"),
+                        h.substr(1, 12)))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(base, F.lit(":8080/tag/"), F.col("lang"),
+                       F.lit("/page/"), (F.col("doc_id") % 7).cast("string")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(base, F.lit("/u/"), uuid))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(base, F.lit("/s?q="), F.col("lang"), F.lit("&id="),
+                       did, F.lit("#frag")))
+        .otherwise(F.concat(F.lit("http://"), F.upper(F.col("source"))))
+    )
+    urls = docs.select(url.alias("url"))
+    return url_template_rollup(urls).orderBy("host", "template")
+
+
+def _url_templates_oracle() -> str:
+    return """
+        WITH u AS (
+            SELECT CASE doc_id % 5
+                WHEN 0 THEN 'http://' || source || '/article/' || doc_id
+                            || '-' || substr(md5(text), 1, 12)
+                WHEN 1 THEN 'http://' || source || ':8080/tag/' || lang
+                            || '/page/' || (doc_id % 7)
+                WHEN 2 THEN 'http://' || source || '/u/'
+                            || substr(md5(text), 1, 8) || '-'
+                            || substr(md5(text), 9, 4) || '-'
+                            || substr(md5(text), 13, 4) || '-'
+                            || substr(md5(text), 17, 4) || '-'
+                            || substr(md5(text), 21, 12)
+                WHEN 3 THEN 'http://' || source || '/s?q=' || lang
+                            || '&id=' || doc_id || '#frag'
+                ELSE 'http://' || upper(source) END AS url
+            FROM documents
+        ), parts AS (
+            SELECT url,
+                   regexp_replace(
+                       lower(regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+                       ':[0-9]+$', '') AS host,
+                   regexp_replace(regexp_replace(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+                       '#.*$', '') AS rest
+            FROM u
+        ), tmpl AS (
+            SELECT url, host,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           CASE WHEN length(rest) = 0 THEN '/' ELSE rest END,
+                           '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+                           '{U}', 'g'),
+                         '[0-9a-fA-F]{8,}', '{H}', 'g'),
+                       '[0-9]+', '{N}', 'g'),
+                     '=[^&]*', '={V}', 'g') AS template
+            FROM parts
+        )
+        SELECT host, template,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_distinct,
+               min(url) AS example_url
+        FROM tmpl
+        WHERE host IS NOT NULL AND length(host) > 0
+        GROUP BY host, template
+        ORDER BY host, template
+    """
+
+
 def q_cluster_eval(spark, sf_dir):
     """Dedup-clustering quality scorecard (operators/cluster_eval.py):
     pair-counting TP/FP/FN/TN + pairwise P/R + B-cubed P/R, all in
@@ -7240,6 +7332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hrw_assign": q_hrw_assign,
         "q_hrw_rebalance": q_hrw_rebalance,
         "q_cluster_eval": q_cluster_eval,
+        "q_url_templates": q_url_templates,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -9689,6 +9782,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hrw_assign": _hrw_assign_oracle(),
         "q_hrw_rebalance": _hrw_rebalance_oracle(),
         "q_cluster_eval": _cluster_eval_oracle(),
+        "q_url_templates": _url_templates_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

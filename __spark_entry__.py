@@ -6781,6 +6781,127 @@ def q_suffix_array(spark, sf_dir):
     return suffix_array(_suffix_docs(spark, sf_dir)).orderBy("sa_rank")
 
 
+_KN_LOGTAB_PATH = "/tmp/kg_kn_logtab.parquet"
+
+
+def q_kn_score(spark, sf_dir):
+    """KN-bigram document quality gate (ngram_lm.kn_score_docs — the
+    bigram upgrade of the CCNet unigram filter q_lm_score): train
+    interpolated Kneser-Ney on the even-doc_id half, score EVERY
+    document by average per-bigram NLL in integer micro-nats through
+    the 4-rung integer backoff ladder (seen pair → λ·p_cont → p_cont
+    → floor), gate at 12.0 nats. Trusted-export decision oracle: Spark
+    exports only the (p_micro → nll_micro) log FUNCTION (ln pinned
+    against math.log in pytest); DuckDB independently re-derives the
+    whole KN table, every event's integer probability and the per-doc
+    sums, then joins the exported log — bit-identical BIGINTs. NOTE
+    the export means the oracle must run after the query in the same
+    process at the same sf (driver + parity both do)."""
+    from metal_history_knowledge_graph_spark.operators.ngram_lm import (
+        bigram_kn,
+        kn_score_docs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = bigram_kn(docs.filter(F.col("doc_id") % 2 == 0))
+    scored, logtab = kn_score_docs(docs, lm, keep_below_micro=12_000_000)
+    logtab.coalesce(1).write.mode("overwrite").parquet(_KN_LOGTAB_PATH)
+    return scored.orderBy("doc_id")
+
+
+def _kn_score_oracle() -> str:
+    from metal_history_knowledge_graph_spark.operators.ngram_lm import (
+        FLOOR_NLL_MICRO,
+    )
+
+    toks = (
+        r"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),"
+        r" x -> length(x) > 0)"
+    )
+    return f"""
+        WITH logtab AS (
+            SELECT * FROM '{_KN_LOGTAB_PATH}/*.parquet'
+        ), toksed AS (
+            SELECT {toks} AS t FROM documents WHERE doc_id % 2 = 0
+        ), bgl AS (
+            SELECT list_transform(
+                range(1, len(t)), i -> {{'w1': t[i], 'w2': t[i + 1]}}
+            ) AS bgs
+            FROM toksed WHERE len(t) >= 2
+        ), bg AS (
+            SELECT b.w1 AS w1, b.w2 AS w2
+            FROM (SELECT unnest(bgs) AS b FROM bgl)
+        ), c12 AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM bg GROUP BY w1, w2
+        ), prefix AS (
+            SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS n1_fwd
+            FROM c12 GROUP BY w1
+        ), cont AS (
+            SELECT w2, CAST(count(*) AS BIGINT) AS n1_bwd
+            FROM c12 GROUP BY w2
+        ), tot AS (SELECT CAST(count(*) AS BIGINT) AS nbt FROM c12),
+        lam AS (
+            SELECT w1, (750000 * n1_fwd) // c1 AS lambda_micro FROM prefix
+        ), pc AS (
+            SELECT w2, (1000000 * n1_bwd) // nbt AS pcont_micro
+            FROM cont CROSS JOIN tot
+        ), pkn AS (
+            SELECT c12.w1, c12.w2,
+                   (1000000 * c12.c12 - 750000) // p.c1
+                   + (((750000 * p.n1_fwd) // p.c1)
+                      * ((1000000 * c.n1_bwd) // nbt)) // 1000000
+                       AS pkn_micro
+            FROM c12 JOIN prefix p USING (w1) JOIN cont c USING (w2)
+            CROSS JOIN tot
+        ), stoksed AS (
+            SELECT doc_id, {toks} AS t FROM documents
+            WHERE text IS NOT NULL
+        ), sbg AS (
+            SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS b
+                FROM stoksed WHERE len(t) >= 2
+            )
+        ), ev AS (
+            SELECT doc_id,
+                   greatest(coalesce(
+                       pkn.pkn_micro,
+                       CASE WHEN lam.lambda_micro IS NOT NULL
+                                 AND pc.pcont_micro IS NOT NULL
+                            THEN (lam.lambda_micro * pc.pcont_micro)
+                                 // 1000000 END,
+                       pc.pcont_micro,
+                       1), 1) AS p_micro
+            FROM sbg
+            LEFT JOIN pkn ON sbg.w1 = pkn.w1 AND sbg.w2 = pkn.w2
+            LEFT JOIN lam ON sbg.w1 = lam.w1
+            LEFT JOIN pc ON sbg.w2 = pc.w2
+        ), per AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS kn_bigrams,
+                   CAST(sum(l.nll_micro) AS BIGINT) AS nll_sum_micro
+            FROM ev JOIN logtab l USING (p_micro)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(per.kn_bigrams, 0) AS BIGINT) AS kn_bigrams,
+               CAST(coalesce(per.nll_sum_micro, 0) AS BIGINT)
+                   AS nll_sum_micro,
+               CAST(CASE WHEN coalesce(per.kn_bigrams, 0) > 0
+                    THEN per.nll_sum_micro // per.kn_bigrams
+                    ELSE {FLOOR_NLL_MICRO} END AS BIGINT) AS avg_nll_micro,
+               (CASE WHEN coalesce(per.kn_bigrams, 0) > 0
+                     THEN per.nll_sum_micro // per.kn_bigrams
+                     ELSE {FLOOR_NLL_MICRO} END) <= 12000000 AS kn_keep
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN per USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
 def q_url_templates(spark, sf_dir):
     """URL template mining (operators/urltemplates.py): five
     deterministic messy URL shapes per document (numeric article ids
@@ -7333,6 +7454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hrw_rebalance": q_hrw_rebalance,
         "q_cluster_eval": q_cluster_eval,
         "q_url_templates": q_url_templates,
+        "q_kn_score": q_kn_score,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -9783,6 +9905,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hrw_rebalance": _hrw_rebalance_oracle(),
         "q_cluster_eval": _cluster_eval_oracle(),
         "q_url_templates": _url_templates_oracle(),
+        "q_kn_score": _kn_score_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

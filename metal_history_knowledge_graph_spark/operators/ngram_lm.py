@@ -119,6 +119,151 @@ def bigram_kn(
     )
 
 
+#: nll_micro of the probability floor (p = 1 micro = 1e-6):
+#: round(-ln(1e-6)·1e6). Also the avg for docs with no bigrams.
+FLOOR_NLL_MICRO = 13_815_511
+
+
+def kn_event_probs(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount_micro: int = D_MICRO,
+) -> DataFrame:
+    """Per-bigram-event KN probability (micro-units) for every
+    document in ``df`` under a trained ``lm`` (:func:`bigram_kn`
+    output): ``(id, p_micro)`` rows, one per bigram position.
+
+    Backoff ladder (all integer, every rung replayable in SQL):
+
+    * seen (w1, w2)      → ``pkn_micro`` from the LM row;
+    * unseen pair, known w1 & w2 → ``λ(w1) · p_cont(w2) div 1e6``
+      (the interpolation mass the discount reserved);
+    * unknown w1, known w2 → ``p_cont(w2)``;
+    * unknown w2 → the floor (1 micro).
+
+    Probabilities are clamped to ≥ 1 micro (a floor-divide rung can
+    hit 0 on huge prefix masses; ln needs positivity). Scale: events
+    shuffle once on (w1, w2) against the distinct-bigram-bounded LM,
+    then once on w1 / w2 against the two vocabulary-sized marginal
+    tables — AQE broadcasts the marginals when small."""
+    d = int(discount_micro)
+    prefix = (
+        lm.groupBy("w1")
+        .agg(
+            F.first("c1").alias("c1"), F.first("n1_fwd").alias("n1_fwd")
+        )
+        .select("w1", F.expr(f"({d} * n1_fwd) div c1").alias("lambda_micro"))
+    )
+    cont = lm.groupBy("w2").agg(F.first("n1_bwd").alias("n1_bwd"))
+    nbt = lm.agg(F.count(F.lit(1)).cast("long").alias("nbt"))
+    cont = cont.crossJoin(F.broadcast(nbt)).select(
+        "w2", F.expr(f"({MICRO} * n1_bwd) div nbt").alias("pcont_micro")
+    )
+    events = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("_id", "bg.w1", "bg.w2")
+    )
+    return (
+        events.join(lm.select("w1", "w2", "pkn_micro"), ["w1", "w2"], "left")
+        .join(prefix, "w1", "left")
+        .join(cont, "w2", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.greatest(
+                F.coalesce(
+                    F.col("pkn_micro"),
+                    F.when(
+                        F.col("lambda_micro").isNotNull()
+                        & F.col("pcont_micro").isNotNull(),
+                        F.expr(f"(lambda_micro * pcont_micro) div {MICRO}"),
+                    ),
+                    F.col("pcont_micro"),
+                    F.lit(1).cast("long"),
+                ),
+                F.lit(1).cast("long"),
+            ).alias("p_micro"),
+        )
+    )
+
+
+def kn_log_table(events: DataFrame) -> DataFrame:
+    """``(p_micro, nll_micro)`` over the DISTINCT event probabilities:
+    ``nll_micro = round(-ln(p_micro/1e6)·1e6)``. The ln is evaluated
+    once per distinct value, in Spark — the exported log *function* a
+    SQL oracle joins instead of re-deriving transcendentals
+    (lm_score.py trusted-export pattern). ≤ 1e6 rows by construction."""
+    return (
+        events.select("p_micro")
+        .distinct()
+        .withColumn(
+            "nll_micro",
+            F.round(-F.log(F.col("p_micro") / F.lit(float(MICRO))) * MICRO)
+            .cast("long"),
+        )
+    )
+
+
+def kn_score_docs(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount_micro: int = D_MICRO,
+    keep_below_micro: int = 12_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """CCNet-style quality gate under the KN bigram LM: score every
+    document by average per-bigram NLL (integer micro-nats) and flag
+    ``kn_keep = avg ≤ keep_below_micro``. Documents with < 2 tokens
+    score the floor NLL (maximally surprising). Returns ``(scored,
+    log_table)`` — the log table is what an external replayer needs.
+    """
+    events = kn_event_probs(
+        df, lm, text_col, id_col, discount_micro
+    ).localCheckpoint(eager=True)  # feeds the log table AND the per-doc agg
+    logtab = kn_log_table(events).localCheckpoint(eager=True)
+    per = (
+        events.join(logtab, "p_micro")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kn_bigrams"),
+            F.sum("nll_micro").cast("long").alias("nll_sum_micro"),
+        )
+    )
+    scored = (
+        df.select(id_col)
+        .distinct()
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("kn_bigrams", F.lit(0).cast("long")).alias("kn_bigrams"),
+            F.coalesce("nll_sum_micro", F.lit(0).cast("long")).alias(
+                "nll_sum_micro"
+            ),
+            F.when(
+                F.col("kn_bigrams") > 0,
+                F.expr("nll_sum_micro div kn_bigrams"),
+            )
+            .otherwise(F.lit(FLOOR_NLL_MICRO).cast("long"))
+            .alias("avg_nll_micro"),
+        )
+        .withColumn("kn_keep", F.col("avg_nll_micro") <= F.lit(keep_below_micro))
+    )
+    return scored, logtab
+
+
 def pmi_collocations(
     df: DataFrame,
     text_col: str = "text",

@@ -15,8 +15,11 @@ from metal_history_knowledge_graph_spark.operators.keywords import (
 )
 from metal_history_knowledge_graph_spark.operators.ngram_lm import (
     D_MICRO,
+    FLOOR_NLL_MICRO,
     bigram_kn,
     bigram_pairs,
+    kn_event_probs,
+    kn_score_docs,
 )
 
 DOCS = [
@@ -107,6 +110,89 @@ def test_kn_exact_python_replay(spark):
     )
     lam = (D_MICRO * fwd[a]) // c1[a]
     assert MICRO - fwd[a] - 1 <= term1_mass + lam <= MICRO
+
+
+def _py_kn_model(train_rows):
+    toks = [t.split() for _, t in train_rows if t]
+    bgs = [(t[i], t[i + 1]) for t in toks for i in range(len(t) - 1)]
+    c12, c1, fwd, bwd = {}, {}, {}, {}
+    for a, b in bgs:
+        c12[(a, b)] = c12.get((a, b), 0) + 1
+    for (a, b), c in c12.items():
+        c1[a] = c1.get(a, 0) + c
+        fwd[a] = fwd.get(a, 0) + 1
+        bwd[b] = bwd.get(b, 0) + 1
+    nbt = len(c12)
+    return c12, c1, fwd, bwd, nbt
+
+
+def _py_event_p(model, a, b):
+    c12, c1, fwd, bwd, nbt = model
+    pcont = (MICRO * bwd[b]) // nbt if b in bwd else None
+    if (a, b) in c12:
+        p = (MICRO * c12[(a, b)] - D_MICRO) // c1[a] + (
+            ((D_MICRO * fwd[a]) // c1[a]) * pcont
+        ) // MICRO
+    elif a in c1 and pcont is not None:
+        p = (((D_MICRO * fwd[a]) // c1[a]) * pcont) // MICRO
+    elif pcont is not None:
+        p = pcont
+    else:
+        p = 1
+    return max(p, 1)
+
+
+SCORE_DOCS = DOCS + [
+    (4, "the cat sat"),        # all bigrams seen
+    (5, "dog sat on mat"),     # unseen pairs of known words
+    (6, "zebra cat runs"),     # unknown w1 and unknown w2 paths
+    (7, "qq"),                 # single token: floor average
+]
+
+
+def test_kn_event_probs_python_replay(spark):
+    train = spark.createDataFrame(DOCS, "doc_id long, text string")
+    lm = bigram_kn(train)
+    score = spark.createDataFrame(SCORE_DOCS, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.p_micro)
+        for r in kn_event_probs(score, lm).collect()
+    )
+    model = _py_kn_model(DOCS)
+    want = []
+    for i, t in SCORE_DOCS:
+        w = t.split()
+        for j in range(len(w) - 1):
+            want.append((i, _py_event_p(model, w[j], w[j + 1])))
+    assert got == sorted(want)
+
+
+def test_kn_score_docs_and_log_table(spark):
+    train = spark.createDataFrame(DOCS, "doc_id long, text string")
+    lm = bigram_kn(train)
+    score = spark.createDataFrame(SCORE_DOCS, "doc_id long, text string")
+    scored, logtab = kn_score_docs(score, lm, keep_below_micro=12_000_000)
+    tab = {r.p_micro: r.nll_micro for r in logtab.collect()}
+    # log table pinned against math.log with HALF_UP rounding
+    for p, nll in tab.items():
+        assert nll == math.floor(-math.log(p / MICRO) * MICRO + 0.5), p
+    model = _py_kn_model(DOCS)
+    got = {r.doc_id: r for r in scored.collect()}
+    assert set(got) == {i for i, _ in SCORE_DOCS}
+    for i, t in SCORE_DOCS:
+        w = t.split()
+        ps = [_py_event_p(model, w[j], w[j + 1]) for j in range(len(w) - 1)]
+        r = got[i]
+        assert r.kn_bigrams == len(ps)
+        want_sum = sum(tab[p] for p in ps)
+        assert r.nll_sum_micro == want_sum
+        if ps:
+            assert r.avg_nll_micro == want_sum // len(ps)
+        else:
+            assert r.avg_nll_micro == FLOOR_NLL_MICRO
+        assert r.kn_keep == (r.avg_nll_micro <= 12_000_000)
+    # seen-bigram doc scores far better than the unknown-word doc
+    assert got[4].avg_nll_micro < got[6].avg_nll_micro
 
 
 def test_kn_discount_guard(spark):

@@ -6781,6 +6781,138 @@ def q_suffix_array(spark, sf_dir):
     return suffix_array(_suffix_docs(spark, sf_dir)).orderBy("sa_rank")
 
 
+_MIS_ROUNDS = 16
+
+
+def q_mis(spark, sf_dir):
+    """Luby maximal independent set (operators/mis.py — deterministic
+    md5 priorities, the distributed symmetric-breaking kernel) over a
+    planted arithmetic conflict graph on doc_ids < 300 (edges d→(2d+3)
+    mod 300 and d→(3d+7) mod 300, symmetrized). The oracle unrolls the
+    SAME rounds as chained CTEs; luby_mis raises rather than return a
+    partial set if the bound is hit, so the hash compare certifies the
+    full round trajectory, independence and maximality."""
+    from metal_history_knowledge_graph_spark.operators.mis import luby_mis
+
+    nodes = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(F.col("doc_id").alias("node"))
+    )
+    e = nodes.select(
+        F.col("node").alias("src"),
+        ((F.col("node") * 2 + 3) % 300).alias("dst"),
+    ).unionByName(
+        nodes.select(
+            F.col("node").alias("src"),
+            ((F.col("node") * 3 + 7) % 300).alias("dst"),
+        )
+    )
+    return luby_mis(e, nodes=nodes, max_rounds=_MIS_ROUNDS).orderBy("node")
+
+
+def _mis_oracle() -> str:
+    parts = [
+        """
+        WITH nodes AS (
+            SELECT doc_id AS node FROM documents WHERE doc_id < 300
+        ), e0 AS (
+            SELECT node AS a, (2 * node + 3) % 300 AS b FROM nodes
+            UNION ALL
+            SELECT node, (3 * node + 7) % 300 FROM nodes
+        ), sym AS MATERIALIZED (
+            SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+            ) WHERE a <> b
+        ), act0 AS MATERIALIZED (
+            SELECT node, md5('mis:' || node) AS pr FROM nodes
+        )"""
+    ]
+    for k in range(1, _MIS_ROUNDS + 1):
+        p = k - 1
+        parts.append(f"""
+        , sel{k} AS MATERIALIZED (
+            SELECT a.node FROM act{p} a
+            LEFT JOIN (
+                SELECT e.a AS node, min(b.pr) AS mn
+                FROM sym e
+                JOIN act{p} b ON b.node = e.b
+                JOIN act{p} c ON c.node = e.a
+                GROUP BY e.a
+            ) nb ON nb.node = a.node
+            WHERE nb.mn IS NULL OR a.pr < nb.mn
+        ), rm{k} AS MATERIALIZED (
+            SELECT DISTINCT e.b AS node
+            FROM sym e JOIN sel{k} s ON s.node = e.a
+        ), act{k} AS MATERIALIZED (
+            SELECT a.node, a.pr FROM act{p} a
+            WHERE a.node NOT IN (SELECT node FROM sel{k})
+              AND a.node NOT IN (SELECT node FROM rm{k})
+        )""")
+    sels = "\n            UNION ALL\n".join(
+        f"            SELECT node, CAST({k} AS INT) AS mis_round FROM sel{k}"
+        for k in range(1, _MIS_ROUNDS + 1)
+    )
+    parts.append(f"""
+        SELECT node, mis_round FROM (
+{sels}
+        ) ORDER BY node
+    """)
+    return "".join(parts)
+
+
+def q_concentration(spark, sf_dir):
+    """Corpus-composition concentration (operators/diversity.py):
+    the one-row dataset-card report — source count, total char mass,
+    top-1/top-5 shares, Simpson/Herfindahl index and inverse-Simpson
+    effective source count, all exact-integer ppm/milli (DECIMAL(38)
+    squares; DuckDB replays in HUGEINT)."""
+    from metal_history_knowledge_graph_spark.operators.diversity import (
+        concentration_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "chars", F.length("text")
+    )
+    return concentration_report(docs, "source", "chars", top_k=5)
+
+
+def _concentration_oracle() -> str:
+    return """
+        WITH gw AS (
+            SELECT source AS grp,
+                   CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS weight
+            FROM documents WHERE source IS NOT NULL GROUP BY source
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(weight) AS BIGINT) AS w,
+                   sum(CAST(weight AS HUGEINT) * weight) AS sq
+            FROM gw
+        ), top1 AS (
+            SELECT weight AS w1 FROM gw
+            ORDER BY weight DESC, grp LIMIT 1
+        ), topk AS (
+            SELECT CAST(sum(weight) AS BIGINT) AS wk FROM (
+                SELECT weight FROM gw ORDER BY weight DESC, grp LIMIT 5
+            )
+        ), rep AS (
+            SELECT n AS n_groups, w AS total_weight,
+                   CAST(CAST(w1 AS HUGEINT) * 1000000 // w AS BIGINT)
+                       AS top1_share_ppm,
+                   CAST(CAST(wk AS HUGEINT) * 1000000 // w AS BIGINT)
+                       AS top5_share_ppm,
+                   CAST(sq * 1000000 // (CAST(w AS HUGEINT) * w) AS BIGINT)
+                       AS simpson_ppm
+            FROM tot, top1, topk
+        )
+        SELECT *,
+               CASE WHEN simpson_ppm = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(1000000000 // simpson_ppm AS BIGINT) END
+                   AS effective_groups_milli
+        FROM rep
+    """
+
+
 _KN_LOGTAB_PATH = "/tmp/kg_kn_logtab.parquet"
 
 
@@ -7455,6 +7587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_eval": q_cluster_eval,
         "q_url_templates": q_url_templates,
         "q_kn_score": q_kn_score,
+        "q_mis": q_mis,
+        "q_concentration": q_concentration,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -9906,6 +10040,8 @@ def oracle_sql() -> dict[str, str]:
         "q_cluster_eval": _cluster_eval_oracle(),
         "q_url_templates": _url_templates_oracle(),
         "q_kn_score": _kn_score_oracle(),
+        "q_mis": _mis_oracle(),
+        "q_concentration": _concentration_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

@@ -6861,6 +6861,82 @@ def _mis_oracle() -> str:
     return "".join(parts)
 
 
+def q_matching(spark, sf_dir):
+    """Greedy maximal matching (operators/mis.greedy_matching —
+    locally-lightest-edge rounds, the one-to-one audit-pairing
+    primitive) over the same planted arithmetic conflict graph as
+    q_mis. Oracle unrolls the identical rounds as MATERIALIZED CTEs;
+    the operator raises on round-bound hit, so the compare certifies
+    the full trajectory, vertex-disjointness and maximality."""
+    from metal_history_knowledge_graph_spark.operators.mis import (
+        greedy_matching,
+    )
+
+    nodes = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(F.col("doc_id").alias("node"))
+    )
+    e = nodes.select(
+        F.col("node").alias("src"),
+        ((F.col("node") * 2 + 3) % 300).alias("dst"),
+    ).unionByName(
+        nodes.select(
+            F.col("node").alias("src"),
+            ((F.col("node") * 3 + 7) % 300).alias("dst"),
+        )
+    )
+    return greedy_matching(e, max_rounds=_MIS_ROUNDS).orderBy("a", "b")
+
+
+def _matching_oracle() -> str:
+    parts = [
+        """
+        WITH nodes AS (
+            SELECT doc_id AS node FROM documents WHERE doc_id < 300
+        ), e0 AS (
+            SELECT node AS s, (2 * node + 3) % 300 AS d FROM nodes
+            UNION ALL
+            SELECT node, (3 * node + 7) % 300 FROM nodes
+        ), act0 AS MATERIALIZED (
+            SELECT a, b, md5('match:' || a || '|' || b) AS pr FROM (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM e0 WHERE s <> d
+            )
+        )"""
+    ]
+    for k in range(1, _MIS_ROUNDS + 1):
+        p = k - 1
+        parts.append(f"""
+        , nm{k} AS MATERIALIZED (
+            SELECT node, min(pr) AS mn FROM (
+                SELECT a AS node, pr FROM act{p}
+                UNION ALL SELECT b, pr FROM act{p}
+            ) GROUP BY node
+        ), sel{k} AS MATERIALIZED (
+            SELECT e.a, e.b FROM act{p} e
+            JOIN nm{k} x ON x.node = e.a AND x.mn = e.pr
+            JOIN nm{k} y ON y.node = e.b AND y.mn = e.pr
+        ), used{k} AS MATERIALIZED (
+            SELECT a AS node FROM sel{k} UNION SELECT b FROM sel{k}
+        ), act{k} AS MATERIALIZED (
+            SELECT e.a, e.b, e.pr FROM act{p} e
+            WHERE e.a NOT IN (SELECT node FROM used{k})
+              AND e.b NOT IN (SELECT node FROM used{k})
+        )""")
+    sels = "\n            UNION ALL\n".join(
+        f"            SELECT a, b, CAST({k} AS INT) AS match_round"
+        f" FROM sel{k}"
+        for k in range(1, _MIS_ROUNDS + 1)
+    )
+    parts.append(f"""
+        SELECT a, b, match_round FROM (
+{sels}
+        ) ORDER BY a, b
+    """)
+    return "".join(parts)
+
+
 def q_concentration(spark, sf_dir):
     """Corpus-composition concentration (operators/diversity.py):
     the one-row dataset-card report — source count, total char mass,
@@ -7588,6 +7664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_templates": q_url_templates,
         "q_kn_score": q_kn_score,
         "q_mis": q_mis,
+        "q_matching": q_matching,
         "q_concentration": q_concentration,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
@@ -10041,6 +10118,7 @@ def oracle_sql() -> dict[str, str]:
         "q_url_templates": _url_templates_oracle(),
         "q_kn_score": _kn_score_oracle(),
         "q_mis": _mis_oracle(),
+        "q_matching": _matching_oracle(),
         "q_concentration": _concentration_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay

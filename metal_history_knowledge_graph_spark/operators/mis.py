@@ -37,6 +37,100 @@ def _prio(node):
     return F.md5(F.concat(F.lit("mis:"), node.cast("string")))
 
 
+def _edge_prio(a, b):
+    return F.md5(
+        F.concat(
+            F.lit("match:"), a.cast("string"), F.lit("|"), b.cast("string")
+        )
+    )
+
+
+def greedy_matching(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Maximal matching by the edge-parallel analogue of Luby:
+    ``(a, b, match_round)`` — a maximal set of vertex-disjoint edges
+    of the undirected graph (canonicalized a < b, self-loops
+    dropped). Per round, an edge is matched iff its md5 priority is
+    the minimum among ALL active edges at BOTH endpoints (the
+    classic locally-lightest-edge rule); matched endpoints retire
+    every incident edge. Equals the sequential greedy matching over
+    the global priority order (pytest-pinned), so a SQL oracle
+    replays the rounds exactly. Where a pipeline wants one: pairing
+    near-duplicate documents one-to-one for side-by-side audit, or
+    pairing mirror hosts for differential crawls.
+
+    Per round: one explode to endpoint rows + a min partial agg, two
+    joins back, one anti-join — node- and edge-keyed only. Raises
+    RuntimeError if ``max_rounds`` doesn't drain the active edges."""
+    e = (
+        edges.select(
+            F.least(
+                F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+            ).alias("a"),
+            F.greatest(
+                F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+            ).alias("b"),
+        )
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    active = e.select(
+        "a", "b", _edge_prio(F.col("a"), F.col("b")).alias("pr")
+    ).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    matched = spark.createDataFrame([], "a long, b long, match_round int")
+    for r in range(1, max_rounds + 1):
+        if active.limit(1).count() == 0:
+            return matched
+        nm = (
+            active.select(F.col("a").alias("node"), "pr")
+            .unionByName(active.select(F.col("b").alias("node"), "pr"))
+            .groupBy("node")
+            .agg(F.min("pr").alias("_mn"))
+        )
+        sel = (
+            active.join(
+                nm.select(F.col("node").alias("a"), F.col("_mn").alias("_ma")),
+                "a",
+            )
+            .join(
+                nm.select(F.col("node").alias("b"), F.col("_mn").alias("_mb")),
+                "b",
+            )
+            .filter((F.col("pr") == F.col("_ma")) & (F.col("pr") == F.col("_mb")))
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        matched = matched.unionByName(
+            sel.select("a", "b", F.lit(r).cast("int").alias("match_round"))
+        ).localCheckpoint(eager=True)
+        used = (
+            sel.select(F.col("a").alias("node"))
+            .unionByName(sel.select(F.col("b").alias("node")))
+            .distinct()
+        )
+        active = (
+            active.join(
+                used.select(F.col("node").alias("a")), "a", "left_anti"
+            )
+            .join(used.select(F.col("node").alias("b")), "b", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    if active.limit(1).count() > 0:
+        raise RuntimeError(
+            f"greedy_matching: active edges remain after {max_rounds} rounds"
+        )
+    return matched
+
+
 def luby_mis(
     edges: DataFrame,
     src_col: str = "src",

@@ -11,7 +11,10 @@ from metal_history_knowledge_graph_spark.operators.diversity import (
     concentration_report,
     group_shares,
 )
-from metal_history_knowledge_graph_spark.operators.mis import luby_mis
+from metal_history_knowledge_graph_spark.operators.mis import (
+    greedy_matching,
+    luby_mis,
+)
 
 
 def _prio(v):
@@ -78,6 +81,48 @@ def test_max_rounds_raise(spark):
     df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
     with pytest.raises(RuntimeError, match="active nodes remain"):
         luby_mis(df, max_rounds=0)
+
+
+def _edge_prio(a, b):
+    return hashlib.md5(f"match:{a}|{b}".encode()).hexdigest()
+
+
+def greedy_match_py(edges):
+    canon = sorted(
+        {(min(a, b), max(a, b)) for a, b in edges if a != b},
+        key=lambda e: _edge_prio(*e),
+    )
+    used, out = set(), set()
+    for a, b in canon:
+        if a not in used and b not in used:
+            out.add((a, b))
+            used.update((a, b))
+    return out
+
+
+def test_matching_equals_sequential_greedy(spark):
+    edges = _rand_edges(50, 160, 21)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.a, r.b) for r in greedy_matching(df).collect()}
+    assert got == greedy_match_py(edges)
+
+
+def test_matching_vertex_disjoint_and_maximal(spark):
+    edges = _rand_edges(70, 250, 4)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = greedy_matching(df).collect()
+    used = [v for r in rows for v in (r.a, r.b)]
+    assert len(used) == len(set(used))  # vertex-disjoint
+    matched = set(used)
+    for a, b in edges:  # maximal: no fully-unmatched edge remains
+        if a != b:
+            assert a in matched or b in matched
+
+
+def test_matching_round_bound_raise(spark):
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="active edges remain"):
+        greedy_matching(df, max_rounds=0)
 
 
 def test_group_shares_and_concentration(spark):

@@ -6781,6 +6781,112 @@ def q_suffix_array(spark, sf_dir):
     return suffix_array(_suffix_docs(spark, sf_dir)).orderBy("sa_rank")
 
 
+def q_ndcg(spark, sf_dir):
+    """Graded nDCG@10 (operators/search_quality.ndcg_quality — the
+    graded companion to the P/R/MRR harness) over a deterministic
+    md5 pseudo-ranking (20 queries × docs < 200; the ranking inputs
+    are arbitrary BY DESIGN — the operator under test is the metric
+    arithmetic) and arithmetic graded qrels (gain = (doc div 20) mod
+    4, zeros exercising the idcg=0 path). The oracle replays ranking,
+    qrels, DCG/IDCG and the ppm divide, inlining the SAME pinned
+    1/log₂(r+1) micro constants."""
+    from metal_history_knowledge_graph_spark.operators.search_quality import (
+        ndcg_quality,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    qs = docs.select((F.col("doc_id") % 20).alias("query_id")).distinct()
+    cand = qs.crossJoin(docs.select("doc_id")).select(
+        "query_id",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit("rk:"),
+                F.col("query_id").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("_pr"),
+    )
+    from pyspark.sql.window import Window
+
+    ranking = cand.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy("_pr")
+        ),
+    ).filter(F.col("rank") <= 10)
+    qrels = docs.select(
+        (F.col("doc_id") % 20).alias("query_id"),
+        "doc_id",
+        F.expr("(doc_id div 20) % 4").alias("gain"),
+    )
+    return ndcg_quality(
+        ranking, qrels, k=10, id_col="doc_id"
+    ).orderBy("query_id")
+
+
+def _ndcg_oracle() -> str:
+    from metal_history_knowledge_graph_spark.operators.search_quality import (
+        dcg_discounts_micro,
+    )
+
+    vals = ", ".join(f"({r}, {d})" for r, d in dcg_discounts_micro(10))
+    return f"""
+        WITH docs AS (
+            SELECT doc_id FROM documents WHERE doc_id < 200
+        ), qs AS (
+            SELECT DISTINCT doc_id % 20 AS query_id FROM docs
+        ), cand AS (
+            SELECT q.query_id, d.doc_id,
+                   md5('rk:' || q.query_id || ':' || d.doc_id) AS pr
+            FROM qs q, docs d
+        ), topk AS (
+            SELECT * FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY pr) AS rnk
+                FROM cand
+            ) WHERE rnk <= 10
+        ), disc(r, dm) AS (VALUES {vals}),
+        qrels AS (
+            SELECT doc_id % 20 AS query_id, doc_id,
+                   (doc_id // 20) % 4 AS gain
+            FROM docs
+        ), dcg AS (
+            SELECT t.query_id,
+                   CAST(sum(coalesce(qr.gain, 0) * disc.dm) AS BIGINT)
+                       AS dcg_micro
+            FROM topk t
+            JOIN disc ON disc.r = t.rnk
+            LEFT JOIN qrels qr
+              ON qr.query_id = t.query_id AND qr.doc_id = t.doc_id
+            GROUP BY t.query_id
+        ), pos AS (
+            SELECT query_id, gain,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY gain DESC, doc_id) AS p
+            FROM qrels
+        ), idcg AS (
+            SELECT query_id,
+                   CAST(sum(gain * disc.dm) AS BIGINT) AS idcg_micro
+            FROM pos JOIN disc ON disc.r = pos.p
+            WHERE pos.p <= 10 AND gain > 0
+            GROUP BY query_id
+        )
+        SELECT q.query_id,
+               CAST(coalesce(dcg.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+               CAST(coalesce(idcg.idcg_micro, 0) AS BIGINT) AS idcg_micro,
+               CAST(CASE WHEN coalesce(idcg.idcg_micro, 0) = 0 THEN 0
+                    ELSE coalesce(dcg.dcg_micro, 0) * 1000000
+                         // idcg.idcg_micro END AS BIGINT) AS ndcg_ppm
+        FROM qs q
+        LEFT JOIN dcg USING (query_id)
+        LEFT JOIN idcg USING (query_id)
+        ORDER BY q.query_id
+    """
+
+
 _MIS_ROUNDS = 16
 
 
@@ -7666,6 +7772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mis": q_mis,
         "q_matching": q_matching,
         "q_concentration": q_concentration,
+        "q_ndcg": q_ndcg,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -10120,6 +10227,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mis": _mis_oracle(),
         "q_matching": _matching_oracle(),
         "q_concentration": _concentration_oracle(),
+        "q_ndcg": _ndcg_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

@@ -94,6 +94,118 @@ def mean_ranking_quality(
     )
 
 
+def dcg_discounts_micro(k: int) -> list[tuple[int, int]]:
+    """The nDCG rank discounts ``1/log₂(r+1)`` for ranks 1..k, in
+    micro-units with HALF_UP rounding — a k-row constant table, the
+    only transcendental in the nDCG path (pinned against math.log2 in
+    pytest; an SQL oracle inlines the same constants instead of
+    re-deriving logs)."""
+    import math
+
+    return [
+        (r, math.floor(1_000_000 / math.log2(r + 1) + 0.5))
+        for r in range(1, k + 1)
+    ]
+
+
+def ndcg_quality(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc",
+    rank_col: str = "rank",
+    gain_col: str = "gain",
+) -> DataFrame:
+    """Per-query nDCG@k with GRADED relevance, exact-integer: one row
+    per labeled query — ``dcg_micro`` (Σ gain·discount over the
+    engine's top-k), ``idcg_micro`` (the same sum over the query's
+    own gains sorted desc — the ideal ordering), ``ndcg_ppm =
+    dcg·10⁶ div idcg`` (0 where the query has no positive gain).
+
+    ``qrels``: (query, id, gain) with integer gains ≥ 0 (binary
+    labels are gain=1). Scale shape: the discount dim is k rows
+    (broadcast); DCG is one (query,id)-keyed join + partial agg; IDCG
+    is a per-query window over the labeled set only — never over the
+    corpus."""
+    spark = ranking.sparkSession
+    disc = spark.createDataFrame(
+        dcg_discounts_micro(k), "_r int, _disc long"
+    )
+    lab = (
+        qrels.groupBy(query_col, id_col)
+        .agg(F.max(gain_col).cast("long").alias("_gain"))
+        .localCheckpoint(eager=True)  # feeds DCG join AND IDCG window
+    )
+    dcg = (
+        ranking.filter(F.col(rank_col) <= k)
+        .join(
+            F.broadcast(disc),
+            F.col(rank_col).cast("int") == F.col("_r"),
+        )
+        .join(lab, [query_col, id_col], "left")
+        .groupBy(query_col)
+        .agg(
+            F.sum(F.coalesce("_gain", F.lit(0)) * F.col("_disc")).alias(
+                "dcg_micro"
+            )
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("_gain"), F.col(id_col)
+    )
+    idcg = (
+        lab.withColumn("_pos", F.row_number().over(w))
+        .filter((F.col("_pos") <= k) & (F.col("_gain") > 0))
+        .join(F.broadcast(disc), F.col("_pos") == F.col("_r"), "left")
+        .groupBy(query_col)
+        .agg(F.sum(F.col("_gain") * F.col("_disc")).alias("idcg_micro"))
+    )
+    return (
+        lab.select(query_col)
+        .distinct()
+        .join(dcg, query_col, "left")
+        .join(idcg, query_col, "left")
+        .select(
+            query_col,
+            F.coalesce("dcg_micro", F.lit(0)).cast("long").alias("dcg_micro"),
+            F.coalesce("idcg_micro", F.lit(0))
+            .cast("long")
+            .alias("idcg_micro"),
+        )
+        .withColumn(
+            "ndcg_ppm",
+            F.when(F.col("idcg_micro") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr("dcg_micro * 1000000 DIV idcg_micro")
+            ),
+        )
+    )
+
+
+def mean_ndcg(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc",
+    rank_col: str = "rank",
+    gain_col: str = "gain",
+) -> DataFrame:
+    """One row: ``(n_queries, mean_ndcg_ppm)`` — the floor-divide mean
+    over all labeled queries."""
+    per_q = ndcg_quality(
+        ranking, qrels, k, query_col, id_col, rank_col, gain_col
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.expr("sum(ndcg_ppm) DIV count(1)").cast("long").alias(
+            "mean_ndcg_ppm"
+        ),
+    )
+
+
 def search_quality_benchmark(
     spark,
     entities: DataFrame,

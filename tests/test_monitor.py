@@ -98,6 +98,50 @@ def test_ranking_quality_hand_computed(spark):
     assert mean.n_queries == 3
 
 
+def test_ndcg_hand_computed_and_log2_pin(spark):
+    """Graded nDCG@k: discount constants pinned against math.log2,
+    hand-computed DCG/IDCG/ndcg including the zero-gain and
+    unjudged-doc paths, plus exact parity with a float reference."""
+    import math
+
+    from metal_history_knowledge_graph_spark.operators.search_quality import (
+        dcg_discounts_micro,
+        mean_ndcg,
+        ndcg_quality,
+    )
+
+    disc = dict(dcg_discounts_micro(10))
+    for r in range(1, 11):
+        assert disc[r] == math.floor(1e6 / math.log2(r + 1) + 0.5)
+    assert disc[1] == 1_000_000 and disc[3] == 500_000
+    ranking = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3),
+         (2, "p", 1), (2, "q", 2),
+         (3, "x", 1)],
+        "query_id int, doc string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        # q1: graded gains, one unjudged doc ranked (c); ideal = b(3),a(1)
+        [(1, "a", 1), (1, "b", 3), (1, "z", 2),
+         # q2: all judged gains zero -> idcg 0 -> ndcg 0
+         (2, "p", 0),
+         # q3: relevant doc NOT retrieved -> dcg 0
+         (3, "y", 2)],
+        "query_id int, doc string, gain int",
+    )
+    per_q = {r.query_id: r for r in ndcg_quality(ranking, qrels).collect()}
+    d1 = 1 * disc[1] + 3 * disc[2]
+    i1 = 3 * disc[1] + 2 * disc[2] + 1 * disc[3]
+    assert per_q[1].dcg_micro == d1 and per_q[1].idcg_micro == i1
+    assert per_q[1].ndcg_ppm == d1 * 1_000_000 // i1
+    assert per_q[2].idcg_micro == 0 and per_q[2].ndcg_ppm == 0
+    assert per_q[3].dcg_micro == 0 and per_q[3].ndcg_ppm == 0
+    assert per_q[3].idcg_micro == 2 * disc[1]
+    mean = mean_ndcg(ranking, qrels).collect()[0]
+    assert mean.n_queries == 3
+    assert mean.mean_ndcg_ppm == (per_q[1].ndcg_ppm + 0 + 0) // 3
+
+
 def test_search_quality_monitor_and_history(spark, built):
     from metal_history_knowledge_graph_spark.operators.embeddings import (
         embed_entities,

@@ -6781,6 +6781,58 @@ def q_suffix_array(spark, sf_dir):
     return suffix_array(_suffix_docs(spark, sf_dir)).orderBy("sa_rank")
 
 
+def q_bitext_pairs(spark, sf_dir):
+    """Parallel-URL bitext candidates (operators/bitext.py — the
+    ParaCrawl first-stage heuristic): synthesize per-doc URLs
+    ``http://<source>/<lang>/article/<doc_id mod 40>`` (docs < 250),
+    template the language slot, pair across languages within a
+    template with the max_group=4 stop-key cap (5-language groups are
+    dropped whole — the cap path is exercised). Oracle replays slot
+    extraction, literal templating, the cap and the ordered self-join."""
+    from metal_history_knowledge_graph_spark.operators.bitext import (
+        parallel_url_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    urls = docs.select(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit("/"), F.col("lang"),
+            F.lit("/article/"), (F.col("doc_id") % 40).cast("string"),
+        ).alias("url")
+    )
+    return parallel_url_pairs(urls, max_group=4).orderBy(
+        "template", "lang_a", "url_a", "lang_b", "url_b"
+    )
+
+
+def _bitext_pairs_oracle() -> str:
+    return """
+        WITH u0 AS (
+            SELECT DISTINCT 'http://' || source || '/' || lang
+                   || '/article/' || (doc_id % 40) AS url
+            FROM documents WHERE doc_id < 250
+        ), t AS (
+            SELECT url,
+                   regexp_extract(url, '/([a-z]{2}(-[A-Z]{2})?)/', 1) AS lang
+            FROM u0
+        ), slotted AS (
+            SELECT DISTINCT
+                   replace(url, '/' || lang || '/', '/{L}/') AS template,
+                   lang, url
+            FROM t WHERE length(lang) > 0
+        ), ok AS (
+            SELECT template FROM slotted
+            GROUP BY template HAVING count(*) <= 4
+        )
+        SELECT a.template, a.lang AS lang_a, a.url AS url_a,
+               b.lang AS lang_b, b.url AS url_b
+        FROM slotted a
+        JOIN ok USING (template)
+        JOIN slotted b ON b.template = a.template AND a.lang < b.lang
+        ORDER BY a.template, lang_a, url_a, lang_b, url_b
+    """
+
+
 def q_ndcg(spark, sf_dir):
     """Graded nDCG@10 (operators/search_quality.ndcg_quality — the
     graded companion to the P/R/MRR harness) over a deterministic
@@ -7773,6 +7825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_matching": q_matching,
         "q_concentration": q_concentration,
         "q_ndcg": q_ndcg,
+        "q_bitext_pairs": q_bitext_pairs,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -10228,6 +10281,7 @@ def oracle_sql() -> dict[str, str]:
         "q_matching": _matching_oracle(),
         "q_concentration": _concentration_oracle(),
         "q_ndcg": _ndcg_oracle(),
+        "q_bitext_pairs": _bitext_pairs_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

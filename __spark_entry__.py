@@ -6781,6 +6781,50 @@ def q_suffix_array(spark, sf_dir):
     return suffix_array(_suffix_docs(spark, sf_dir)).orderBy("sa_rank")
 
 
+def q_calibration(spark, sf_dir):
+    """Reliability bins (operators/calibration.py): 10 equi-depth
+    bins of a document-length score against an English-marker label
+    (text contains ' the '), the generic pre-thresholding calibration
+    report. The oracle replays the floor-formula binning (NOT NTILE —
+    remainder placement differs) over row_number(score, doc_id) and
+    the integer per-bin aggregates."""
+    from metal_history_knowledge_graph_spark.operators.calibration import (
+        calibration_bins,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("score"),
+        F.col("text").contains(" the ").cast("int").alias("label"),
+    )
+    return calibration_bins(docs, "score", "label", "doc_id", bins=10).orderBy(
+        "bin"
+    )
+
+
+def _calibration_oracle() -> str:
+    return """
+        WITH r0 AS (
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS s,
+                   CASE WHEN strpos(text, ' the ') > 0 THEN 1 ELSE 0 END AS y
+            FROM documents WHERE text IS NOT NULL
+        ), rn AS (
+            SELECT doc_id, s, y,
+                   row_number() OVER (ORDER BY s, doc_id) - 1 AS r
+            FROM r0
+        )
+        SELECT CAST(r * 10 // (SELECT count(*) FROM r0) + 1 AS INT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm,
+               min(s) AS score_min,
+               max(s) AS score_max,
+               CAST(sum(s) AS BIGINT) AS score_sum
+        FROM rn
+        GROUP BY 1 ORDER BY bin
+    """
+
+
 def q_bitext_pairs(spark, sf_dir):
     """Parallel-URL bitext candidates (operators/bitext.py — the
     ParaCrawl first-stage heuristic): synthesize per-doc URLs
@@ -7826,6 +7870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_concentration": q_concentration,
         "q_ndcg": q_ndcg,
         "q_bitext_pairs": q_bitext_pairs,
+        "q_calibration": q_calibration,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -10282,6 +10327,7 @@ def oracle_sql() -> dict[str, str]:
         "q_concentration": _concentration_oracle(),
         "q_ndcg": _ndcg_oracle(),
         "q_bitext_pairs": _bitext_pairs_oracle(),
+        "q_calibration": _calibration_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

@@ -6714,6 +6714,48 @@ def q_winnow_pairs(spark, sf_dir):
     )
 
 
+def q_winnow_probe(spark, sf_dir):
+    """Incremental winnow-index probe (operators/winnow.winnow_probe):
+    docs ≥ 400 arrive as a new batch against the < 400 index; output
+    is every candidate pair touching a new doc, decision-identical to
+    a full rebuild (pytest-pinned). The oracle computes the rebuilt
+    union's pairs restricted to new docs — the cap recomputed over
+    union document frequencies, exactly the probe's contract."""
+    from metal_history_knowledge_graph_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_probe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = winnow_fingerprints(docs.filter(F.col("doc_id") < 400), k=8, w=12)
+    nfp = winnow_fingerprints(docs.filter(F.col("doc_id") >= 400), k=8, w=12)
+    return winnow_probe(idx, nfp, min_shared=2, max_df=50).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _winnow_probe_oracle() -> str:
+    return (
+        _winnow_cte("TRUE")
+        + """
+        , fpd AS (SELECT DISTINCT doc_id, fp FROM all_fps),
+        kept AS (
+            SELECT doc_id, fp FROM fpd
+            WHERE fp NOT IN (
+                SELECT fp FROM fpd GROUP BY fp HAVING count(*) > 50
+            )
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS shared_fps
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        WHERE a.doc_id >= 400 OR b.doc_id >= 400
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= 2
+        ORDER BY doc_a, doc_b
+    """
+    )
+
+
 def _winnow_cte(doc_pred: str, k: int = 8, w: int = 12) -> str:
     """Shared winnowing replay CTE chain (normalize → gram hashes →
     window minima → rightmost position → distinct, plus the short-doc
@@ -7871,6 +7913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ndcg": q_ndcg,
         "q_bitext_pairs": q_bitext_pairs,
         "q_calibration": q_calibration,
+        "q_winnow_probe": q_winnow_probe,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -10328,6 +10371,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ndcg": _ndcg_oracle(),
         "q_bitext_pairs": _bitext_pairs_oracle(),
         "q_calibration": _calibration_oracle(),
+        "q_winnow_probe": _winnow_probe_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

@@ -169,3 +169,62 @@ def winnow_candidate_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def winnow_probe(
+    index_fps: DataFrame,
+    new_fps: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Incremental-maintenance path of the winnowing index (the
+    growing-corpus sibling of ``dedup.minhash_probe``): candidate
+    pairs INVOLVING at least one new document — new-vs-index plus
+    new-vs-new — decision-identical to rebuilding
+    :func:`winnow_candidate_pairs` over the union and keeping the
+    pairs that touch a new doc (pytest-pinned; the ``max_df``
+    stop-fingerprint cap is recomputed over the UNION's document
+    frequencies, exactly as a rebuild would see them).
+
+    Scale shape: the only join that touches the full index is
+    new-side-keyed (probe fingerprints × inverted index on the 8-byte
+    fp), so cost is proportional to the batch, not the corpus; the
+    union df-count recheck is one fp-keyed partial agg."""
+    d_all = (
+        index_fps.select(F.col(id_col).alias("_id"), "fp")
+        .unionByName(new_fps.select(F.col(id_col).alias("_id"), "fp"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the cap, both join sides
+    )
+    if max_df is not None:
+        hot = (
+            d_all.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("fp")
+        )
+        d_all = d_all.join(hot, "fp", "left_anti")
+    new_ids = new_fps.select(F.col(id_col).alias("_id")).distinct()
+    probe = d_all.join(new_ids, "_id").select(
+        F.col("_id").alias("_n"), "fp"
+    )
+    other = d_all.join(
+        new_ids.withColumn("_isnew", F.lit(1)), "_id", "left"
+    ).select(F.col("_id").alias("_o"), "fp", "_isnew")
+    return (
+        probe.join(other, "fp")
+        .filter(
+            (F.col("_n") != F.col("_o"))
+            # old partner: keep once; new partner: keep only the
+            # (smaller, larger) orientation so shared counts aren't doubled
+            & (F.col("_isnew").isNull() | (F.col("_n") < F.col("_o")))
+        )
+        .select(
+            F.least("_n", "_o").alias("doc_a"),
+            F.greatest("_n", "_o").alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -14,6 +14,7 @@ import pytest
 from metal_history_knowledge_graph_spark.operators.winnow import (
     winnow_candidate_pairs,
     winnow_fingerprints,
+    winnow_probe,
 )
 
 
@@ -131,6 +132,44 @@ def test_candidate_pairs_and_stop_cap(spark):
     }
     assert (0, 1) in capped
     assert (0, 2) not in capped and (1, 2) not in capped
+
+
+def test_probe_equals_rebuild_restricted(spark):
+    """Incremental probe decision-identity: probing new docs against
+    an existing index yields EXACTLY the rebuilt union's pairs that
+    touch a new doc — same shared counts, same max_df cap effect
+    (the cap is recomputed over union df, so an fp pushed over the
+    cap BY the new batch disappears from probe results too)."""
+    rng = random.Random(31)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (i, base[: rng.randint(20, len(base))] + f" tail{i % 7}")
+        for i in range(24)
+    ]
+    old = [(i, t) for i, t in rows if i < 16]
+    new = [(i, t) for i, t in rows if i >= 16]
+    odf = spark.createDataFrame(old, "doc_id long, text string")
+    ndf = spark.createDataFrame(new, "doc_id long, text string")
+    adf = spark.createDataFrame(rows, "doc_id long, text string")
+    for max_df in (None, 10):
+        idx = winnow_fingerprints(odf, k=5, w=4)
+        nfp = winnow_fingerprints(ndf, k=5, w=4)
+        probe = {
+            (r.doc_a, r.doc_b, r.shared_fps)
+            for r in winnow_probe(
+                idx, nfp, min_shared=2, max_df=max_df
+            ).collect()
+        }
+        rebuild = {
+            (r.doc_a, r.doc_b, r.shared_fps)
+            for r in winnow_candidate_pairs(
+                winnow_fingerprints(adf, k=5, w=4),
+                min_shared=2,
+                max_df=max_df,
+            ).collect()
+            if r.doc_a >= 16 or r.doc_b >= 16
+        }
+        assert probe == rebuild and probe  # non-vacuous
 
 
 def test_bad_params_raise(spark):

@@ -6823,6 +6823,80 @@ def q_suffix_array(spark, sf_dir):
     return suffix_array(_suffix_docs(spark, sf_dir)).orderBy("sa_rank")
 
 
+def q_hll_sliding(spark, sf_dir):
+    """Sliding-window distinct users from mergeable per-day HLL
+    sketches (hll.hll_sliding_distinct — the dashboard query that
+    never re-reads events): 7-day windows over the 30-day event log,
+    one row per window-end day with the exact integer estimator core
+    plus the true distinct count for context. The oracle replays
+    registers, the window union and the core relationally — the
+    q_hll_cardinality replay extended with the bucket range join."""
+    from metal_history_knowledge_graph_spark.operators.hll import (
+        hll_sliding_distinct,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))),
+    )
+    slid = hll_sliding_distinct(ev, "user_id", "day", window=7, p=12)
+    exact = (
+        ev.select(F.col("day").alias("_d"), "user_id")
+        .crossJoin(F.broadcast(ev.select("day").distinct()))
+        .filter((F.col("_d") <= F.col("day")) & (F.col("_d") > F.col("day") - 7))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return slid.join(exact, "day").orderBy("day")
+
+
+def _hll_sliding_oracle() -> str:
+    return """
+        WITH ev AS (
+            SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS INT) AS day,
+                   user_id
+            FROM events
+        ), h AS (
+            SELECT day,
+                   ('0x' || substr(md5('hll|' ||
+                        CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS hv
+            FROM ev
+        ), sk AS (
+            SELECT day, CAST(hv % 4096 AS BIGINT) AS register,
+                   max(CASE WHEN hv // 4096 = 0 THEN 49
+                            ELSE 49 - length(bin(hv // 4096)) END) AS maxrho
+            FROM h GROUP BY 1, 2
+        ), ends AS (SELECT DISTINCT day AS e FROM sk),
+        win AS (
+            SELECT ends.e, sk.day, sk.register, sk.maxrho
+            FROM sk JOIN ends ON sk.day <= ends.e AND sk.day > ends.e - 7
+        ), merged AS (
+            SELECT e, register, max(maxrho) AS maxrho
+            FROM win GROUP BY 1, 2
+        ), nb AS (
+            SELECT e, CAST(count(DISTINCT day) AS BIGINT) AS n_buckets
+            FROM win GROUP BY 1
+        ), core AS (
+            SELECT e,
+                   CAST(count(*) AS BIGINT) AS n_present,
+                   CAST(4096 - count(*) AS BIGINT) AS v_zero,
+                   CAST(sum(1::BIGINT << (49 - maxrho))
+                        + (4096 - count(*)) * (1::BIGINT << 49)
+                     AS BIGINT) AS s_scaled
+            FROM merged GROUP BY 1
+        ), exact AS (
+            SELECT ends.e, CAST(count(DISTINCT ev.user_id) AS BIGINT)
+                       AS exact_distinct
+            FROM ev JOIN ends ON ev.day <= ends.e AND ev.day > ends.e - 7
+            GROUP BY 1
+        )
+        SELECT core.e AS day, nb.n_buckets, core.n_present, core.v_zero,
+               core.s_scaled, exact.exact_distinct
+        FROM core JOIN nb USING (e) JOIN exact USING (e)
+        ORDER BY day
+    """
+
+
 def q_calibration(spark, sf_dir):
     """Reliability bins (operators/calibration.py): 10 equi-depth
     bins of a document-length score against an English-marker label
@@ -7914,6 +7988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bitext_pairs": q_bitext_pairs,
         "q_calibration": q_calibration,
         "q_winnow_probe": q_winnow_probe,
+        "q_hll_sliding": q_hll_sliding,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -10372,6 +10447,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bitext_pairs": _bitext_pairs_oracle(),
         "q_calibration": _calibration_oracle(),
         "q_winnow_probe": _winnow_probe_oracle(),
+        "q_hll_sliding": _hll_sliding_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

@@ -13,6 +13,7 @@ from metal_history_knowledge_graph_spark.operators.hll import (
     hll_estimate_py,
     hll_integer_core,
     hll_merge,
+    hll_sliding_distinct,
 )
 
 
@@ -101,6 +102,36 @@ def test_grouped_sketch(spark):
         got.setdefault(r["g"], {})[r["register"]] = r["maxrho"]
     assert got["ev_a"] == _py_sketch([f"u{i}" for i in range(400)], 8)
     assert got["ev_b"] == _py_sketch([f"u{i}" for i in range(150)], 8)
+
+
+def test_sliding_windows_equal_direct_window_sketches(spark):
+    """Each sliding-window core must equal the core of a sketch built
+    DIRECTLY on that window's raw keys (the mergeability property the
+    operator rests on), with gaps in the bucket sequence honored."""
+    import random
+
+    rng = random.Random(17)
+    rows = [
+        (rng.randrange(40), rng.choice([1, 2, 3, 5, 9]))  # day 4 absent
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(rows, "user long, day int")
+    got = {
+        r.day: (r.n_buckets, r.n_present, r.v_zero, r.s_scaled)
+        for r in hll_sliding_distinct(
+            df, "user", "day", window=3, p=6
+        ).collect()
+    }
+    days = sorted({d for _, d in rows})
+    assert set(got) == set(days)
+    for end in days:
+        in_win = [d for d in days if end - 3 < d <= end]
+        keys = [u for u, d in rows if d in in_win]
+        wdf = spark.createDataFrame([(k,) for k in keys], "user long")
+        want = hll_integer_core(hll_build(wdf, "user", p=6), p=6).collect()[0]
+        assert got[end] == (
+            len(in_win), want.n_present, want.v_zero, want.s_scaled
+        ), end
 
 
 def test_build_plan_single_exchange_jvm_only(spark):

@@ -6823,6 +6823,68 @@ def q_suffix_array(spark, sf_dir):
     return suffix_array(_suffix_docs(spark, sf_dir)).orderBy("sa_rank")
 
 
+def q_waterfill(spark, sf_dir):
+    """Proportional-fair crawl-budget allocation by water-filling
+    (operators/waterfill.py): per-source demand = 3× doc count,
+    weight = (len(source) mod 4)+1, global budget 700 (< total
+    demand, so the bisection path runs). The DuckDB oracle replays
+    the IDENTICAL integer (lo, hi) bisection trajectory with a
+    recursive CTE and the same allocation/leftover arithmetic."""
+    from metal_history_knowledge_graph_spark.operators.waterfill import (
+        waterfill_budget,
+    )
+
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull())
+        .groupBy(F.col("source").alias("host"))
+        .agg((F.count(F.lit(1)) * 3).cast("long").alias("demand"))
+        .withColumn(
+            "weight", (F.length("host") % 4 + 1).cast("long")
+        )
+    )
+    return waterfill_budget(hosts, 700).orderBy("host")
+
+
+def _waterfill_oracle(budget: int = 700) -> str:
+    return f"""
+        WITH RECURSIVE hosts AS (
+            SELECT source AS host, CAST(count(*) * 3 AS BIGINT) AS d,
+                   CAST(length(source) % 4 + 1 AS BIGINT) AS w
+            FROM documents WHERE source IS NOT NULL GROUP BY source
+        ), caps AS (
+            SELECT CAST(coalesce(max((d * 1000000 + w - 1) // w), 0) + 1
+                        AS BIGINT) AS cap,
+                   CAST(coalesce(sum(d), 0) AS BIGINT) AS td
+            FROM hosts
+        ), bs(lo, hi) AS (
+            SELECT CAST(0 AS BIGINT), cap FROM caps
+            UNION ALL
+            SELECT CASE WHEN (SELECT sum(least(d,
+                            ((lo + hi) // 2 * w) // 1000000)) FROM hosts)
+                            <= {budget}
+                        THEN (lo + hi) // 2 ELSE lo END,
+                   CASE WHEN (SELECT sum(least(d,
+                            ((lo + hi) // 2 * w) // 1000000)) FROM hosts)
+                            <= {budget}
+                        THEN hi ELSE (lo + hi) // 2 END
+            FROM bs WHERE lo + 1 < hi
+        ), lam AS (
+            SELECT CASE WHEN (SELECT td FROM caps) <= {budget}
+                        THEN (SELECT cap FROM caps)
+                        ELSE (SELECT lo FROM bs WHERE lo + 1 >= hi) END AS l
+        ), alloc AS (
+            SELECT host, d AS demand, w AS weight,
+                   CAST(least(d, (l * w) // 1000000) AS BIGINT) AS alloc,
+                   CAST(l AS BIGINT) AS lambda_micro
+            FROM hosts, lam
+        )
+        SELECT *, CAST({budget} - (SELECT sum(alloc) FROM alloc) AS BIGINT)
+                   AS leftover
+        FROM alloc ORDER BY host
+    """
+
+
 def q_hll_sliding(spark, sf_dir):
     """Sliding-window distinct users from mergeable per-day HLL
     sketches (hll.hll_sliding_distinct — the dashboard query that
@@ -7989,6 +8051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_calibration": q_calibration,
         "q_winnow_probe": q_winnow_probe,
         "q_hll_sliding": q_hll_sliding,
+        "q_waterfill": q_waterfill,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -10448,6 +10511,7 @@ def oracle_sql() -> dict[str, str]:
         "q_calibration": _calibration_oracle(),
         "q_winnow_probe": _winnow_probe_oracle(),
         "q_hll_sliding": _hll_sliding_oracle(),
+        "q_waterfill": _waterfill_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

@@ -6823,6 +6823,135 @@ def q_suffix_array(spark, sf_dir):
     return suffix_array(_suffix_docs(spark, sf_dir)).orderBy("sa_rank")
 
 
+def q_rbo(spark, sf_dir):
+    """Rank-biased overlap@10 (search_quality.rbo_overlap — Webber et
+    al. 2010, the ranking-drift monitor between engine versions) over
+    two deterministic md5 pseudo-rankings of a 50-doc pool for 20
+    queries (inputs arbitrary BY DESIGN; the metric arithmetic is
+    what's under test). The oracle replays both rankings, the
+    first-common-depth max(rank) trick and the pinned suffix-weight
+    join."""
+    from pyspark.sql.window import Window
+
+    from metal_history_knowledge_graph_spark.operators.search_quality import (
+        rbo_overlap,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    qs = docs.select((F.col("doc_id") % 20).alias("query_id")).distinct()
+    cand = qs.crossJoin(docs.select("doc_id"))
+
+    def _ranked(salt):
+        pr = F.md5(
+            F.concat(
+                F.lit(salt),
+                F.col("query_id").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        return cand.withColumn("_pr", pr).withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("_pr")
+            ),
+        ).filter(F.col("rank") <= 10)
+
+    return rbo_overlap(
+        _ranked("ra:"), _ranked("rb:"), k=10, p_milli=900, id_col="doc_id"
+    ).orderBy("query_id")
+
+
+def _rbo_oracle() -> str:
+    from metal_history_knowledge_graph_spark.operators.search_quality import (
+        rbo_suffix_weights_ppb,
+    )
+
+    vals = ", ".join(f"({m}, {w})" for m, w in rbo_suffix_weights_ppb(10, 900))
+    return f"""
+        WITH docs AS (
+            SELECT doc_id FROM documents WHERE doc_id < 50
+        ), qs AS (
+            SELECT DISTINCT doc_id % 20 AS query_id FROM docs
+        ), cand AS (
+            SELECT q.query_id, d.doc_id FROM qs q, docs d
+        ), ra AS (
+            SELECT * FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY
+                           md5('ra:' || query_id || ':' || doc_id)) AS r
+                FROM cand
+            ) WHERE r <= 10
+        ), rb AS (
+            SELECT * FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY
+                           md5('rb:' || query_id || ':' || doc_id)) AS r
+                FROM cand
+            ) WHERE r <= 10
+        ), wts(m, w) AS (VALUES {vals}),
+        common AS (
+            SELECT a.query_id,
+                   CAST(count(*) AS BIGINT) AS n_common,
+                   CAST(sum(w.w) AS BIGINT) AS rbo_ppb
+            FROM ra a
+            JOIN rb b ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+            JOIN wts w ON w.m = greatest(a.r, b.r)
+            GROUP BY a.query_id
+        )
+        SELECT q.query_id,
+               CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+               CAST(coalesce(c.rbo_ppb, 0) AS BIGINT) AS rbo_ppb
+        FROM qs q LEFT JOIN common c USING (query_id)
+        ORDER BY q.query_id
+    """
+
+
+def q_cohorts(spark, sf_dir):
+    """Cohort retention matrix (temporal.cohort_retention) over the
+    event log: weekly buckets (days-since-2024-01-01 div 7), cohort =
+    first active week, per-cell active counts and integer-ppm
+    retention. Oracle replays cohorts, cells and the ppm divide."""
+    from metal_history_knowledge_graph_spark.operators.temporal import (
+        cohort_retention,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "bucket",
+        (
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01")))
+            / 7
+        ).cast("int"),
+    )
+    return cohort_retention(ev).orderBy("cohort", "bucket")
+
+
+def _cohorts_oracle() -> str:
+    return """
+        WITH act AS (
+            SELECT DISTINCT user_id AS u,
+                   CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7
+                        AS BIGINT) AS bucket
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), cohorts AS (
+            SELECT u, min(bucket) AS cohort FROM act GROUP BY u
+        ), sizes AS (
+            SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+            FROM cohorts GROUP BY cohort
+        ), cells AS (
+            SELECT c.cohort, a.bucket, CAST(count(*) AS BIGINT) AS n_active
+            FROM act a JOIN cohorts c USING (u)
+            GROUP BY c.cohort, a.bucket
+        )
+        SELECT cells.cohort, cells.bucket, sizes.cohort_size,
+               cells.n_active,
+               CAST(cells.n_active * 1000000 // sizes.cohort_size
+                    AS BIGINT) AS retention_ppm
+        FROM cells JOIN sizes USING (cohort)
+        ORDER BY cells.cohort, cells.bucket
+    """
+
+
 def q_waterfill(spark, sf_dir):
     """Proportional-fair crawl-budget allocation by water-filling
     (operators/waterfill.py): per-source demand = 3× doc count,
@@ -8052,6 +8181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_probe": q_winnow_probe,
         "q_hll_sliding": q_hll_sliding,
         "q_waterfill": q_waterfill,
+        "q_cohorts": q_cohorts,
+        "q_rbo": q_rbo,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -10512,6 +10643,8 @@ def oracle_sql() -> dict[str, str]:
         "q_winnow_probe": _winnow_probe_oracle(),
         "q_hll_sliding": _hll_sliding_oracle(),
         "q_waterfill": _waterfill_oracle(),
+        "q_cohorts": _cohorts_oracle(),
+        "q_rbo": _rbo_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

@@ -206,6 +206,77 @@ def mean_ndcg(
     )
 
 
+def rbo_suffix_weights_ppb(k: int, p_milli: int = 900) -> list[tuple[int, int]]:
+    """Rank-biased-overlap depth weights (Webber, Moffat & Zobel
+    2010), precomputed as SUFFIX sums: an item first common to both
+    rankings at depth m contributes ``Σ_{d=m..k} (1−p)·p^{d−1}/d`` to
+    truncated RBO@k — so RBO is ONE join plus a sum, never a
+    per-depth loop. Returned as ``(m, weight_ppb)`` with HALF_UP
+    parts-per-billion rounding of each suffix sum (pinned against the
+    float formula in pytest; an SQL oracle inlines the constants)."""
+    p = p_milli / 1000.0
+    terms = [(1 - p) * p ** (d - 1) / d for d in range(1, k + 1)]
+    out = []
+    for m in range(1, k + 1):
+        s = sum(terms[m - 1 :])
+        out.append((m, math_floor(s * 1_000_000_000 + 0.5)))
+    return out
+
+
+def math_floor(x: float) -> int:
+    import math
+
+    return math.floor(x)
+
+
+def rbo_overlap(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    k: int = 10,
+    p_milli: int = 900,
+    query_col: str = "query_id",
+    id_col: str = "doc",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Truncated RBO@k per query between two rankings of the same
+    query set: ``(query, n_common, rbo_ppb)``. An item ranked ``r_a``
+    and ``r_b`` is common from depth ``m = max(r_a, r_b)`` on, so its
+    contribution is the pinned suffix weight at ``m`` — the whole
+    metric is an inner join on (query, item), a broadcast k-row
+    weight join and one sum. Queries present in either ranking with
+    no common top-k items score 0."""
+    spark = rank_a.sparkSession
+    wts = spark.createDataFrame(
+        rbo_suffix_weights_ppb(k, p_milli), "_m int, _w long"
+    )
+    a = rank_a.filter(F.col(rank_col) <= k).select(
+        query_col, id_col, F.col(rank_col).alias("_ra")
+    )
+    b = rank_b.filter(F.col(rank_col) <= k).select(
+        query_col, id_col, F.col(rank_col).alias("_rb")
+    )
+    common = (
+        a.join(b, [query_col, id_col])
+        .withColumn("_m", F.greatest("_ra", "_rb").cast("int"))
+        .join(F.broadcast(wts), "_m")
+        .groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("_w").cast("long").alias("rbo_ppb"),
+        )
+    )
+    qs = (
+        a.select(query_col)
+        .unionByName(b.select(query_col))
+        .distinct()
+    )
+    return qs.join(common, query_col, "left").select(
+        query_col,
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        F.coalesce("rbo_ppb", F.lit(0)).cast("long").alias("rbo_ppb"),
+    )
+
+
 def search_quality_benchmark(
     spark,
     entities: DataFrame,

@@ -393,3 +393,55 @@ def decayed_counts(
             F.max("_b").alias("last_bucket"),
         )
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Cohort retention matrix — the standard activity dashboard: a
+    user's cohort is the integer time bucket of their FIRST event
+    (caller buckets timestamps upstream — day/week arithmetic stays
+    at the call site, the hll_sliding_distinct contract, which keeps
+    timezone semantics out of the operator); for every (cohort,
+    bucket ≥ cohort) cell, how many cohort members were active and
+    what fraction (integer ppm) of the cohort that is. Output:
+    ``(cohort, bucket, cohort_size, n_active, retention_ppm)``. The
+    diagonal is retention 10⁶ by construction (everybody is active in
+    their own first bucket).
+
+    Scale shape: one user-keyed min-agg for cohorts, one distinct on
+    (user, bucket), one join back on the user key, one (cohort,
+    bucket) partial agg — user- and cell-keyed shuffles only, no
+    windows. NULL users/buckets are dropped."""
+    act = (
+        events.filter(
+            F.col(user_col).isNotNull() & F.col(bucket_col).isNotNull()
+        )
+        .select(
+            F.col(user_col).alias("_u"),
+            F.col(bucket_col).cast("long").alias("bucket"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the cohort agg AND the join
+    )
+    cohorts = act.groupBy("_u").agg(F.min("bucket").alias("cohort"))
+    sizes = cohorts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        act.join(cohorts, "_u")
+        .groupBy("cohort", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(sizes, "cohort")
+        .select(
+            "cohort",
+            "bucket",
+            "cohort_size",
+            "n_active",
+            F.expr("n_active * 1000000 div cohort_size")
+            .cast("long")
+            .alias("retention_ppm"),
+        )
+    )

@@ -142,6 +142,46 @@ def test_ndcg_hand_computed_and_log2_pin(spark):
     assert mean.mean_ndcg_ppm == (per_q[1].ndcg_ppm + 0 + 0) // 3
 
 
+def test_rbo_hand_computed_and_formula_pin(spark):
+    """RBO@k: suffix weights pinned against the float Webber et al.
+    formula; identical rankings score Σ all-depth weights (→ the
+    truncated-RBO maximum); disjoint rankings score 0; a hand pair
+    matches the per-item suffix contributions."""
+    import math
+
+    from metal_history_knowledge_graph_spark.operators.search_quality import (
+        rbo_overlap,
+        rbo_suffix_weights_ppb,
+    )
+
+    k, p = 5, 0.9
+    wts = dict(rbo_suffix_weights_ppb(k, 900))
+    for m in range(1, k + 1):
+        want = sum((1 - p) * p ** (d - 1) / d for d in range(m, k + 1))
+        assert wts[m] == math.floor(want * 1e9 + 0.5)
+    ra = spark.createDataFrame(
+        [(1, c, r) for r, c in enumerate("abcde", 1)]
+        + [(2, c, r) for r, c in enumerate("vwxyz", 1)],
+        "query_id int, doc string, rank int",
+    )
+    rb = spark.createDataFrame(
+        # q1: a at 2, b at 1, f new, d at 4 -> common a(m=2), b(m=2), d(m=4)
+        [(1, "b", 1), (1, "a", 2), (1, "f", 3), (1, "d", 4), (1, "g", 5)]
+        + [(2, c, r) for r, c in enumerate("lmnop", 1)],
+        "query_id int, doc string, rank int",
+    )
+    got = {
+        r.query_id: (r.n_common, r.rbo_ppb)
+        for r in rbo_overlap(ra, rb, k=5, p_milli=900).collect()
+    }
+    assert got[1] == (3, wts[2] + wts[2] + wts[4])
+    assert got[2] == (0, 0)
+    ident = rbo_overlap(ra, ra, k=5, p_milli=900).collect()
+    for r in ident:
+        assert r.n_common == 5
+        assert r.rbo_ppb == sum(wts[m] for m in range(1, 6))
+
+
 def test_search_quality_monitor_and_history(spark, built):
     from metal_history_knowledge_graph_spark.operators.embeddings import (
         embed_entities,

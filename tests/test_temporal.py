@@ -601,3 +601,33 @@ def test_decayed_counts_ancient_events_zero(spark):
     r = decayed_counts(ev, key_col="k").collect()[0]
     # the 1990 event is > 30 half-lives old: weight exactly 0
     assert r.n_events == 2 and r.decayed_fixed == 1 << 30
+
+
+def test_cohort_retention_hand_and_properties(spark):
+    from metal_history_knowledge_graph_spark.operators.temporal import (
+        cohort_retention,
+    )
+
+    rows = [
+        # user, bucket; u1 cohort 0 active 0,1,2; u2 cohort 0 active 0,2;
+        # u3 cohort 1 active 1; nulls dropped; duplicate activity rows ok
+        (1, 0), (1, 0), (1, 1), (1, 2),
+        (2, 0), (2, 2),
+        (3, 1),
+        (None, 0), (4, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, bucket int")
+    got = {
+        (r.cohort, r.bucket): (r.cohort_size, r.n_active, r.retention_ppm)
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        (0, 0): (2, 2, 1_000_000),
+        (0, 1): (2, 1, 500_000),
+        (0, 2): (2, 2, 1_000_000),
+        (1, 1): (1, 1, 1_000_000),
+    }
+    # diagonal is always full retention
+    for (c, b), (_, _, ppm) in got.items():
+        if c == b:
+            assert ppm == 1_000_000

@@ -6823,6 +6823,92 @@ def q_suffix_array(spark, sf_dir):
     return suffix_array(_suffix_docs(spark, sf_dir)).orderBy("sa_rank")
 
 
+_MARKOV_TRANS_CTE = """
+        trans AS (
+            SELECT s1, s2, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) * 1000000 //
+                        sum(count(*)) OVER (PARTITION BY s1) AS BIGINT)
+                       AS p_micro
+            FROM (
+                SELECT event_type AS s1,
+                       lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS s2
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                      AND event_type IS NOT NULL
+            ) WHERE s2 IS NOT NULL
+            GROUP BY s1, s2
+        )
+"""
+
+
+def q_markov_trans(spark, sf_dir):
+    """First-order Markov transition table over per-user event
+    streams (operators/markov.transition_matrix): consecutive
+    (state → state) counts in (ts, event_id) order with integer
+    micro-probabilities. Oracle replays the user-partitioned lead,
+    counts and the row-normalizing floor divide."""
+    from metal_history_knowledge_graph_spark.operators.markov import (
+        transition_matrix,
+    )
+
+    return transition_matrix(_t(spark, sf_dir, "events")).orderBy("s1", "s2")
+
+
+def q_markov_mass(spark, sf_dir):
+    """3-step Markov mass propagation (operators/markov.markov_k_step)
+    from the lexicographically-first event type, per-term floored
+    BIGINT arithmetic (mass leaks ≤ 1 micro per term per step,
+    deterministically). Oracle chains three propagation CTEs over the
+    replayed transition table — the pagerank-replay idiom."""
+    from metal_history_knowledge_graph_spark.operators.markov import (
+        markov_k_step,
+        transition_matrix,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    trans = transition_matrix(ev)
+    start = ev.agg(F.min("event_type")).collect()[0][0]
+    return markov_k_step(trans, start, k=3).orderBy("state")
+
+
+def _markov_trans_oracle() -> str:
+    return (
+        "WITH "
+        + _MARKOV_TRANS_CTE
+        + """
+        SELECT s1, s2, n, p_micro FROM trans ORDER BY s1, s2
+    """
+    )
+
+
+def _markov_mass_oracle() -> str:
+    steps = []
+    for i in range(1, 4):
+        steps.append(f"""
+        , m{i} AS (
+            SELECT t.s2 AS state,
+                   CAST(sum((m.mass_micro * t.p_micro) // 1000000)
+                        AS BIGINT) AS mass_micro
+            FROM m{i - 1} m JOIN trans t ON t.s1 = m.state
+            GROUP BY t.s2
+            HAVING sum((m.mass_micro * t.p_micro) // 1000000) > 0
+        )""")
+    return (
+        "WITH "
+        + _MARKOV_TRANS_CTE
+        + """
+        , m0 AS (
+            SELECT (SELECT min(event_type) FROM events) AS state,
+                   CAST(1000000 AS BIGINT) AS mass_micro
+        )"""
+        + "".join(steps)
+        + """
+        SELECT state, mass_micro FROM m3 ORDER BY state
+    """
+    )
+
+
 def q_rbo(spark, sf_dir):
     """Rank-biased overlap@10 (search_quality.rbo_overlap — Webber et
     al. 2010, the ranking-drift monitor between engine versions) over
@@ -8183,6 +8269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_waterfill": q_waterfill,
         "q_cohorts": q_cohorts,
         "q_rbo": q_rbo,
+        "q_markov_trans": q_markov_trans,
+        "q_markov_mass": q_markov_mass,
         # oracle-backed, green driver rows in CORRECTNESS_r02
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
@@ -10645,6 +10733,8 @@ def oracle_sql() -> dict[str, str]:
         "q_waterfill": _waterfill_oracle(),
         "q_cohorts": _cohorts_oracle(),
         "q_rbo": _rbo_oracle(),
+        "q_markov_trans": _markov_trans_oracle(),
+        "q_markov_mass": _markov_mass_oracle(),
         # z-order: range normalization + unrolled 16-bit interleave,
         # all BIGINT shift/mask — bit-identical replay
         "q_zorder": f"""

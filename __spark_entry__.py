@@ -8126,12 +8126,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS_r02 too); every displaced pair stays pinned each run
     by tests/test_oracle_parity.py, which checks ALL oracle pairs
     regardless of position. Immediately after the window sit the
-    THIRTY oracles new this round (kg_entity_counts …
-    q_sitemap_recrawl, positions 51-80 — parity-green at sf0.001 and
-    sf0.01, the round-5 rotation window), then the remaining
-    oracle-backed catalog. As of r4 EVERY entry, including all kg_*
-    pipeline queries, carries an exact DuckDB oracle — no rows-only
-    tail."""
+    EIGHTY-PLUS oracles new this round (kg_entity_counts …
+    q_markov_mass, positions 51-134 — parity-green at sf0.001 and
+    sf0.01; see CLAUDE.md for the full r5 rotation-window listing),
+    then the remaining oracle-backed catalog. As of r4 EVERY entry,
+    including all kg_* pipeline queries, carries an exact DuckDB
+    oracle — no rows-only tail."""
     return {
         # ---- driver window: the 50 never-driver-hashed oracles ----
         "q_webtext_prep": q_webtext_prep,

@@ -253,6 +253,7 @@ def default_bench() -> dict:
         ("kn_scaling", "KN_SCALING.json"),
         ("neardup_stream", "NEARDUP_STREAM_RECORDED.json"),
         ("fuzzy_scaling", "FUZZY_SCALING.json"),
+        ("suffix_scaling", "SUFFIX_SCALING.json"),
     ):
         p = os.path.join(REPO, fname)
         if os.path.isfile(p):

@@ -214,19 +214,14 @@ def rbo_suffix_weights_ppb(k: int, p_milli: int = 900) -> list[tuple[int, int]]:
     per-depth loop. Returned as ``(m, weight_ppb)`` with HALF_UP
     parts-per-billion rounding of each suffix sum (pinned against the
     float formula in pytest; an SQL oracle inlines the constants)."""
-    p = p_milli / 1000.0
-    terms = [(1 - p) * p ** (d - 1) / d for d in range(1, k + 1)]
-    out = []
-    for m in range(1, k + 1):
-        s = sum(terms[m - 1 :])
-        out.append((m, math_floor(s * 1_000_000_000 + 0.5)))
-    return out
-
-
-def math_floor(x: float) -> int:
     import math
 
-    return math.floor(x)
+    p = p_milli / 1000.0
+    terms = [(1 - p) * p ** (d - 1) / d for d in range(1, k + 1)]
+    return [
+        (m, math.floor(sum(terms[m - 1 :]) * 1_000_000_000 + 0.5))
+        for m in range(1, k + 1)
+    ]
 
 
 def rbo_overlap(

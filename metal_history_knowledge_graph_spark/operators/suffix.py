@@ -80,16 +80,18 @@ def _rank_levels(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_rounds: int = 64,
+    keep_levels: bool = False,
 ) -> tuple[DataFrame, list[tuple[int, DataFrame]], int]:
     """Shared prefix-doubling kernel: returns ``(final_ranks, levels,
     max_len)`` where ``levels`` is the list of ``(h, ranks_h)`` rank
     tables produced on the way — ``ranks_h`` dense-ranks every suffix
     by its first ``h`` characters (whole string where shorter). The
-    levels are what :func:`lcp_adjacent` walks; plain
-    :func:`suffix_ranks` callers just take the final table. Each level
-    is an eagerly localCheckpoint-ed (id, pos, rank) table — log
-    maxlen copies of the position table, the standard space trade of
-    doubling-based LCP (kept per shard, never globally, at scale)."""
+    levels are what :func:`lcp_adjacent` walks (``keep_levels=True``);
+    plain :func:`suffix_ranks` passes False so superseded level
+    checkpoints drop their last reference each round and the context
+    cleaner can free them — retaining log(maxlen) copies of the
+    position table is the deliberate space trade of doubling-based
+    LCP, not a tax every SA build should pay."""
     chars = (
         df.filter(F.col(text_col).isNotNull() & (F.length(text_col) >= 1))
         .select(
@@ -123,7 +125,7 @@ def _rank_levels(
         empty = df.sparkSession.createDataFrame([], "_id long, _pos int, _rank long")
         return empty, [], 0
     max_len = stats["maxlen"]  # longest suffix = longest text
-    levels = [(1, r)]
+    levels = [(1, r)] if keep_levels else []
     h = 1
     for _ in range(max_rounds):
         if h >= max_len:
@@ -153,8 +155,9 @@ def _rank_levels(
             .localCheckpoint(eager=True)
         )
         h *= 2
-        levels.append((h, r))
-    return r, levels, max_len
+        if keep_levels:
+            levels.append((h, r))
+    return r, (levels if keep_levels else []), max_len
 
 
 def suffix_ranks(
@@ -254,7 +257,9 @@ def lcp_adjacent(
     every later level sees NULL ranks), so capping by the remaining
     suffix lengths restores exactness.
     """
-    r, levels, _ = _rank_levels(df, text_col, id_col, max_rounds)
+    r, levels, _ = _rank_levels(
+        df, text_col, id_col, max_rounds, keep_levels=True
+    )
     ranks = r.select(
         F.col("_id").alias(id_col),
         F.col("_pos").cast("int").alias("pos"),

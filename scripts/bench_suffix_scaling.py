@@ -33,7 +33,7 @@ spark = (
     SparkSession.builder.master("local[{cores}]")
     .appName("suffix-scaling")
     .config("spark.sql.shuffle.partitions", "{parts}")
-    .config("spark.driver.memory", "24g")
+    .config("spark.driver.memory", "48g")
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
@@ -105,8 +105,11 @@ def run_level(cores, docs, chars, repeats):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=8000)
-    ap.add_argument("--chars", type=int, default=150)
+    # default sized so per-round compute dominates the ~9 synchronous
+    # round barriers' fixed job latency (at 1.2M positions the walls
+    # are latency-bound and 3-core == 12-core; see BENCH.md)
+    ap.add_argument("--docs", type=int, default=135_000)
+    ap.add_argument("--chars", type=int, default=300)
     ap.add_argument("--low", type=int, default=3)
     ap.add_argument("--high", type=int, default=12)
     ap.add_argument("--repeats", type=int, default=2)

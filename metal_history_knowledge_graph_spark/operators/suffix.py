@@ -81,41 +81,45 @@ def _rank_levels(
     id_col: str = "doc_id",
     max_rounds: int = 64,
     keep_levels: bool = False,
+    init_h: int = 8,
 ) -> tuple[DataFrame, list[tuple[int, DataFrame]], int]:
     """Shared prefix-doubling kernel: returns ``(final_ranks, levels,
     max_len)`` where ``levels`` is the list of ``(h, ranks_h)`` rank
     tables produced on the way — ``ranks_h`` dense-ranks every suffix
     by its first ``h`` characters (whole string where shorter). The
-    levels are what :func:`lcp_adjacent` walks (``keep_levels=True``);
-    plain :func:`suffix_ranks` passes False so superseded level
+    levels are what :func:`lcp_adjacent` walks (``keep_levels=True``,
+    which also forces ``init_h=1`` — the walk needs every power of
+    two); plain :func:`suffix_ranks` passes False so superseded level
     checkpoints drop their last reference each round and the context
     cleaner can free them — retaining log(maxlen) copies of the
     position table is the deliberate space trade of doubling-based
-    LCP, not a tax every SA build should pay."""
-    chars = (
+    LCP, not a tax every SA build should pay.
+
+    ``init_h``: doubling starts from ranks of the first ``init_h``
+    characters (dense rank of the literal substrings — shorter
+    substrings ARE the whole-suffix keys and sort first in UTF8
+    binary order, exactly the level-h semantics), the standard
+    k-prefix initialization that removes log₂(init_h) synchronous
+    rounds; there is no driver-side alphabet state in any path."""
+    if keep_levels:
+        init_h = 1
+    base = (
         df.filter(F.col(text_col).isNotNull() & (F.length(text_col) >= 1))
         .select(
             F.col(id_col).alias("_id"),
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(1), F.length(text_col)),
-                    lambda i: F.col(text_col).substr(i, F.lit(1)),
+                    lambda i: F.col(text_col).substr(i, F.lit(int(init_h))),
                 )
             ),
         )
-        .select("_id", (F.col("pos") + 1).alias("_pos"), F.col("col").alias("_c"))
+        .select("_id", (F.col("pos") + 1).alias("_pos"), F.col("col").alias("_k"))
+        .localCheckpoint(eager=True)  # feeds the distinct AND the join-back
     )
-    chars = chars.localCheckpoint(eager=True)  # alphabet probe + first rank
-    # initial ranks: order of the single character. The alphabet is
-    # vocabulary-sized (≤ charset); driver sort is by codepoint, which
-    # equals Spark's UTF8 binary order (UTF-8 preserves codepoint order).
-    alphabet = sorted(r["_c"] for r in chars.select("_c").distinct().collect())
-    spark = df.sparkSession
-    cmap = spark.createDataFrame(
-        [(c, i) for i, c in enumerate(alphabet)], "_c string, _r long"
-    )
-    r = chars.join(F.broadcast(cmap), "_c").select(
-        "_id", "_pos", F.col("_r").alias("_rank")
+    keys0 = _global_dense_rank(base.select("_k").distinct(), ["_k"])
+    r = base.join(keys0, "_k").select(
+        "_id", "_pos", F.col("_grank").alias("_rank")
     ).localCheckpoint(eager=True)
     stats = r.agg(
         F.count(F.lit(1)).alias("n"), F.max("_pos").alias("maxlen")
@@ -125,8 +129,8 @@ def _rank_levels(
         empty = df.sparkSession.createDataFrame([], "_id long, _pos int, _rank long")
         return empty, [], 0
     max_len = stats["maxlen"]  # longest suffix = longest text
-    levels = [(1, r)] if keep_levels else []
-    h = 1
+    levels = [(init_h, r)] if keep_levels else []
+    h = init_h
     for _ in range(max_rounds):
         if h >= max_len:
             break  # prefixes of length h cover every whole suffix —

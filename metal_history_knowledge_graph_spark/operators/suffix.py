@@ -140,28 +140,73 @@ def _rank_levels(
         shifted = r.select(
             "_id", (F.col("_pos") - h).alias("_pos"), F.col("_rank").alias("_r2")
         )
-        pairs = (
-            r.join(shifted, ["_id", "_pos"], "left")
-            .select(
-                "_id",
-                "_pos",
-                F.col("_rank").alias("_r1"),
-                # suffix shorter than h+1 chars: sorts before any
-                # continuation (prefix-of sorts first in byte order)
-                F.coalesce(F.col("_r2"), F.lit(-1)).alias("_r2"),
-            )
-            .localCheckpoint(eager=True)  # feeds distinct AND join-back
+        pairs = r.join(shifted, ["_id", "_pos"], "left").select(
+            "_id",
+            "_pos",
+            F.col("_rank").alias("_r1"),
+            # suffix shorter than h+1 chars: sorts before any
+            # continuation (prefix-of sorts first in byte order)
+            F.coalesce(F.col("_r2"), F.lit(-1)).alias("_r2"),
         )
-        keys = _global_dense_rank(pairs.select("_r1", "_r2").distinct(), ["_r1", "_r2"])
-        r = (
-            pairs.join(keys, ["_r1", "_r2"])
-            .select("_id", "_pos", F.col("_grank").alias("_rank"))
-            .localCheckpoint(eager=True)
-        )
+        # lineage is rooted in the checkpoint inside _rank_from_pairs;
+        # the returned frame is a narrow projection over it, cheap for
+        # the probe + join + shift consumers to re-scan
+        r = _rank_from_pairs(pairs)
         h *= 2
         if keep_levels:
             levels.append((h, r))
     return r, (levels if keep_levels else []), max_len
+
+
+def _rank_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Dense-rank the FULL ``(_id, _pos, _r1, _r2)`` table by
+    (_r1, _r2) in ONE range shuffle: range partition, per-partition
+    sort with a rank-change flag (pair ≠ previous pair), running flag
+    sum as the local rank, broadcast per-partition flag totals as
+    offsets. Equal pairs never straddle a range boundary (the
+    partitioner is a pure function of the key), so a partition's
+    first row always opens a new rank group and local sums + offsets
+    ARE the global dense ranks. Replaces the naive distinct →
+    rank-distinct → join-back (three full shuffles per doubling
+    round) with one."""
+    from pyspark.sql.window import Window as W
+
+    p = pairs.repartitionByRange("_r1", "_r2")
+    w = W.partitionBy("_pid").orderBy("_r1", "_r2")
+    local = (
+        p.withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_new",
+            F.when(
+                (F.lag("_r1").over(w) == F.col("_r1"))
+                & (F.lag("_r2").over(w) == F.col("_r2")),
+                F.lit(0),
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "_lr",
+            F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .localCheckpoint(eager=True)  # feeds the offsets probe AND the output
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in local.groupBy("_pid")
+        .agg(F.sum("_new").alias("n"))
+        .collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(counts):
+        offs.append((pid, acc))
+        acc += counts[pid] or 0
+    if not offs:
+        return local.select(
+            "_id", "_pos", F.lit(0).cast("long").alias("_rank")
+        ).limit(0)
+    off_df = pairs.sparkSession.createDataFrame(offs, "_pid int, _off long")
+    return local.join(F.broadcast(off_df), "_pid").select(
+        "_id", "_pos", (F.col("_off") + F.col("_lr") - 1).alias("_rank")
+    )
 
 
 def suffix_ranks(

@@ -4261,6 +4261,154 @@ def q_bowtie(spark, sf_dir):
     )
 
 
+#: redirect-resolution fixture: 240-node URL-id space carved into the
+#: real failure shapes a fetch log contains — 30-long chains (block
+#: < 120, longer than the hop cap so heads are unresolved and tails
+#: resolved), 4-cycles (120-159), self-redirects (160-199), and alias
+#: fan-in to external targets (200-239); every 7th chain node also
+#: carries a duplicate-fetch second target to exercise the min(dst)
+#: collapse. max_hops = 10 (browser-style cap, small enough that the
+#: cap itself is exercised by the chain block).
+_REDIR_N = 240
+_REDIR_HOPS = 10
+
+
+def _redirect_nodes(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % _REDIR_N).alias("s"))
+        .distinct()
+    )
+
+
+def _redirect_edges(spark, sf_dir):
+    nodes = _redirect_nodes(spark, sf_dir)
+    s = F.col("s")
+    chain = nodes.filter((s < 120) & (s % 30 != 29)).select(
+        s.alias("src"), (s + 1).alias("dst")
+    )
+    dup = nodes.filter((s < 120) & (s % 30 != 29) & (s % 7 == 0)).select(
+        s.alias("src"), (s + 2000).alias("dst")
+    )
+    loop = nodes.filter((s >= 120) & (s < 160)).select(
+        s.alias("src"),
+        (s - ((s - 120) % 4) + ((s - 120 + 1) % 4)).alias("dst"),
+    )
+    self_ = nodes.filter((s >= 160) & (s < 200)).select(
+        s.alias("src"), s.alias("dst")
+    )
+    alias = nodes.filter(s >= 200).select(
+        s.alias("src"), (F.lit(1000) + s % 5).alias("dst")
+    )
+    return chain.unionByName(dup).unionByName(loop).unionByName(
+        self_
+    ).unionByName(alias)
+
+
+def q_redirects(spark, sf_dir):
+    """Redirect-chain resolution (operators/redirects.resolve_redirects
+    — parallel pointer doubling, O(log max_hops) self-joins): every
+    redirect source → (final_url, exact hop count, resolved flag) under
+    a browser-style 10-hop cap; loops / self-redirects / over-cap
+    chains surface as resolved=false with NULL final so the output is a
+    pure function of the graph and DuckDB can verify the DEFINITION by
+    a depth-bounded recursive-CTE walk instead of replaying the
+    doubling trajectory. Reference analogue: requests' implicit
+    per-call redirect following (scripts/scrape_*), done here as a
+    set-oriented graph pass over the fetch log."""
+    from metal_history_knowledge_graph_spark.operators.redirects import (
+        resolve_redirects,
+    )
+
+    return resolve_redirects(
+        _redirect_edges(spark, sf_dir), max_hops=_REDIR_HOPS
+    ).orderBy("url")
+
+
+def q_redirect_repoint(spark, sf_dir):
+    """Link-graph repointing through the resolved redirect map
+    (operators/redirects.repoint_edges): both endpoints of every link
+    collapse to their final landing URL, edges into dead chains
+    (loops / over-cap) are dropped, alias self-links removed, pairs
+    distinct'd. The links fixture is the deterministic s → (7s+3) mod
+    240 permutation over the same node space, so the oracle replays
+    the whole chain (resolution CTE + two left joins) in one
+    statement."""
+    from metal_history_knowledge_graph_spark.operators.redirects import (
+        repoint_edges,
+        resolve_redirects,
+    )
+
+    res = resolve_redirects(
+        _redirect_edges(spark, sf_dir), max_hops=_REDIR_HOPS
+    )
+    links = _redirect_nodes(spark, sf_dir).select(
+        F.col("s").alias("src"),
+        ((F.col("s") * 7 + 3) % _REDIR_N).alias("dst"),
+    )
+    return repoint_edges(links, res).orderBy("src", "dst")
+
+
+#: shared CTE prefix for the two redirect oracles: fixture edges →
+#: min-collapsed functional map → depth-bounded walk → chain exits.
+_REDIR_SQL_CTES = """
+rnodes AS (SELECT DISTINCT o_orderkey % 240 AS s FROM orders),
+redges AS (
+  SELECT s AS src, s + 1 AS dst FROM rnodes WHERE s < 120 AND s % 30 <> 29
+  UNION ALL
+  SELECT s, s + 2000 FROM rnodes
+  WHERE s < 120 AND s % 30 <> 29 AND s % 7 = 0
+  UNION ALL
+  SELECT s, s - ((s - 120) % 4) + ((s - 120 + 1) % 4) FROM rnodes
+  WHERE s >= 120 AND s < 160
+  UNION ALL
+  SELECT s, s FROM rnodes WHERE s >= 160 AND s < 200
+  UNION ALL
+  SELECT s, 1000 + s % 5 FROM rnodes WHERE s >= 200
+),
+rmap AS (SELECT src AS url, min(dst) AS nxt FROM redges GROUP BY src),
+rwalk AS (
+  SELECT url, nxt AS cur, 1 AS hops FROM rmap
+  UNION ALL
+  SELECT w.url, m.nxt, w.hops + 1 FROM rwalk w
+  JOIN rmap m ON w.cur = m.url WHERE w.hops <= 10
+),
+rexits AS (
+  SELECT w.url, w.cur, w.hops FROM rwalk w
+  LEFT JOIN rmap m ON w.cur = m.url
+  WHERE m.url IS NULL AND w.hops <= 10
+),
+rres AS (
+  SELECT r.url, e.cur AS final_url, CAST(e.hops AS BIGINT) AS hops,
+         e.url IS NOT NULL AS resolved
+  FROM rmap r LEFT JOIN rexits e ON r.url = e.url
+)"""
+
+
+def _redirects_oracle() -> str:
+    return (
+        f"WITH RECURSIVE {_REDIR_SQL_CTES}\n"
+        "SELECT url, final_url, hops, resolved FROM rres ORDER BY url"
+    )
+
+
+def _redirect_repoint_oracle() -> str:
+    return (
+        f"WITH RECURSIVE {_REDIR_SQL_CTES},\n"
+        "rlinks AS (SELECT s AS src, (s * 7 + 3) % 240 AS dst FROM rnodes),\n"
+        "rp AS (\n"
+        "  SELECT coalesce(a.final_url, l.src) AS src2,\n"
+        "         coalesce(b.final_url, l.dst) AS dst2,\n"
+        "         (a.url IS NULL OR a.resolved)\n"
+        "         AND (b.url IS NULL OR b.resolved) AS keep\n"
+        "  FROM rlinks l\n"
+        "  LEFT JOIN rres a ON l.src = a.url\n"
+        "  LEFT JOIN rres b ON l.dst = b.url)\n"
+        "SELECT DISTINCT src2 AS src, dst2 AS dst FROM rp\n"
+        "WHERE keep AND src2 <> dst2 ORDER BY src, dst"
+    )
+
+
 def _scc_oracle() -> str:
     return (
         f"WITH RECURSIVE {_SCC_SQL_CTES}\n"
@@ -8333,6 +8481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_asof_join": q_asof_join,
         "q_search_quality": q_search_quality,
+        # ---- round-4 continuation (second session) ----
+        "q_redirects": q_redirects,
+        "q_redirect_repoint": q_redirect_repoint,
     }
 
 
@@ -10694,6 +10845,8 @@ def oracle_sql() -> dict[str, str]:
         "q_random_walks": _walks_oracle(walk_len=4, walks_per_node=2),
         "q_assortativity": _assortativity_oracle(),
         "q_scc": _scc_oracle(),
+        "q_redirects": _redirects_oracle(),
+        "q_redirect_repoint": _redirect_repoint_oracle(),
         "q_scc_dag": _scc_dag_oracle(),
         "q_bowtie": _bowtie_oracle(),
         "q_trap_hosts": _trap_hosts_oracle(),

@@ -1510,6 +1510,77 @@ def _pagerank_weighted_oracle(
     )
 
 
+def q_textrank(spark, sf_dir):
+    """Corpus-level TextRank keywords (operators/textrank): weighted
+    PageRank over the adjacent-word co-occurrence graph of the
+    documents table, top-20 by (rank DESC, term ASC). Composes two
+    verified replay patterns — the shared whitespace tokenizer
+    (q_tfidf_keywords parity) builds the graph, and the
+    pagerank_weighted (r div W)·w BIGINT trajectory (q_pagerank_weighted
+    parity) ranks it — so the DuckDB oracle rebuilds the SAME graph
+    from raw text and replays the SAME five-iteration integer fixed
+    point via chained CTEs. No export tables."""
+    from metal_history_knowledge_graph_spark.operators.textrank import (
+        textrank_keywords,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return textrank_keywords(docs, n_iters=5, k=20)
+
+
+def _textrank_oracle(
+    n_iters: int = 5, damping: int = 85, scale: int = 10**12, k: int = 20
+) -> str:
+    """Graph rebuild from raw text + the _pagerank_weighted_oracle
+    iteration body, ending in the top-k cut."""
+    toks = (
+        "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        "x -> length(x) > 0)"
+    )
+    ctes = [
+        f"WITH tr_toks AS (SELECT {toks} AS t FROM documents)",
+        "tr_adj AS (\n"
+        "  SELECT least(t[i], t[i + 1]) AS a, greatest(t[i], t[i + 1]) AS b\n"
+        "  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tr_toks)\n"
+        "  WHERE t[i] <> t[i + 1])",
+        "tr_cnt AS (SELECT a, b, CAST(count(*) AS BIGINT) AS w\n"
+        "  FROM tr_adj GROUP BY a, b)",
+        "wedges AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM tr_cnt\n"
+        "  UNION ALL SELECT b, a, w FROM tr_cnt)",
+        "wnodes AS (SELECT src AS node FROM wedges UNION SELECT dst FROM wedges)",
+        "wparams AS (SELECT count(*) AS n FROM wnodes)",
+        "wdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wtot"
+        " FROM wedges GROUP BY 1)",
+        f"w0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS r "
+        "FROM wnodes CROSS JOIN wparams)",
+    ]
+    for i in range(1, n_iters + 1):
+        prev = f"w{i - 1}"
+        ctes.append(
+            f"w{i} AS (\n"
+            f"  SELECT p.node, CAST(\n"
+            f"    (({100 - damping} * {scale}) // (100 * wparams.n))\n"
+            f"    + ({damping} * coalesce(s.contrib, 0)) // 100\n"
+            f"  AS BIGINT) AS r\n"
+            f"  FROM wnodes p CROSS JOIN wparams\n"
+            f"  LEFT JOIN (\n"
+            f"    SELECT e2.dst AS node,\n"
+            f"           CAST(sum(({prev}.r // wdeg.wtot) * e2.w) AS BIGINT)"
+            f" AS contrib\n"
+            f"    FROM wedges e2\n"
+            f"    JOIN {prev} ON e2.src = {prev}.node\n"
+            f"    JOIN wdeg ON e2.src = wdeg.src\n"
+            f"    GROUP BY e2.dst\n"
+            f"  ) s ON p.node = s.node\n"
+            f")"
+        )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT node AS term, r AS rank_fixed FROM w{n_iters}"
+        f" ORDER BY rank_fixed DESC, term LIMIT {k}"
+    )
+
+
 def q_hits(spark, sf_dir):
     """Fixed-point integer HITS hubs-and-authorities
     (operators/graph_algos.hits) over the derived functional graph —
@@ -8484,6 +8555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-4 continuation (second session) ----
         "q_redirects": q_redirects,
         "q_redirect_repoint": q_redirect_repoint,
+        "q_textrank": q_textrank,
     }
 
 
@@ -10847,6 +10919,7 @@ def oracle_sql() -> dict[str, str]:
         "q_scc": _scc_oracle(),
         "q_redirects": _redirects_oracle(),
         "q_redirect_repoint": _redirect_repoint_oracle(),
+        "q_textrank": _textrank_oracle(),
         "q_scc_dag": _scc_dag_oracle(),
         "q_bowtie": _bowtie_oracle(),
         "q_trap_hosts": _trap_hosts_oracle(),

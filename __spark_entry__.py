@@ -468,6 +468,136 @@ def q_url_canon(spark, sf_dir):
     return canonicalize_urls(urls).select("doc_id", "canonical_url")
 
 
+def _surt_fixture(spark, sf_dir):
+    """Deterministic capture-log URLs exercising every SURT rule: www
+    stripping, non-default ports, multi-label public-suffix hosts,
+    bytewise param sort before the lowercase, empty paths, non-URLs."""
+    docs = _t(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 6).cast("int")
+    did = F.col("doc_id").cast("string")
+    return docs.select(
+        "doc_id",
+        F.when(m == 0, F.concat(F.lit("HTTP://WWW.Example.COM:80/Blog/"),
+                                did, F.lit("?b=2&utm_source=x&a=1#f")))
+        .when(m == 1, F.lit("https://Sub.Shop.Example.CO.uk:8443/Deals?Z=9&y=8"))
+        .when(m == 2, F.concat(F.lit("https://www2.example.com/Shared/"),
+                               did, F.lit("/")))
+        .when(m == 3, F.concat(F.lit("http://site"),
+                               (F.col("doc_id") % 7).cast("string"),
+                               F.lit(".NET/p?id="), did))
+        .when(m == 4, F.lit("https://example.com#top"))
+        .otherwise(F.concat(F.lit("not a url "), did)).alias("url"),
+    )
+
+
+#: the SURT oracles' fixture + full canonicalize→surt expression
+#: chain, shared by q_surt and q_cdx_lookup.
+_SURT_SQL_CTES = r"""
+surls AS (
+    SELECT doc_id,
+        CASE CAST(doc_id % 6 AS INT)
+          WHEN 0 THEN 'HTTP://WWW.Example.COM:80/Blog/' || CAST(doc_id AS VARCHAR) || '?b=2&utm_source=x&a=1#f'
+          WHEN 1 THEN 'https://Sub.Shop.Example.CO.uk:8443/Deals?Z=9&y=8'
+          WHEN 2 THEN 'https://www2.example.com/Shared/' || CAST(doc_id AS VARCHAR) || '/'
+          WHEN 3 THEN 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.NET/p?id=' || CAST(doc_id AS VARCHAR)
+          WHEN 4 THEN 'https://example.com#top'
+          ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
+        END AS url
+    FROM documents
+), srawparts AS (
+    SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth_raw,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS raw_path,
+        list_sort(list_filter(
+            string_split(regexp_extract(url, '^[^#?]*\?([^#]*)', 1), '&'),
+            x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)')
+        )) AS params
+    FROM surls
+), sparts AS (
+    SELECT doc_id, url, scheme, raw_path, params,
+        regexp_extract(auth_raw, '^(.*@)', 1)
+          || lower(regexp_extract(auth_raw, '^(?:.*@)?([^@]*)$', 1)) AS authority
+    FROM srawparts
+), sbuilt AS (
+    SELECT doc_id, url, scheme,
+        CASE WHEN scheme = 'http' THEN regexp_replace(authority, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(authority, ':443$', '')
+             ELSE authority END AS host,
+        CASE WHEN raw_path = '' THEN '/'
+             WHEN length(raw_path) > 1 AND raw_path LIKE '%/' THEN substr(raw_path, 1, length(raw_path) - 1)
+             ELSE raw_path END AS path,
+        CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS query
+    FROM sparts
+), ssplit AS (
+    SELECT doc_id, url, scheme,
+        regexp_extract(regexp_extract(host, '^(?:.*@)?([^@]*)$', 1), ':(\d+)$', 1) AS port,
+        regexp_replace(regexp_replace(
+            regexp_extract(host, '^(?:.*@)?([^@]*)$', 1), ':\d+$', ''),
+            '^www\d*\.', '') AS bare,
+        lower(path || query) AS pathq
+    FROM sbuilt
+), ssurt AS (
+    SELECT doc_id, url,
+        CASE WHEN scheme = '' THEN NULL
+             ELSE array_to_string(list_reverse(string_split(bare, '.')), ',')
+                  || CASE WHEN port <> '' THEN ':' || port ELSE '' END
+                  || ')' || pathq END AS surt
+    FROM ssplit
+)"""
+
+
+def q_surt(spark, sf_dir):
+    """SURT sort keys (operators/cdx.surt_key — the Common-Crawl /
+    web-archive CDX key transform): canonicalize, drop userinfo, split
+    the port, strip the www label, reverse host labels comma-joined,
+    ')' + lowercased path?query; non-URLs → NULL. One native
+    expression tree; the oracle replays the full canonicalize→surt
+    chain per row in DuckDB (common regex subset)."""
+    from metal_history_knowledge_graph_spark.operators.cdx import surt_key
+
+    return (
+        _surt_fixture(spark, sf_dir)
+        .select("doc_id", surt_key(F.col("url")).alias("surt"))
+        .orderBy("doc_id")
+    )
+
+
+def q_cdx_lookup(spark, sf_dir):
+    """CDX-style capture-index prefix lookup (operators/cdx.cdx_index +
+    cdx_prefix_lookup): index the fixture captures by (surt, ts) and
+    answer "every capture under com,example)" — the web-archive range
+    scan, here a range-partitioned sorted layout whose parquet footers
+    prune the files a prefix touches (pinned in test_cdx). The oracle
+    replays key derivation + the LIKE-prefix cut + capture order."""
+    from metal_history_knowledge_graph_spark.operators.cdx import (
+        cdx_index,
+        cdx_prefix_lookup,
+    )
+
+    caps = _surt_fixture(spark, sf_dir).select(
+        "url", F.col("doc_id").alias("ts")
+    )
+    idx = cdx_index(caps, url_col="url", ts_col="ts", n_partitions=8)
+    return cdx_prefix_lookup(idx, "com,example)")
+
+
+def _surt_oracle() -> str:
+    return (
+        f"WITH {_SURT_SQL_CTES}\n"
+        "SELECT doc_id, surt FROM ssurt ORDER BY doc_id"
+    )
+
+
+def _cdx_lookup_oracle() -> str:
+    return (
+        f"WITH {_SURT_SQL_CTES}\n"
+        "SELECT surt, CAST(doc_id AS BIGINT) AS ts, url FROM ssurt\n"
+        "WHERE surt LIKE 'com,example)%'\n"
+        "ORDER BY surt, ts"
+    )
+
+
 def q_profile(spark, sf_dir):
     """Single-pass table profile (operators/profile.py) in exact mode
     over the documents table; the oracle replays every per-column
@@ -8556,6 +8686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_redirects": q_redirects,
         "q_redirect_repoint": q_redirect_repoint,
         "q_textrank": q_textrank,
+        "q_surt": q_surt,
+        "q_cdx_lookup": q_cdx_lookup,
     }
 
 
@@ -10920,6 +11052,8 @@ def oracle_sql() -> dict[str, str]:
         "q_redirects": _redirects_oracle(),
         "q_redirect_repoint": _redirect_repoint_oracle(),
         "q_textrank": _textrank_oracle(),
+        "q_surt": _surt_oracle(),
+        "q_cdx_lookup": _cdx_lookup_oracle(),
         "q_scc_dag": _scc_dag_oracle(),
         "q_bowtie": _bowtie_oracle(),
         "q_trap_hosts": _trap_hosts_oracle(),

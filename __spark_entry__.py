@@ -598,6 +598,172 @@ def _cdx_lookup_oracle() -> str:
     )
 
 
+def _jsonld_fixture(spark, sf_dir):
+    """Deterministic pages with embedded JSON-LD: a MusicGroup block
+    on every page (with a JSON null property every 6th), a nested
+    MusicAlbum block every 2nd, a malformed block every 3rd, a
+    top-level array every 5th, an untyped object every 4th — the
+    lanes real markup actually contains. Minified JSON throughout so
+    both engines' re-serialization is byte-identical."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    band = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@context":"https://schema.org","@type":"MusicGroup",'
+              '"name":"Band'), did,
+        F.lit('","foundingDate":"'),
+        (F.col("doc_id") % 30 + 1980).cast("string"),
+        F.lit('","active":'),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("true")).otherwise(
+            F.lit("false")),
+        F.when(F.col("doc_id") % 6 == 0, F.lit(',"award":null')).otherwise(
+            F.lit("")),
+        F.lit("}</script>"),
+    )
+    album = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('<SCRIPT TYPE="application/ld+json">'
+                  '{"@type":"MusicAlbum","name":"Album'), did,
+            F.lit('","numTracks":'), (F.col("doc_id") % 13).cast("string"),
+            F.lit(',"byArtist":{"@type":"MusicGroup","name":"Band'), did,
+            F.lit('"}}</SCRIPT>'),
+        ),
+    ).otherwise(F.lit(""))
+    broken = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit('<script type="application/ld+json">{broken'), did,
+                 F.lit("</script>")),
+    ).otherwise(F.lit(""))
+    arr = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.lit('<script type="application/ld+json">'
+              '[{"@type":"ItemList"}]</script>'),
+    ).otherwise(F.lit(""))
+    untyped = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit('<script type="application/ld+json">{"name":"site'),
+                 did, F.lit('"}</script>')),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        F.concat(F.lit("http://ex.com/d"), did).alias("url"),
+        F.concat(
+            F.lit('<html><head><script src="app.js"></script>'),
+            band, album, broken, arr, untyped,
+            F.lit("<body><p>text</p></body></html>"),
+        ).alias("html"),
+    )
+
+
+#: fixture re-assembly + the block/parse/explode replay, shared by the
+#: two JSON-LD oracles.
+_JSONLD_SQL_CTES = r"""
+jl_pages AS (
+    SELECT 'http://ex.com/d' || CAST(doc_id AS VARCHAR) AS url,
+        '<html><head><script src="app.js"></script>'
+        || '<script type="application/ld+json">{"@context":"https://schema.org","@type":"MusicGroup","name":"Band'
+        || CAST(doc_id AS VARCHAR) || '","foundingDate":"'
+        || CAST(doc_id % 30 + 1980 AS VARCHAR) || '","active":'
+        || CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END
+        || CASE WHEN doc_id % 6 = 0 THEN ',"award":null' ELSE '' END
+        || '}</script>'
+        || CASE WHEN doc_id % 2 = 0 THEN
+             '<SCRIPT TYPE="application/ld+json">{"@type":"MusicAlbum","name":"Album'
+             || CAST(doc_id AS VARCHAR) || '","numTracks":'
+             || CAST(doc_id % 13 AS VARCHAR)
+             || ',"byArtist":{"@type":"MusicGroup","name":"Band'
+             || CAST(doc_id AS VARCHAR) || '"}}</SCRIPT>'
+           ELSE '' END
+        || CASE WHEN doc_id % 3 = 0 THEN
+             '<script type="application/ld+json">{broken'
+             || CAST(doc_id AS VARCHAR) || '</script>'
+           ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN
+             '<script type="application/ld+json">[{"@type":"ItemList"}]</script>'
+           ELSE '' END
+        || CASE WHEN doc_id % 4 = 0 THEN
+             '<script type="application/ld+json">{"name":"site'
+             || CAST(doc_id AS VARCHAR) || '"}</script>'
+           ELSE '' END
+        || '<body><p>text</p></body></html>' AS html
+    FROM documents
+), jl_split AS (
+    SELECT url, regexp_extract_all(html,
+        '(?is)<script[^>]*type="application/ld\+json"[^>]*>(.*?)</script>',
+        1) AS blocks
+    FROM jl_pages
+), jl_idx AS (
+    SELECT url, blocks, unnest(range(1, len(blocks) + 1)) AS i FROM jl_split
+), jl_blocks AS (
+    SELECT url, CAST(i - 1 AS INT) AS block_idx, trim(blocks[i]) AS json_text
+    FROM jl_idx
+), jl_valid AS (
+    SELECT url, block_idx, TRY_CAST(json_text AS JSON) AS j FROM jl_blocks
+), jl_obj AS (
+    SELECT url, block_idx, j FROM jl_valid
+    WHERE j IS NOT NULL AND json_type(j) = 'OBJECT'
+), jl_keys AS (
+    SELECT url, block_idx, j,
+        json_extract_string(j, '@type') AS item_type,
+        unnest(json_keys(j)) AS prop
+    FROM jl_obj
+), jl_props AS (
+    SELECT url, block_idx, item_type, prop,
+        json_extract_string(j, prop) AS value
+    FROM jl_keys WHERE prop NOT LIKE '@%'
+)"""
+
+
+def q_jsonld(spark, sf_dir):
+    """Schema.org JSON-LD extraction (operators/structured.py): every
+    top-level property of every valid top-level-object block, with
+    malformed JSON / top-level arrays dropped and nested values kept
+    as minified JSON text. Parsing is native Jackson (from_json to
+    map<string,string>) — no Python — and the oracle replays block
+    regex, validity lanes, and per-key extraction with DuckDB's JSON
+    type, whose minified re-serialization matches Jackson's
+    byte-for-byte (pinned in test_structured)."""
+    from metal_history_knowledge_graph_spark.operators.structured import (
+        extract_jsonld,
+    )
+
+    return extract_jsonld(_jsonld_fixture(spark, sf_dir)).orderBy(
+        "url", "block_idx", "prop"
+    )
+
+
+def q_jsonld_rollup(spark, sf_dir):
+    """Per-(item_type, prop) coverage rollup of the declared entities
+    (operators/structured.jsonld_typed_entities) — the table that
+    decides which schema.org predicates join the KG whitelist."""
+    from metal_history_knowledge_graph_spark.operators.structured import (
+        extract_jsonld,
+        jsonld_typed_entities,
+    )
+
+    return jsonld_typed_entities(
+        extract_jsonld(_jsonld_fixture(spark, sf_dir))
+    ).orderBy(F.col("item_type").asc_nulls_first(), "prop")
+
+
+def _jsonld_oracle() -> str:
+    return (
+        f"WITH {_JSONLD_SQL_CTES}\n"
+        "SELECT url, block_idx, item_type, prop, value FROM jl_props\n"
+        "ORDER BY url, block_idx, prop"
+    )
+
+
+def _jsonld_rollup_oracle() -> str:
+    return (
+        f"WITH {_JSONLD_SQL_CTES}\n"
+        "SELECT item_type, prop, CAST(count(*) AS BIGINT) AS n_rows,\n"
+        "       CAST(count(DISTINCT value) AS BIGINT) AS n_values\n"
+        "FROM jl_props GROUP BY item_type, prop\n"
+        "ORDER BY item_type NULLS FIRST, prop"
+    )
+
+
 def q_profile(spark, sf_dir):
     """Single-pass table profile (operators/profile.py) in exact mode
     over the documents table; the oracle replays every per-column
@@ -8688,6 +8854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_textrank": q_textrank,
         "q_surt": q_surt,
         "q_cdx_lookup": q_cdx_lookup,
+        "q_jsonld": q_jsonld,
+        "q_jsonld_rollup": q_jsonld_rollup,
     }
 
 
@@ -11054,6 +11222,8 @@ def oracle_sql() -> dict[str, str]:
         "q_textrank": _textrank_oracle(),
         "q_surt": _surt_oracle(),
         "q_cdx_lookup": _cdx_lookup_oracle(),
+        "q_jsonld": _jsonld_oracle(),
+        "q_jsonld_rollup": _jsonld_rollup_oracle(),
         "q_scc_dag": _scc_dag_oracle(),
         "q_bowtie": _bowtie_oracle(),
         "q_trap_hosts": _trap_hosts_oracle(),

@@ -764,6 +764,191 @@ def _jsonld_rollup_oracle() -> str:
     )
 
 
+def _pagemeta_fixture(spark, sf_dir):
+    """Deterministic pages exercising the directive lanes: robots
+    meta in both attribute orders (incl. none / non-restrictive),
+    rel=nofollow and rel=ugc anchors, canonical links, hreflang
+    pairs."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    meta = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(F.col("doc_id") % 4 == 1,
+              F.lit('<meta content="NOARCHIVE" name="ROBOTS">'))
+        .when(F.col("doc_id") % 4 == 3,
+              F.lit('<meta name="robots" content="all">'))
+        .otherwise(F.lit(""))
+    )
+    anchors = F.concat(
+        F.lit('<a href="http://x.com/a'), (F.col("doc_id") % 10).cast("string"),
+        F.lit('">t</a>'),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit('<a rel="nofollow" href="http://x.com/b'),
+                        (F.col("doc_id") % 10).cast("string"),
+                        F.lit('">t</a>'))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit('<a href="http://x.com/c'),
+                        (F.col("doc_id") % 10).cast("string"),
+                        F.lit('" rel="ugc">t</a>'))).otherwise(F.lit("")),
+    )
+    links = F.concat(
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit('<link rel="canonical" href="http://ex.com/c'),
+                        (F.col("doc_id") % 20).cast("string"),
+                        F.lit('">'))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(
+                   F.lit('<link rel="Alternate" hreflang="EN" href="http://ex.com/d'),
+                   did, F.lit('/en">'),
+                   F.lit('<link rel="alternate" hreflang="de" href="http://ex.com/d'),
+                   did, F.lit('/de">'),
+               )).otherwise(F.lit("")),
+    )
+    return docs.select(
+        F.concat(F.lit("http://ex.com/p"), did).alias("url"),
+        F.concat(
+            F.lit('<html><head><meta charset="utf-8">'), meta, links,
+            F.lit("</head><body>"), anchors, F.lit("</body></html>"),
+        ).alias("html"),
+    )
+
+
+_PM_SQL_PAGES = r"""
+pm_pages AS (
+    SELECT 'http://ex.com/p' || CAST(doc_id AS VARCHAR) AS url,
+        '<html><head><meta charset="utf-8">'
+        || CASE WHEN doc_id % 4 = 0 THEN '<meta name="robots" content="noindex, nofollow">'
+                WHEN doc_id % 4 = 1 THEN '<meta content="NOARCHIVE" name="ROBOTS">'
+                WHEN doc_id % 4 = 3 THEN '<meta name="robots" content="all">'
+                ELSE '' END
+        || CASE WHEN doc_id % 2 = 0 THEN '<link rel="canonical" href="http://ex.com/c' || CAST(doc_id % 20 AS VARCHAR) || '">' ELSE '' END
+        || CASE WHEN doc_id % 3 = 0 THEN
+             '<link rel="Alternate" hreflang="EN" href="http://ex.com/d' || CAST(doc_id AS VARCHAR) || '/en">'
+             || '<link rel="alternate" hreflang="de" href="http://ex.com/d' || CAST(doc_id AS VARCHAR) || '/de">'
+           ELSE '' END
+        || '</head><body>'
+        || '<a href="http://x.com/a' || CAST(doc_id % 10 AS VARCHAR) || '">t</a>'
+        || CASE WHEN doc_id % 3 = 0 THEN '<a rel="nofollow" href="http://x.com/b' || CAST(doc_id % 10 AS VARCHAR) || '">t</a>' ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN '<a href="http://x.com/c' || CAST(doc_id % 10 AS VARCHAR) || '" rel="ugc">t</a>' ELSE '' END
+        || '</body></html>' AS html
+    FROM documents
+)"""
+
+_PM_SQL_ROBOTS = r"""
+pm_meta AS (
+    SELECT url, unnest(regexp_extract_all(html, '(?is)<meta\s[^>]*>', 0)) AS tag
+    FROM pm_pages
+), pm_tok AS (
+    SELECT url,
+        CASE WHEN lower(regexp_extract(tag, '(?is)\sname="([^"]*)"', 1)) = 'robots'
+             THEN list_filter(list_transform(
+                    string_split(lower(regexp_extract(tag, '(?is)\scontent="([^"]*)"', 1)), ','),
+                    x -> trim(x)), x -> x <> '')
+             ELSE [] END AS toks
+    FROM pm_meta
+), pm_flags AS (
+    SELECT url, bool_or(list_contains(toks, 'noindex')) AS noindex,
+           bool_or(list_contains(toks, 'nofollow')) AS nofollow,
+           bool_or(list_contains(toks, 'noarchive')) AS noarchive
+    FROM pm_tok GROUP BY url
+)"""
+
+
+def q_robots_meta(spark, sf_dir):
+    """Page-level robots directives (operators/pagemeta.
+    robots_directives): most-restrictive union of every
+    <meta name="robots"> tag, attribute order independent. The oracle
+    replays the two-stage tag-then-attribute regex parse."""
+    from metal_history_knowledge_graph_spark.operators.pagemeta import (
+        robots_directives,
+    )
+
+    return robots_directives(_pagemeta_fixture(spark, sf_dir)).orderBy("url")
+
+
+def q_nofollow_links(spark, sf_dir):
+    """Endorsement-aware anchor extraction (operators/pagemeta.
+    anchors_with_rel): per-anchor rel=nofollow/ugc/sponsored OR the
+    page-level robots nofollow — the edge flag a PageRank pass must
+    respect (nofollow edges exist for discovery, carry no
+    authority)."""
+    from metal_history_knowledge_graph_spark.operators.pagemeta import (
+        anchors_with_rel,
+    )
+
+    return anchors_with_rel(_pagemeta_fixture(spark, sf_dir)).orderBy(
+        "url", "href", "nofollow"
+    )
+
+
+def q_hreflang(spark, sf_dir):
+    """Declared translation sets (operators/pagemeta.
+    hreflang_alternates): <link rel=alternate hreflang> rows — the
+    publisher-confirmed bitext clusters next to operators/bitext.py's
+    mined URL-template candidates."""
+    from metal_history_knowledge_graph_spark.operators.pagemeta import (
+        hreflang_alternates,
+    )
+
+    return hreflang_alternates(_pagemeta_fixture(spark, sf_dir)).orderBy(
+        "url", "hreflang", "href"
+    )
+
+
+def _robots_meta_oracle() -> str:
+    return (
+        f"WITH {_PM_SQL_PAGES},{_PM_SQL_ROBOTS}\n"
+        "SELECT p.url, coalesce(f.noindex, false) AS noindex,\n"
+        "       coalesce(f.nofollow, false) AS nofollow,\n"
+        "       coalesce(f.noarchive, false) AS noarchive\n"
+        "FROM (SELECT DISTINCT url FROM pm_pages) p\n"
+        "LEFT JOIN pm_flags f USING (url) ORDER BY url"
+    )
+
+
+def _nofollow_links_oracle() -> str:
+    return (
+        f"WITH {_PM_SQL_PAGES},{_PM_SQL_ROBOTS},\n"
+        r"""pm_a AS (
+    SELECT url, unnest(regexp_extract_all(html, '(?is)<a\s[^>]*>', 0)) AS tag
+    FROM pm_pages
+), pm_anchor AS (
+    SELECT url,
+        regexp_extract(tag, '(?is)\shref="([^"]*)"', 1) AS href,
+        list_has_any(
+            list_filter(list_transform(
+                regexp_split_to_array(lower(regexp_extract(tag, '(?is)\srel="([^"]*)"', 1)), '[,\s]+'),
+                x -> trim(x)), x -> x <> ''),
+            ['nofollow', 'ugc', 'sponsored']) AS rel_nofollow
+    FROM pm_a
+)
+SELECT a.url, a.href,
+       (a.rel_nofollow OR coalesce(f.nofollow, false)) AS nofollow
+FROM pm_anchor a LEFT JOIN pm_flags f USING (url)
+WHERE a.href <> ''
+ORDER BY url, href, nofollow"""
+    )
+
+
+def _hreflang_oracle() -> str:
+    return (
+        f"WITH {_PM_SQL_PAGES},\n"
+        r"""pm_l AS (
+    SELECT url, unnest(regexp_extract_all(html, '(?is)<link\s[^>]*>', 0)) AS tag
+    FROM pm_pages
+)
+SELECT url,
+       lower(regexp_extract(tag, '(?is)\shreflang="([^"]*)"', 1)) AS hreflang,
+       regexp_extract(tag, '(?is)\shref="([^"]*)"', 1) AS href
+FROM pm_l
+WHERE lower(regexp_extract(tag, '(?is)\srel="([^"]*)"', 1)) = 'alternate'
+  AND lower(regexp_extract(tag, '(?is)\shreflang="([^"]*)"', 1)) <> ''
+  AND regexp_extract(tag, '(?is)\shref="([^"]*)"', 1) <> ''
+ORDER BY url, hreflang, href"""
+    )
+
+
 def q_profile(spark, sf_dir):
     """Single-pass table profile (operators/profile.py) in exact mode
     over the documents table; the oracle replays every per-column
@@ -8856,6 +9041,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdx_lookup": q_cdx_lookup,
         "q_jsonld": q_jsonld,
         "q_jsonld_rollup": q_jsonld_rollup,
+        "q_robots_meta": q_robots_meta,
+        "q_nofollow_links": q_nofollow_links,
+        "q_hreflang": q_hreflang,
     }
 
 
@@ -11224,6 +11412,9 @@ def oracle_sql() -> dict[str, str]:
         "q_cdx_lookup": _cdx_lookup_oracle(),
         "q_jsonld": _jsonld_oracle(),
         "q_jsonld_rollup": _jsonld_rollup_oracle(),
+        "q_robots_meta": _robots_meta_oracle(),
+        "q_nofollow_links": _nofollow_links_oracle(),
+        "q_hreflang": _hreflang_oracle(),
         "q_scc_dag": _scc_dag_oracle(),
         "q_bowtie": _bowtie_oracle(),
         "q_trap_hosts": _trap_hosts_oracle(),

@@ -764,6 +764,74 @@ def _jsonld_rollup_oracle() -> str:
     )
 
 
+def q_jsonld_mentions(spark, sf_dir):
+    """Declared facts entering the KG pipeline (operators/structured.
+    jsonld_extracted): JSON-LD blocks re-shaped into the SAME
+    union-typed extraction stream the text extractor emits
+    (EXTRACTED_SCHEMA; schema parity pinned in test_structured), so
+    publisher facts canonicalize and materialize alongside text
+    mentions at confidence 1.0. Projected here to the populated core
+    columns; the oracle replays the per-block property pivot, the
+    type mapping, the nested byArtist extraction, and the RELEASED
+    relationship lane."""
+    from metal_history_knowledge_graph_spark.operators.structured import (
+        extract_jsonld,
+        jsonld_extracted,
+    )
+
+    rows = jsonld_extracted(
+        extract_jsonld(_jsonld_fixture(spark, sf_dir))
+    )
+    return rows.select(
+        "kind", "chunk_id", "url", "chunk_index", "idx", "entity_type",
+        "name", "confidence", "formed_year", "title", "artist", "rel_type",
+        "from_entity_type", "from_entity_name", "to_entity_type",
+        "to_entity_name",
+    ).orderBy("url", "chunk_index", "kind")
+
+
+def _jsonld_mentions_oracle() -> str:
+    return (
+        f"WITH {_JSONLD_SQL_CTES},\n"
+        r"""jm_blocks AS (
+    SELECT url, block_idx, item_type,
+        max(CASE WHEN prop = 'name' THEN value END) AS name,
+        max(CASE WHEN prop = 'foundingDate' THEN value END) AS founding,
+        max(CASE WHEN prop = 'byArtist' THEN value END) AS by_artist
+    FROM jl_props GROUP BY url, block_idx, item_type
+), jm_typed AS (
+    SELECT *, url || '#ld#' || lpad(CAST(block_idx AS VARCHAR), 4, '0') AS chunk_id,
+        json_extract_string(TRY_CAST(by_artist AS JSON), 'name') AS artist
+    FROM jm_blocks
+    WHERE item_type IN ('MusicGroup', 'MusicAlbum', 'Person')
+      AND name IS NOT NULL AND name <> ''
+), jm_rows AS (
+    SELECT 'mention' AS kind, chunk_id, url, block_idx AS chunk_index,
+        CAST(0 AS INT) AS idx,
+        CASE item_type WHEN 'MusicGroup' THEN 'band'
+                       WHEN 'MusicAlbum' THEN 'album'
+                       ELSE 'person' END AS entity_type,
+        name, CAST(1.0 AS DOUBLE) AS confidence,
+        CASE WHEN item_type = 'MusicGroup' THEN TRY_CAST(founding AS INT) END AS formed_year,
+        CASE WHEN item_type = 'MusicAlbum' THEN name END AS title,
+        CASE WHEN item_type = 'MusicAlbum' THEN artist END AS artist,
+        CAST(NULL AS VARCHAR) AS rel_type,
+        CAST(NULL AS VARCHAR) AS from_entity_type,
+        CAST(NULL AS VARCHAR) AS from_entity_name,
+        CAST(NULL AS VARCHAR) AS to_entity_type,
+        CAST(NULL AS VARCHAR) AS to_entity_name
+    FROM jm_typed
+    UNION ALL
+    SELECT 'rel', chunk_id, url, block_idx, CAST(1 AS INT),
+        NULL, NULL, NULL, NULL, NULL, NULL,
+        'RELEASED', 'band', artist, 'album', name
+    FROM jm_typed
+    WHERE item_type = 'MusicAlbum' AND artist IS NOT NULL AND artist <> ''
+)
+SELECT * FROM jm_rows ORDER BY url, chunk_index, kind"""
+    )
+
+
 def _pagemeta_fixture(spark, sf_dir):
     """Deterministic pages exercising the directive lanes: robots
     meta in both attribute orders (incl. none / non-restrictive),
@@ -9044,6 +9112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_meta": q_robots_meta,
         "q_nofollow_links": q_nofollow_links,
         "q_hreflang": q_hreflang,
+        "q_jsonld_mentions": q_jsonld_mentions,
     }
 
 
@@ -11415,6 +11484,7 @@ def oracle_sql() -> dict[str, str]:
         "q_robots_meta": _robots_meta_oracle(),
         "q_nofollow_links": _nofollow_links_oracle(),
         "q_hreflang": _hreflang_oracle(),
+        "q_jsonld_mentions": _jsonld_mentions_oracle(),
         "q_scc_dag": _scc_dag_oracle(),
         "q_bowtie": _bowtie_oracle(),
         "q_trap_hosts": _trap_hosts_oracle(),

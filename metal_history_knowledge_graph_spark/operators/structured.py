@@ -90,3 +90,102 @@ def extract_jsonld(
     """Pages → (url, block_idx, item_type, prop, value): the one-call
     composition."""
     return jsonld_properties(extract_jsonld_blocks(df, html_col, url_col))
+
+
+#: schema.org → pipeline entity-type mapping (the declared-fact lanes
+#: this KG consumes; unlisted types stay in the property table for
+#: audits but emit no mentions).
+SCHEMA_ORG_TYPES = {"MusicGroup": "band", "MusicAlbum": "album",
+                    "Person": "person"}
+
+
+def jsonld_extracted(props: DataFrame) -> DataFrame:
+    """Publisher-declared facts as EXTRACTION ROWS: re-shape the
+    property table into the exact union-typed stream
+    ``operators/extract.py`` emits (EXTRACTED_SCHEMA — kind ∈
+    {mention, rel}), so JSON-LD entities flow through the SAME
+    canonicalize → triples → materialize path as text mentions and
+    merge with them by name. Confidence is 1.0: the publisher said so
+    (the blend in functions/confidence.py then favors declared facts
+    over pattern hits, which is the point).
+
+    Emitted lanes: MusicGroup → band mention (+ formed_year from
+    foundingDate); Person → person mention; MusicAlbum → album
+    mention (+ artist from the nested byArtist object) AND a
+    band-RELEASED-album relationship row when byArtist is present.
+    chunk_id = ``url#ld#block`` keeps provenance per block. One
+    block-keyed pivot agg + narrow projections — no extra corpus
+    pass."""
+    from .extract import EXTRACTED_SCHEMA
+
+    spark = props.sparkSession
+    target = spark.createDataFrame([], EXTRACTED_SCHEMA).schema
+    blocks = props.groupBy("url", "block_idx", "item_type").agg(
+        F.map_from_entries(F.collect_list(F.struct("prop", "value"))).alias(
+            "m"
+        )
+    )
+    chunk_id = F.format_string(
+        "%s#ld#%04d", F.col("url"), F.col("block_idx")
+    )
+    name = F.element_at("m", "name")
+    artist = F.get_json_object(F.element_at("m", "byArtist"), "$.name")
+
+    def _rows(base: DataFrame, values: dict) -> DataFrame:
+        cols = []
+        for f in target.fields:
+            if f.name in values:
+                cols.append(values[f.name].cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return base.select(*cols)
+
+    typed = blocks.filter(
+        F.col("item_type").isin(*SCHEMA_ORG_TYPES)
+        & name.isNotNull()
+        & (name != "")
+    )
+    mentions = _rows(
+        typed,
+        {
+            "kind": F.lit("mention"),
+            "chunk_id": chunk_id,
+            "url": F.col("url"),
+            "chunk_index": F.col("block_idx"),
+            "idx": F.lit(0),
+            "entity_type": F.element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in SCHEMA_ORG_TYPES.items() for x in kv]
+                ),
+                F.col("item_type"),
+            ),
+            "name": name,
+            "confidence": F.lit(1.0),
+            "formed_year": F.when(
+                F.col("item_type") == "MusicGroup",
+                F.element_at("m", "foundingDate"),
+            ),
+            "title": F.when(F.col("item_type") == "MusicAlbum", name),
+            "artist": F.when(F.col("item_type") == "MusicAlbum", artist),
+        },
+    )
+    rels = _rows(
+        typed.filter(
+            (F.col("item_type") == "MusicAlbum")
+            & artist.isNotNull()
+            & (artist != "")
+        ),
+        {
+            "kind": F.lit("rel"),
+            "chunk_id": chunk_id,
+            "url": F.col("url"),
+            "chunk_index": F.col("block_idx"),
+            "idx": F.lit(1),
+            "rel_type": F.lit("RELEASED"),
+            "from_entity_type": F.lit("band"),
+            "from_entity_name": artist,
+            "to_entity_type": F.lit("album"),
+            "to_entity_name": name,
+        },
+    )
+    return mentions.unionByName(rels)

@@ -79,3 +79,45 @@ def test_no_shuffle_in_extract_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_jsonld_extracted_matches_pipeline_schema(spark):
+    from metal_history_knowledge_graph_spark.operators.extract import (
+        EXTRACTED_SCHEMA,
+        mentions_of,
+        relationships_of,
+    )
+    from metal_history_knowledge_graph_spark.operators.structured import (
+        jsonld_extracted,
+    )
+
+    rows = jsonld_extracted(extract_jsonld(_pages(spark)))
+    want = spark.createDataFrame([], EXTRACTED_SCHEMA).schema
+    # literals make some fields non-nullable; names+types must match
+    assert [(f.name, f.dataType) for f in rows.schema.fields] == [
+        (f.name, f.dataType) for f in want.fields
+    ]
+
+    m = {r["name"]: r for r in mentions_of(rows).collect()}
+    assert m["Mayhem"]["entity_type"] == "band"
+    assert m["Mayhem"]["formed_year"] == 1984
+    assert m["Mayhem"]["confidence"] == 1.0
+    assert m["DMDS"]["entity_type"] == "album"
+    assert m["DMDS"]["artist"] == "Mayhem"
+    # untyped block emits nothing
+    assert "untyped" not in m
+
+    r = relationships_of(rows).collect()
+    assert len(r) == 1
+    assert (r[0]["rel_type"], r[0]["from_entity_name"],
+            r[0]["to_entity_name"]) == ("RELEASED", "Mayhem", "DMDS")
+
+
+def test_jsonld_unions_with_text_extraction(spark):
+    from metal_history_knowledge_graph_spark.operators.structured import (
+        jsonld_extracted,
+    )
+
+    rows = jsonld_extracted(extract_jsonld(_pages(spark)))
+    both = rows.unionByName(rows)  # schema-compatible by construction
+    assert both.count() == 2 * rows.count()

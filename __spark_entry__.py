@@ -2130,6 +2130,68 @@ def _textrank_oracle(
     )
 
 
+def q_salsa(spark, sf_dir):
+    """SALSA hubs/authorities (operators/graph_algos.salsa) over the
+    derived functional graph — the degree-stochastic, link-farm-
+    resistant variant next to q_hits (contributions divide by the
+    contributor's degree, so mass is conserved and no normalization
+    job exists; TKC resistance pinned in test_salsa). All BIGINT
+    floor-divides → the five-iteration trajectory replays bit-exactly
+    as chained CTEs."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import salsa
+
+    e = _derived_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    )
+    return salsa(e, n_iters=5).orderBy("node_id")
+
+
+def _salsa_oracle(n_iters: int = 5, scale: int = 10**9) -> str:
+    """scale mirrors graph_algos.HITS_SCALE."""
+    ctes = [
+        f"WITH {_DERIVED_EDGES_SQL}",
+        "sdeg_o AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg"
+        " FROM edges GROUP BY src)",
+        "sdeg_i AS (SELECT dst, CAST(count(*) AS BIGINT) AS indeg"
+        " FROM edges GROUP BY dst)",
+        "snodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "sparams AS (SELECT count(*) AS n FROM snodes)",
+        f"sh0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS h "
+        "FROM snodes CROSS JOIN sparams)",
+    ]
+    for k in range(1, n_iters + 1):
+        ctes.append(
+            f"sa{k} AS (\n"
+            f"  SELECT p.node, CAST(coalesce(x.raw, 0) AS BIGINT) AS a\n"
+            f"  FROM snodes p LEFT JOIN (\n"
+            f"    SELECT e2.dst AS node,\n"
+            f"           CAST(sum(sh{k - 1}.h // d.outdeg) AS BIGINT) AS raw\n"
+            f"    FROM edges e2\n"
+            f"    JOIN sh{k - 1} ON e2.src = sh{k - 1}.node\n"
+            f"    JOIN sdeg_o d ON e2.src = d.src\n"
+            f"    GROUP BY e2.dst) x ON p.node = x.node\n"
+            f")"
+        )
+        ctes.append(
+            f"sh{k} AS (\n"
+            f"  SELECT p.node, CAST(coalesce(x.raw, 0) AS BIGINT) AS h\n"
+            f"  FROM snodes p LEFT JOIN (\n"
+            f"    SELECT e2.src AS node,\n"
+            f"           CAST(sum(sa{k}.a // d.indeg) AS BIGINT) AS raw\n"
+            f"    FROM edges e2\n"
+            f"    JOIN sa{k} ON e2.dst = sa{k}.node\n"
+            f"    JOIN sdeg_i d ON e2.dst = d.dst\n"
+            f"    GROUP BY e2.src) x ON p.node = x.node\n"
+            f")"
+        )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT h.node AS node_id, h.h AS hub_fixed, a.a AS auth_fixed\n"
+        f"FROM sh{n_iters} h JOIN sa{n_iters} a ON h.node = a.node\n"
+        "ORDER BY node_id"
+    )
+
+
 def q_hits(spark, sf_dir):
     """Fixed-point integer HITS hubs-and-authorities
     (operators/graph_algos.hits) over the derived functional graph —
@@ -9113,6 +9175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nofollow_links": q_nofollow_links,
         "q_hreflang": q_hreflang,
         "q_jsonld_mentions": q_jsonld_mentions,
+        "q_salsa": q_salsa,
     }
 
 
@@ -11485,6 +11548,7 @@ def oracle_sql() -> dict[str, str]:
         "q_nofollow_links": _nofollow_links_oracle(),
         "q_hreflang": _hreflang_oracle(),
         "q_jsonld_mentions": _jsonld_mentions_oracle(),
+        "q_salsa": _salsa_oracle(),
         "q_scc_dag": _scc_dag_oracle(),
         "q_bowtie": _bowtie_oracle(),
         "q_trap_hosts": _trap_hosts_oracle(),

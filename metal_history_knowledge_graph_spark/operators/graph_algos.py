@@ -1203,6 +1203,93 @@ def pagerank_weighted(
     return ranks.select(F.col("node").alias("node_id"), "rank_fixed")
 
 
+def salsa(
+    edges: DataFrame,
+    n_iters: int = 5,
+    scale: int = HITS_SCALE,
+    src_col: str = "subj_id",
+    dst_col: str = "obj_id",
+) -> DataFrame:
+    """SALSA (Lempel & Moran 2000): hubs-and-authorities as TWO
+    RANDOM WALKS on the bipartite hub/authority view instead of
+    HITS's mutual-reinforcement sums — each contribution is divided
+    by the contributor's degree, so a link farm of N pages pooling
+    onto one target forwards one page's WORTH of mass, not N× (the
+    TKC-effect resistance that made SALSA the standard web variant;
+    Twitter's Who-To-Follow ran exactly this shape). Worth having
+    NEXT TO :func:`hits`: on the same graph the pair separates
+    "cited by many places" (SALSA ≈ in-degree-weighted visiting
+    probability) from "cited by the strongest hubs" (HITS).
+
+    Fixed-point BIGINT updates (floor-divides, per-contributor
+    quotient FIRST — the pagerank_weighted overflow bound):
+
+        a_{k+1}(v) = Σ_{u→v} (h_k(u)   div outdeg(u))
+        h_{k+1}(u) = Σ_{u→v} (a_{k+1}(v) div indeg(v))
+
+    Degree-stochastic propagation conserves mass up to the per-edge
+    floor remainder, so NO normalization step exists — each
+    iteration is exactly two edge⋈score joins + two partial-agg
+    groupBys, one job fewer per half-step than HITS. Degree dims are
+    node-sized; lineage checkpointed per iteration. Trajectory is a
+    pure integer function of the edge set → chained-CTE DuckDB
+    replay (q_salsa).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "node_id long, hub_fixed long, auth_fixed long"
+        )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
+    hubs = nodes.withColumn("h", F.lit(scale // n).cast("long"))
+    auths = nodes.withColumn("a", F.lit(0).cast("long"))
+    for _ in range(n_iters):
+        a_new = (
+            e.join(hubs.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("h div outdeg")).alias("raw"))
+        )
+        auths = (
+            nodes.join(a_new, "node", "left")
+            .select("node", F.coalesce("raw", F.lit(0)).cast("long").alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        h_new = (
+            e.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .join(indeg, "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.expr("a div indeg")).alias("raw"))
+        )
+        hubs = (
+            nodes.join(h_new, "node", "left")
+            .select("node", F.coalesce("raw", F.lit(0)).cast("long").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        hubs.join(auths, "node")
+        .select(
+            F.col("node").alias("node_id"),
+            F.col("h").alias("hub_fixed"),
+            F.col("a").alias("auth_fixed"),
+        )
+    )
+
+
 def label_propagation(edges: DataFrame, n_rounds: int = 8) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation (Raghavan/
     Albert/Kumara 2007, the GraphFrames formulation): every node

@@ -2192,6 +2192,47 @@ def _salsa_oracle(n_iters: int = 5, scale: int = 10**9) -> str:
     )
 
 
+def q_katz(spark, sf_dir):
+    """Katz centrality (operators/graph_algos.katz) over the derived
+    functional graph — attenuated path counts WITHOUT out-degree
+    division (a hub endorses every target at full α-strength), the
+    seed-distance complement to q_pagerank/q_salsa. β = 10^9, α = 20%,
+    six iterations; the integer trajectory replays as chained CTEs."""
+    from metal_history_knowledge_graph_spark.operators.graph_algos import katz
+
+    e = _derived_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    )
+    return katz(e, n_iters=6).orderBy("node_id")
+
+
+def _katz_oracle(
+    n_iters: int = 6, alpha_pct: int = 20, scale: int = 10**9
+) -> str:
+    """scale mirrors graph_algos.HITS_SCALE."""
+    ctes = [
+        f"WITH {_DERIVED_EDGES_SQL}",
+        "knodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        f"k0 AS (SELECT node, CAST({scale} AS BIGINT) AS x FROM knodes)",
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(
+            f"k{i} AS (\n"
+            f"  SELECT p.node, CAST({scale}\n"
+            f"    + ({alpha_pct} * coalesce(s.raw, 0)) // 100 AS BIGINT) AS x\n"
+            f"  FROM knodes p LEFT JOIN (\n"
+            f"    SELECT e2.dst AS node, CAST(sum(k{i - 1}.x) AS BIGINT) AS raw\n"
+            f"    FROM edges e2 JOIN k{i - 1} ON e2.src = k{i - 1}.node\n"
+            f"    GROUP BY e2.dst) s ON p.node = s.node\n"
+            f")"
+        )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT node AS node_id, x AS katz_fixed FROM k{n_iters}"
+        " ORDER BY node_id"
+    )
+
+
 def q_hits(spark, sf_dir):
     """Fixed-point integer HITS hubs-and-authorities
     (operators/graph_algos.hits) over the derived functional graph —
@@ -9176,6 +9217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hreflang": q_hreflang,
         "q_jsonld_mentions": q_jsonld_mentions,
         "q_salsa": q_salsa,
+        "q_katz": q_katz,
     }
 
 
@@ -11549,6 +11591,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hreflang": _hreflang_oracle(),
         "q_jsonld_mentions": _jsonld_mentions_oracle(),
         "q_salsa": _salsa_oracle(),
+        "q_katz": _katz_oracle(),
         "q_scc_dag": _scc_dag_oracle(),
         "q_bowtie": _bowtie_oracle(),
         "q_trap_hosts": _trap_hosts_oracle(),

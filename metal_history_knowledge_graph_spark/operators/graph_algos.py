@@ -1290,6 +1290,69 @@ def salsa(
     )
 
 
+def katz(
+    edges: DataFrame,
+    n_iters: int = 6,
+    alpha_pct: int = 20,
+    scale: int = HITS_SCALE,
+    src_col: str = "subj_id",
+    dst_col: str = "obj_id",
+) -> DataFrame:
+    """Katz centrality in fixed-point BIGINT: ``x_{k+1}(v) = β +
+    α·Σ_{u→v} x_k(u)`` with β = ``scale`` and α = ``alpha_pct``/100 —
+    the attenuated PATH-COUNT centrality that completes the spectral
+    family (PageRank divides influence across out-links; Katz does
+    not, so a hub endorsing 1,000 pages endorses each at full
+    α-attenuated strength — the right semantics for "how reachable is
+    this host through short link chains", e.g. seed-distance scoring
+    for crawl frontiers).
+
+    The update is one edge⋈score join + partial-agg sum + a constant
+    add per iteration (no degree dims, no normalization — the
+    cheapest member of the family); α is applied as a floor-divided
+    percentage so the ``n_iters`` trajectory is a pure integer
+    function of the edge set → chained-CTE replay (q_katz).
+    Convergence needs α < 1/λ_max (≈ 1/max-indegree as the usual
+    bound); with a fixed iteration count the trajectory is exact
+    either way, and the caller picks α accordingly. Values are
+    bounded by β·Σ(α·d_in)^k — raise ``scale`` only with a
+    correspondingly small α·d_in (documented overflow envelope, the
+    pagerank_weighted discipline)."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    x = nodes.withColumn("x", F.lit(int(scale)).cast("long"))
+    for _ in range(n_iters):
+        contrib = (
+            e.join(x.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("x").alias("raw"))
+        )
+        x = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(int(scale))
+                    + F.expr(
+                        f"({alpha_pct} * coalesce(raw, 0L)) div 100"
+                    )
+                ).cast("long").alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return x.select(F.col("node").alias("node_id"), F.col("x").alias("katz_fixed"))
+
+
 def label_propagation(edges: DataFrame, n_rounds: int = 8) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation (Raghavan/
     Albert/Kumara 2007, the GraphFrames formulation): every node

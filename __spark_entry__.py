@@ -598,6 +598,49 @@ def _cdx_lookup_oracle() -> str:
     )
 
 
+def q_cdx_merge(spark, sf_dir):
+    """Incremental CDX maintenance (operators/cdx.cdx_merge): the
+    capture index grows batch-by-batch through the hive-bucket-pruned
+    merge_upsert (only bucket dirs a batch touches are rewritten —
+    inode pin in test_cdx) and re-observed captures collapse
+    idempotently. Here: batch 1 = even doc_ids, batch 2 = odd plus
+    every 10th even RE-observed; the merged table must equal a
+    from-scratch build on the full fixture, which is exactly what the
+    oracle computes (surt chain + bucket substring + DISTINCT). Store
+    path derives from sf_dir so concurrent scales never collide."""
+    import os
+    import shutil
+
+    from metal_history_knowledge_graph_spark.io import TableStore
+    from metal_history_knowledge_graph_spark.operators.cdx import cdx_merge
+
+    root = f"/tmp/kg_cdx_store_{os.path.basename(str(sf_dir).rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)
+    store = TableStore(spark, root)
+    caps = _surt_fixture(spark, sf_dir).select(
+        "doc_id", "url", F.col("doc_id").alias("ts")
+    )
+    b1 = caps.filter(F.col("doc_id") % 2 == 0)
+    b2 = caps.filter(
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)
+    )
+    cdx_merge(store, b1.select("url", F.col("ts").alias("warc_ts")))
+    cdx_merge(store, b2.select("url", F.col("ts").alias("warc_ts")))
+    return store.read("cdx").select("bucket", "surt", "ts", "url").orderBy(
+        "bucket", "surt", "ts", "url"
+    )
+
+
+def _cdx_merge_oracle() -> str:
+    return (
+        f"WITH {_SURT_SQL_CTES}\n"
+        "SELECT DISTINCT substr(surt, 1, 4) AS bucket, surt,\n"
+        "       CAST(doc_id AS BIGINT) AS ts, url\n"
+        "FROM ssurt WHERE surt IS NOT NULL\n"
+        "ORDER BY bucket, surt, ts, url"
+    )
+
+
 def _jsonld_fixture(spark, sf_dir):
     """Deterministic pages with embedded JSON-LD: a MusicGroup block
     on every page (with a JSON null property every 6th), a nested
@@ -9218,6 +9261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jsonld_mentions": q_jsonld_mentions,
         "q_salsa": q_salsa,
         "q_katz": q_katz,
+        "q_cdx_merge": q_cdx_merge,
     }
 
 
@@ -11592,6 +11636,7 @@ def oracle_sql() -> dict[str, str]:
         "q_jsonld_mentions": _jsonld_mentions_oracle(),
         "q_salsa": _salsa_oracle(),
         "q_katz": _katz_oracle(),
+        "q_cdx_merge": _cdx_merge_oracle(),
         "q_scc_dag": _scc_dag_oracle(),
         "q_bowtie": _bowtie_oracle(),
         "q_trap_hosts": _trap_hosts_oracle(),

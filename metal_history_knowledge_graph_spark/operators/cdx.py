@@ -94,6 +94,58 @@ def cdx_index(
     return parts.sortWithinPartitions("surt", "ts")
 
 
+#: leading characters of the SURT key used as the hive partition
+#: column of a MAINTAINED capture index — four chars of the reversed
+#: host groups whole TLD neighborhoods per directory, so an
+#: incremental merge touches only the directories its batch lands in.
+CDX_BUCKET_LEN = 4
+
+
+def cdx_rows(
+    df: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """(bucket, surt, ts, url): the maintained-index row shape —
+    ``cdx_index``'s rows plus the coarse surt-prefix partition
+    column."""
+    rows = df.select(
+        surt_key(F.col(url_col)).alias("surt"),
+        F.col(ts_col).alias("ts"),
+        F.col(url_col).alias("url"),
+    ).filter(F.col("surt").isNotNull())
+    return rows.select(
+        F.substring("surt", 1, CDX_BUCKET_LEN).alias("bucket"),
+        "surt",
+        "ts",
+        "url",
+    )
+
+
+def cdx_merge(store, captures: DataFrame, name: str = "cdx",
+              url_col: str = "url", ts_col: str = "warc_ts") -> None:
+    """Growing-crawl maintenance path: fold a capture batch into a
+    persisted CDX table WITHOUT rewriting the corpus-scale index.
+
+    The table is hive-partitioned by the surt-prefix ``bucket`` and
+    the bucket is part of the dedup key, so ``TableStore.merge_upsert``
+    takes its partition-pruned leaf path: only bucket directories the
+    batch actually touches are read and swapped — cost ∝ batch
+    locality, not index size (inode pin in test_cdx). Identical
+    re-observed captures (same surt/ts/url) collapse instead of
+    duplicating, so replaying a WARC is idempotent. Merged buckets
+    trade the within-file sort for directory-level pruning; run
+    ``store.compact(name, sort_by=["surt", "ts"])`` as periodic
+    maintenance to restore footer-tight files (the zorder/compact
+    discipline). Merge-then-read equals a from-scratch
+    ``cdx_rows`` build on the union — decision-identity pinned in
+    test_cdx and replayed by the q_cdx_merge oracle."""
+    store.merge_upsert(
+        cdx_rows(captures, url_col, ts_col),
+        name,
+        keys=["bucket", "surt", "ts", "url"],
+        partition_by=["bucket"],
+    )
+
+
 def cdx_prefix_lookup(index: DataFrame, prefix: str) -> DataFrame:
     """All captures under a SURT prefix (a host, a registrable domain
     written in SURT form, or a path subtree), in capture order. The

@@ -82,3 +82,51 @@ def test_null_urls_dropped_from_index(spark):
     )
     got = cdx_index(df).collect()
     assert [(r["surt"], r["ts"]) for r in got] == [("com,a)/x", 2)]
+
+
+def test_cdx_merge_incremental(spark, store):
+    import os
+
+    from metal_history_knowledge_graph_spark.operators.cdx import (
+        cdx_merge,
+        cdx_rows,
+    )
+
+    b1 = spark.createDataFrame(
+        [(f"http://alpha{i}.com/p{i}", i) for i in range(6)]
+        + [(f"http://beta{i}.org/q{i}", 100 + i) for i in range(6)],
+        "url string, warc_ts long",
+    )
+    cdx_merge(store, b1)
+    root = store._path("cdx")
+    org_dir = [d for d in os.listdir(root) if d.startswith("bucket=org")][0]
+    odir = os.path.join(root, org_dir)
+    before = {
+        f: os.stat(os.path.join(odir, f)).st_ino
+        for f in os.listdir(odir) if f.endswith(".parquet")
+    }
+
+    # batch 2: only com-bucket hosts + one exact duplicate capture
+    b2 = spark.createDataFrame(
+        [(f"http://gamma{i}.com/r{i}", 200 + i) for i in range(4)]
+        + [("http://alpha0.com/p0", 0)],
+        "url string, warc_ts long",
+    )
+    cdx_merge(store, b2)
+    after = {
+        f: os.stat(os.path.join(odir, f)).st_ino
+        for f in os.listdir(odir) if f.endswith(".parquet")
+    }
+    assert after == before, "untouched org bucket was rewritten"
+
+    got = {
+        (r["bucket"], r["surt"], r["ts"], r["url"])
+        for r in store.read("cdx").collect()
+    }
+    want = {
+        (r["bucket"], r["surt"], r["ts"], r["url"])
+        for r in cdx_rows(b1.unionByName(b2)).distinct().collect()
+    }
+    assert got == want  # merge == from-scratch build on the union
+    # duplicate capture collapsed, not duplicated
+    assert len([1 for _, s, _, _ in got if "alpha0" in s]) == 1

@@ -1060,6 +1060,68 @@ ORDER BY url, hreflang, href"""
     )
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Robust median/MAD outlier triage (operators/anomaly.
+    mad_outliers) over per-host URL counts with a planted trap host
+    (~1/7 of the corpus vs ~1/47 for ordinary hosts). Median and MAD
+    are EXACT order statistics (operators/quantiles — rank
+    ⌈N/2⌉, no approximation) and the flag is pure BIGINT
+    (|dx|·674490 > thr·MAD·1000), so the oracle replays the whole
+    decision with row_number() and integer arithmetic."""
+    from metal_history_knowledge_graph_spark.operators.anomaly import (
+        mad_outliers,
+    )
+
+    hosts = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 7 == 0, F.lit("trap.com"))
+        .otherwise(
+            F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"))
+        )
+        .alias("host")
+    )
+    counts = hosts.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls")
+    )
+    return mad_outliers(counts, "n_urls", sample_rate=1.0).select(
+        "host", "n_urls", "med", "mad", "robust_z_milli", "is_outlier"
+    ).orderBy("host")
+
+
+def _mad_outliers_oracle(threshold_milli: int = 3500) -> str:
+    return rf"""
+WITH ao_hosts AS (
+    SELECT CASE WHEN doc_id % 7 = 0 THEN 'trap.com'
+                ELSE 'h' || CAST(doc_id % 40 AS VARCHAR) END AS host
+    FROM documents
+), ao_counts AS (
+    SELECT host, CAST(count(*) AS BIGINT) AS n_urls
+    FROM ao_hosts GROUP BY host
+), ao_med AS (
+    SELECT n_urls AS med FROM (
+        SELECT n_urls, row_number() OVER (ORDER BY n_urls) AS rn,
+               count(*) OVER () AS n
+        FROM ao_counts)
+    WHERE rn = (n + 1) // 2
+), ao_dev AS (
+    SELECT abs(n_urls - (SELECT med FROM ao_med)) AS adev FROM ao_counts
+), ao_mad AS (
+    SELECT adev AS mad FROM (
+        SELECT adev, row_number() OVER (ORDER BY adev) AS rn,
+               count(*) OVER () AS n
+        FROM ao_dev)
+    WHERE rn = (n + 1) // 2
+)
+SELECT c.host, c.n_urls, m.med, d.mad,
+    CASE WHEN d.mad > 0
+         THEN (abs(c.n_urls - m.med) * 674490) // (d.mad * 1000) END
+        AS robust_z_milli,
+    CASE WHEN d.mad > 0
+         THEN abs(c.n_urls - m.med) * 674490 > {threshold_milli} * d.mad * 1000
+         ELSE abs(c.n_urls - m.med) > 0 END AS is_outlier
+FROM ao_counts c CROSS JOIN ao_med m CROSS JOIN ao_mad d
+ORDER BY host"""
+
+
 def q_profile(spark, sf_dir):
     """Single-pass table profile (operators/profile.py) in exact mode
     over the documents table; the oracle replays every per-column
@@ -9262,6 +9324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salsa": q_salsa,
         "q_katz": q_katz,
         "q_cdx_merge": q_cdx_merge,
+        "q_mad_outliers": q_mad_outliers,
     }
 
 
@@ -11637,6 +11700,7 @@ def oracle_sql() -> dict[str, str]:
         "q_salsa": _salsa_oracle(),
         "q_katz": _katz_oracle(),
         "q_cdx_merge": _cdx_merge_oracle(),
+        "q_mad_outliers": _mad_outliers_oracle(),
         "q_scc_dag": _scc_dag_oracle(),
         "q_bowtie": _bowtie_oracle(),
         "q_trap_hosts": _trap_hosts_oracle(),

@@ -3815,6 +3815,45 @@ def _pps_oracle(n_target: int = 50, seed: int = 0) -> str:
     """
 
 
+def q_near_match(spark, sf_dir):
+    """Proximity search NEAR/4 (operators/phrase.proximity_match):
+    documents where 'merge' and 'line' occur within four tokens of
+    each other (unordered), with qualifying-pair counts and the
+    tightest distance — the operator between q_phrase_match's exact
+    sequences and q_bm25_topk's bags. One doc-keyed join of two
+    single-term posting lists; the oracle replays the token scan and
+    the pair window directly."""
+    from metal_history_knowledge_graph_spark.operators.phrase import (
+        positional_index,
+        proximity_match,
+    )
+
+    idx = positional_index(_t(spark, sf_dir, "documents"))
+    return proximity_match(idx, "merge", "line", 4).orderBy("doc_id")
+
+
+def _near_match_oracle(
+    term_a: str = "merge", term_b: str = "line", k: int = 4
+) -> str:
+    toks = (
+        "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        "x -> length(x) > 0)"
+    )
+    return f"""
+WITH nm_toks AS (SELECT doc_id, {toks} AS t FROM documents),
+nm_pos AS (
+    SELECT doc_id, i - 1 AS pos, t[i] AS term
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM nm_toks)
+),
+nm_a AS (SELECT doc_id, pos AS pos_a FROM nm_pos WHERE term = '{term_a}'),
+nm_b AS (SELECT doc_id, pos AS pos_b FROM nm_pos WHERE term = '{term_b}')
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(abs(pos_b - pos_a)) AS BIGINT) AS min_distance
+FROM nm_a a JOIN nm_b b USING (doc_id)
+WHERE pos_b <> pos_a AND abs(pos_b - pos_a) <= {k}
+GROUP BY a.doc_id ORDER BY doc_id"""
+
+
 def q_phrase_match(spark, sf_dir):
     """Exact positional phrase search (operators/phrase.py): documents
     containing the exact 3-token sequence 'merge data line', with
@@ -9325,6 +9364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_katz": q_katz,
         "q_cdx_merge": q_cdx_merge,
         "q_mad_outliers": q_mad_outliers,
+        "q_near_match": q_near_match,
     }
 
 
@@ -11701,6 +11741,7 @@ def oracle_sql() -> dict[str, str]:
         "q_katz": _katz_oracle(),
         "q_cdx_merge": _cdx_merge_oracle(),
         "q_mad_outliers": _mad_outliers_oracle(),
+        "q_near_match": _near_match_oracle(),
         "q_scc_dag": _scc_dag_oracle(),
         "q_bowtie": _bowtie_oracle(),
         "q_trap_hosts": _trap_hosts_oracle(),

@@ -53,6 +53,57 @@ def positional_index(
     ).select("term", id_col, "pos")
 
 
+def proximity_match(
+    index: DataFrame,
+    term_a: str,
+    term_b: str,
+    max_distance: int,
+    id_col: str = "doc_id",
+    ordered: bool = False,
+) -> DataFrame:
+    """NEAR/k over the positional index: documents where ``term_a``
+    and ``term_b`` occur within ``max_distance`` tokens — the
+    proximity operator between exact phrases (k = 1, order fixed) and
+    BM25 bags (k = ∞): "entity NEAR/5 qualifier" is how KG curation
+    queries express loose apposition without committing to a phrasing.
+
+    Returns (id_col, n_pairs, min_distance): count of qualifying
+    position pairs and the tightest one. ``ordered=True`` requires
+    ``term_a`` before ``term_b`` (0 < pos_b − pos_a ≤ k); unordered
+    uses |Δ| ≤ k, Δ ≠ 0 — and when both terms are the SAME word,
+    unordered counts each unordered position pair once (the
+    b-after-a direction), not twice.
+
+    One (doc)-keyed equi-join of two single-term posting lists with a
+    range predicate on positions — per-doc term frequencies bound the
+    pair fanout; never a cross product across documents. The DuckDB
+    oracle replays the token scan + pair window directly (q_near_match)."""
+    if max_distance < 1:
+        raise ValueError(f"max_distance must be >= 1, got {max_distance}")
+    pa = index.filter(F.col("term") == term_a).select(
+        F.col(id_col), F.col("pos").alias("pos_a")
+    )
+    pb = index.filter(F.col("term") == term_b).select(
+        F.col(id_col), F.col("pos").alias("pos_b")
+    )
+    delta = F.col("pos_b") - F.col("pos_a")
+    if ordered or term_a == term_b:
+        cond = (delta > 0) & (delta <= max_distance)
+        dist = delta
+    else:
+        cond = (delta != 0) & (F.abs(delta) <= max_distance)
+        dist = F.abs(delta)
+    return (
+        pa.join(pb, id_col)
+        .filter(cond)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min(dist).cast("long").alias("min_distance"),
+        )
+    )
+
+
 def phrase_match(
     df: DataFrame,
     phrase: str,

@@ -74,3 +74,53 @@ def test_phrase_plan_is_jvm_only_and_term_filtered(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # each join side is filtered to one term before the join
     assert plan.count("= quick)") + plan.count("quick") >= 1
+
+
+def test_proximity_match(spark):
+    from metal_history_knowledge_graph_spark.operators.phrase import (
+        positional_index,
+        proximity_match,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "black metal band from norway"),          # dist 2 (metal..band? no: black-0 metal-1) a=black b=band -> |2-0|=2
+            (1, "band plays black doom metal"),           # band-0 black-2: dist 2 (b before a)
+            (2, "black sabbath is not a metal band here"),# black-0 band-6: dist 6
+            (3, "no terms of interest"),
+            (4, "band band black band"),                  # multiple pairs
+        ],
+        "doc_id long, text string",
+    )
+    idx = positional_index(docs)
+    un = {
+        r["doc_id"]: (r["n_pairs"], r["min_distance"])
+        for r in proximity_match(idx, "black", "band", 3).collect()
+    }
+    # doc0: pair (0,2) dist 2. doc1: (2,0) dist 2 unordered.
+    # doc2: dist 6 > 3 -> absent. doc4: black@2, band@0,1,3 -> dists 2,1,1
+    assert un == {0: (1, 2), 1: (1, 2), 4: (3, 1)}
+    od = {
+        r["doc_id"]: (r["n_pairs"], r["min_distance"])
+        for r in proximity_match(idx, "black", "band", 3,
+                                 ordered=True).collect()
+    }
+    # ordered black..band: doc0 (0->2); doc1 none (band before black);
+    # doc4 black@2 -> band@3
+    assert od == {0: (1, 2), 4: (1, 1)}
+
+
+def test_proximity_same_term_counts_once(spark):
+    from metal_history_knowledge_graph_spark.operators.phrase import (
+        positional_index,
+        proximity_match,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "spark x spark y spark")], "doc_id long, text string"
+    )
+    got = proximity_match(
+        positional_index(docs), "spark", "spark", 4
+    ).collect()
+    # positions 0,2,4 -> unordered pairs (0,2),(2,4),(0,4): 3 pairs
+    assert [(r["n_pairs"], r["min_distance"]) for r in got] == [(3, 2)]

@@ -1122,6 +1122,130 @@ FROM ao_counts c CROSS JOIN ao_med m CROSS JOIN ao_mad d
 ORDER BY host"""
 
 
+def _webarchive_fixture(spark, sf_dir):
+    """Captured pages across a 12-host space with every gate lane:
+    noindex pages (every 9th), page-level nofollow (every 7th),
+    per-anchor rel=nofollow (second anchor), external .org targets
+    (every 5th)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    h = lambda expr: expr.cast("string")  # noqa: E731
+    meta = F.concat(
+        F.when(F.col("doc_id") % 9 == 0,
+               F.lit('<meta name="robots" content="noindex">')).otherwise(
+            F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit('<meta name="robots" content="nofollow">')).otherwise(
+            F.lit("")),
+    )
+    body = F.concat(
+        F.lit('<a href="http://s'), h((F.col("doc_id") * 3 + 1) % 12),
+        F.lit('.com/x">t</a>'),
+        F.lit('<a rel="nofollow" href="http://s'),
+        h((F.col("doc_id") * 5 + 2) % 12), F.lit('.com/y">t</a>'),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit('<a href="http://ext'), h(F.col("doc_id") % 4),
+                        F.lit('.org/z">t</a>'))).otherwise(F.lit("")),
+    )
+    return docs.select(
+        F.concat(F.lit("http://s"), h(F.col("doc_id") % 12),
+                 F.lit(".com/p"), did).alias("url"),
+        F.concat(F.lit("<html><head>"), meta, F.lit("</head><body>"),
+                 body, F.lit("</body></html>")).alias("html"),
+    )
+
+
+def q_webarchive_rank(spark, sf_dir):
+    """Composed web-archive ingest plan (plans/webarchive.
+    webarchive_host_rank): captured HTML → robots-meta gates (noindex
+    pages contribute nothing) → endorsement-filtered anchors
+    (rel/page nofollow dropped) → host graph → 5-iteration integer
+    PageRank. The oracle is ONE DuckDB statement: the pagemeta tag
+    CTEs build the gated host edge list, which parameterizes the
+    shared _pagerank_oracle body (the q_crawl_plan / q_discovery_plan
+    whole-chain pattern)."""
+    from metal_history_knowledge_graph_spark.plans.webarchive import (
+        webarchive_host_rank,
+    )
+
+    return webarchive_host_rank(_webarchive_fixture(spark, sf_dir)).orderBy(
+        "host"
+    )
+
+
+def _webarchive_rank_oracle() -> str:
+    host = (
+        "CASE WHEN length(regexp_extract({u}, "
+        "'^[hH][tT][tT][pP][sS]?://([^/?#]+)', 1)) > 0 THEN "
+        "lower(regexp_replace(regexp_replace(regexp_extract({u}, "
+        "'^[hH][tT][tT][pP][sS]?://([^/?#]+)', 1), '^.*@', ''), "
+        "':[0-9]+$', '')) END"
+    )
+    edges_sql = (
+        r"""wa_pages AS (
+    SELECT 'http://s' || CAST(doc_id % 12 AS VARCHAR) || '.com/p'
+           || CAST(doc_id AS VARCHAR) AS url,
+        '<html><head>'
+        || CASE WHEN doc_id % 9 = 0 THEN '<meta name="robots" content="noindex">' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN '<meta name="robots" content="nofollow">' ELSE '' END
+        || '</head><body>'
+        || '<a href="http://s' || CAST((doc_id * 3 + 1) % 12 AS VARCHAR) || '.com/x">t</a>'
+        || '<a rel="nofollow" href="http://s' || CAST((doc_id * 5 + 2) % 12 AS VARCHAR) || '.com/y">t</a>'
+        || CASE WHEN doc_id % 5 = 0 THEN '<a href="http://ext' || CAST(doc_id % 4 AS VARCHAR) || '.org/z">t</a>' ELSE '' END
+        || '</body></html>' AS html
+    FROM documents
+), wa_meta AS (
+    SELECT url, unnest(regexp_extract_all(html, '(?is)<meta\s[^>]*>', 0)) AS tag
+    FROM wa_pages
+), wa_tok AS (
+    SELECT url,
+        CASE WHEN lower(regexp_extract(tag, '(?is)\sname="([^"]*)"', 1)) = 'robots'
+             THEN list_filter(list_transform(
+                    string_split(lower(regexp_extract(tag, '(?is)\scontent="([^"]*)"', 1)), ','),
+                    x -> trim(x)), x -> x <> '')
+             ELSE [] END AS toks
+    FROM wa_meta
+), wa_flags AS (
+    SELECT url, bool_or(list_contains(toks, 'noindex')) AS noindex,
+           bool_or(list_contains(toks, 'nofollow')) AS nofollow
+    FROM wa_tok GROUP BY url
+), wa_a AS (
+    SELECT url, unnest(regexp_extract_all(html, '(?is)<a\s[^>]*>', 0)) AS tag
+    FROM wa_pages
+), wa_anchor AS (
+    SELECT url,
+        regexp_extract(tag, '(?is)\shref="([^"]*)"', 1) AS href,
+        list_has_any(
+            list_filter(list_transform(
+                regexp_split_to_array(lower(regexp_extract(tag, '(?is)\srel="([^"]*)"', 1)), '[,\s]+'),
+                x -> trim(x)), x -> x <> ''),
+            ['nofollow', 'ugc', 'sponsored']) AS rel_nofollow
+    FROM wa_a
+), wa_endorsed AS (
+    SELECT a.url, a.href
+    FROM wa_anchor a LEFT JOIN wa_flags f ON a.url = f.url
+    WHERE a.href <> ''
+      AND NOT (a.rel_nofollow OR coalesce(f.nofollow, false))
+      AND NOT coalesce(f.noindex, false)
+), wa_hosts AS (
+    SELECT """
+        + host.format(u="url")
+        + " AS src, "
+        + host.format(u="href")
+        + r""" AS dst
+    FROM wa_endorsed
+),
+edges AS (
+    SELECT DISTINCT src, dst FROM wa_hosts
+    WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+)"""
+    )
+    return _pagerank_oracle(
+        edges_sql=edges_sql,
+        final_sql="SELECT node AS host, r AS rank_fixed FROM r5 ORDER BY host",
+    )
+
+
 def q_profile(spark, sf_dir):
     """Single-pass table profile (operators/profile.py) in exact mode
     over the documents table; the oracle replays every per-column
@@ -9365,6 +9489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdx_merge": q_cdx_merge,
         "q_mad_outliers": q_mad_outliers,
         "q_near_match": q_near_match,
+        "q_webarchive_rank": q_webarchive_rank,
     }
 
 
@@ -11742,6 +11867,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cdx_merge": _cdx_merge_oracle(),
         "q_mad_outliers": _mad_outliers_oracle(),
         "q_near_match": _near_match_oracle(),
+        "q_webarchive_rank": _webarchive_rank_oracle(),
         "q_scc_dag": _scc_dag_oracle(),
         "q_bowtie": _bowtie_oracle(),
         "q_trap_hosts": _trap_hosts_oracle(),

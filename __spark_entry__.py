@@ -1246,6 +1246,104 @@ edges AS (
     )
 
 
+def q_ams_f2(spark, sf_dir):
+    """AMS tug-of-war F2 (self-join size) estimation (operators/ams):
+    median-of-9 Z² over the orders.o_custkey%100 frequency vector,
+    reported NEXT TO the exact Σf² and the integer ppm error — the
+    accuracy audit IS the output. Signs are md5-nibble parities, so
+    the DuckDB oracle replays the whole sketch (signs, sums, median,
+    ppm) with zero tolerance."""
+    from metal_history_knowledge_graph_spark.operators.ams import f2_estimate
+
+    a = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 100).cast("string").alias("v")
+    )
+    return f2_estimate(a, "v")
+
+
+def q_ams_join(spark, sf_dir):
+    """AMS inner-product join-size estimation (operators/ams.
+    join_size_estimate): |orders ⋈ lineitem| on bucketed keys
+    (o_custkey%100 vs l_suppkey%100 — both sides carry real
+    multiplicities) WITHOUT running the join — median of Z_j^A·Z_j^B
+    against the exact Σ f_A·f_B. One narrow aggregate pass per table;
+    the planner-side primitive CMS/HLL don't provide."""
+    from metal_history_knowledge_graph_spark.operators.ams import (
+        join_size_estimate,
+    )
+
+    a = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 100).cast("string").alias("v")
+    )
+    b = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey") % 100).cast("string").alias("v")
+    )
+    return join_size_estimate(a, "v", b, "v")
+
+
+_AMS_SIGN_SQL = (
+    "CASE WHEN substr(md5(CAST({j} AS VARCHAR) || ':' || {v}), 1, 1)"
+    " IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END"
+)
+
+
+def _ams_f2_oracle(k: int = 9) -> str:
+    sign = _AMS_SIGN_SQL.format(j="t.j", v="v")
+    return f"""
+WITH amsa AS (SELECT CAST(o_custkey % 100 AS VARCHAR) AS v FROM orders),
+amsz AS (
+    SELECT t.j, CAST(sum({sign}) AS BIGINT) AS z
+    FROM amsa CROSS JOIN (SELECT unnest(range({k})) AS j) t GROUP BY t.j
+),
+amsest AS (
+    SELECT CAST(zsq AS BIGINT) AS f2_est FROM (
+        SELECT z * z AS zsq, row_number() OVER (ORDER BY z * z, j) AS rn,
+               count(*) OVER () AS n
+        FROM amsz)
+    WHERE rn = (n + 1) // 2
+),
+amsex AS (
+    SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact FROM (
+        SELECT v, CAST(count(*) AS BIGINT) AS f FROM amsa GROUP BY v)
+)
+SELECT f2_est, f2_exact,
+       CAST(abs(f2_est - f2_exact) * 1000000 // f2_exact AS BIGINT) AS err_ppm
+FROM amsest CROSS JOIN amsex"""
+
+
+def _ams_join_oracle(k: int = 9) -> str:
+    sign = _AMS_SIGN_SQL.format(j="t.j", v="v")
+    return f"""
+WITH ja AS (SELECT CAST(o_custkey % 100 AS VARCHAR) AS v FROM orders),
+jb AS (SELECT CAST(l_suppkey % 100 AS VARCHAR) AS v FROM lineitem),
+jza AS (
+    SELECT t.j, CAST(sum({sign}) AS BIGINT) AS za
+    FROM ja CROSS JOIN (SELECT unnest(range({k})) AS j) t GROUP BY t.j
+),
+jzb AS (
+    SELECT t.j, CAST(sum({sign}) AS BIGINT) AS zb
+    FROM jb CROSS JOIN (SELECT unnest(range({k})) AS j) t GROUP BY t.j
+),
+jest AS (
+    SELECT CAST(zz AS BIGINT) AS join_est FROM (
+        SELECT a.za * b.zb AS zz,
+               row_number() OVER (ORDER BY a.za * b.zb, a.j) AS rn,
+               count(*) OVER () AS n
+        FROM jza a JOIN jzb b ON a.j = b.j)
+    WHERE rn = (n + 1) // 2
+),
+jex AS (
+    SELECT CAST(sum(fa.f * fb.f) AS BIGINT) AS join_exact
+    FROM (SELECT v, CAST(count(*) AS BIGINT) AS f FROM ja GROUP BY v) fa
+    JOIN (SELECT v, CAST(count(*) AS BIGINT) AS f FROM jb GROUP BY v) fb
+      ON fa.v = fb.v
+)
+SELECT join_est, join_exact,
+       CAST(abs(join_est - join_exact) * 1000000 // join_exact AS BIGINT)
+           AS err_ppm
+FROM jest CROSS JOIN jex"""
+
+
 def q_profile(spark, sf_dir):
     """Single-pass table profile (operators/profile.py) in exact mode
     over the documents table; the oracle replays every per-column
@@ -9490,6 +9588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mad_outliers": q_mad_outliers,
         "q_near_match": q_near_match,
         "q_webarchive_rank": q_webarchive_rank,
+        "q_ams_f2": q_ams_f2,
+        "q_ams_join": q_ams_join,
     }
 
 
@@ -11868,6 +11968,8 @@ def oracle_sql() -> dict[str, str]:
         "q_mad_outliers": _mad_outliers_oracle(),
         "q_near_match": _near_match_oracle(),
         "q_webarchive_rank": _webarchive_rank_oracle(),
+        "q_ams_f2": _ams_f2_oracle(),
+        "q_ams_join": _ams_join_oracle(),
         "q_scc_dag": _scc_dag_oracle(),
         "q_bowtie": _bowtie_oracle(),
         "q_trap_hosts": _trap_hosts_oracle(),

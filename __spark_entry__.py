@@ -5505,6 +5505,52 @@ def _scc_oracle() -> str:
     )
 
 
+def q_topo_layers(spark, sf_dir):
+    """Crawl-wave layering (operators/webgraph.topo_layers): Kahn
+    layer-at-a-time topological depth over the condensation DAG of
+    the planted bow-tie digraph — layer-k components depend only on
+    waves < k, the schedule crawl/recompute planning executes.
+    ``layer`` = longest-path depth from the DAG sources, a pure
+    function of the graph, so DuckDB verifies the DEFINITION
+    (recursive max-depth walk), never the peel order."""
+    from metal_history_knowledge_graph_spark.operators.webgraph import (
+        scc_condensation,
+        topo_layers,
+    )
+
+    e = _scc_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    )
+    dag = scc_condensation(e, assign=_scc_assign(spark, sf_dir))
+    return topo_layers(dag).orderBy("node_id")
+
+
+def _topo_layers_oracle(max_depth: int = 128) -> str:
+    return (
+        f"WITH RECURSIVE {_SCC_SQL_CTES},\n"
+        f"""tl_cd AS (
+    SELECT DISTINCT sa.scc_id AS src, sb.scc_id AS dst
+    FROM scc_e e
+    JOIN scc_assign sa ON e.src = sa.node_id
+    JOIN scc_assign sb ON e.dst = sb.node_id
+    WHERE sa.scc_id <> sb.scc_id
+),
+tl_nodes AS (SELECT src AS node FROM tl_cd UNION SELECT dst FROM tl_cd),
+tl_src AS (
+    SELECT node FROM tl_nodes
+    WHERE node NOT IN (SELECT dst FROM tl_cd)
+),
+tl_walk AS (
+    SELECT node, 0 AS d FROM tl_src
+    UNION ALL
+    SELECT c.dst, w.d + 1 FROM tl_walk w
+    JOIN tl_cd c ON w.node = c.src WHERE w.d < {max_depth}
+)
+SELECT node AS node_id, CAST(max(d) AS BIGINT) AS layer
+FROM tl_walk GROUP BY node ORDER BY node_id"""
+    )
+
+
 def _scc_dag_oracle() -> str:
     return (
         f"WITH RECURSIVE {_SCC_SQL_CTES}\n"
@@ -9590,6 +9636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_webarchive_rank": q_webarchive_rank,
         "q_ams_f2": q_ams_f2,
         "q_ams_join": q_ams_join,
+        "q_topo_layers": q_topo_layers,
     }
 
 
@@ -11970,6 +12017,7 @@ def oracle_sql() -> dict[str, str]:
         "q_webarchive_rank": _webarchive_rank_oracle(),
         "q_ams_f2": _ams_f2_oracle(),
         "q_ams_join": _ams_join_oracle(),
+        "q_topo_layers": _topo_layers_oracle(),
         "q_scc_dag": _scc_dag_oracle(),
         "q_bowtie": _bowtie_oracle(),
         "q_trap_hosts": _trap_hosts_oracle(),

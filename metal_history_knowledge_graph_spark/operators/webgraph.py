@@ -166,6 +166,68 @@ def strongly_connected_components(
     return out.select(F.col("v").alias("node_id"), "scc_id")
 
 
+def topo_layers(
+    edges: DataFrame,
+    src_col: str = "src_scc",
+    dst_col: str = "dst_scc",
+    max_rounds: int = 128,
+) -> DataFrame:
+    """(node_id, layer): longest-path depth from the sources of a DAG
+    — the crawl-WAVE schedule over the condensation
+    (:func:`scc_condensation`): layer-0 components depend on nothing,
+    layer-k components only on earlier waves, so waves can fetch /
+    recompute in parallel within a layer with all dependencies
+    already satisfied. Exactly Kahn's algorithm run layer-at-a-time:
+    per round, the current in-degree-0 nodes peel together.
+
+    Per round: one semi-join (which targets still have live
+    predecessors) + one anti-join (the new sources) + a constant-
+    column append — node-keyed, no windows, lineage checkpointed.
+    Rounds = DAG depth; condensations of real web graphs are
+    macro-shallow (the bow-tie argument in the module docstring).
+    RAISES on a cycle (sources dry up with nodes remaining) and on
+    ``max_rounds`` — a partial layering schedules work before its
+    dependencies, worse than an error.
+
+    ``layer`` is the longest-path depth, a pure function of the DAG,
+    so DuckDB verifies the DEFINITION (recursive-CTE max-depth from
+    sources), not the peel order."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    remaining = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    if remaining.limit(1).count() == 0:
+        return spark.createDataFrame([], "node_id long, layer long")
+    out = None
+    for layer in range(max_rounds):
+        live_edges = e.join(
+            remaining.withColumnRenamed("node", "src"), "src", "left_semi"
+        )
+        blocked = live_edges.select(F.col("dst").alias("node")).distinct()
+        sources = remaining.join(blocked, "node", "left_anti")
+        batch = sources.select(
+            F.col("node").alias("node_id"), F.lit(layer).cast("long").alias("layer")
+        )
+        out = batch if out is None else out.unionByName(batch)
+        remaining = remaining.join(sources, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if remaining.limit(1).count() == 0:
+            return out.localCheckpoint(eager=True)
+        if sources.limit(1).count() == 0:
+            raise ValueError("topo_layers: cycle detected — input is not a DAG")
+    raise ValueError(f"topo_layers: depth exceeds max_rounds={max_rounds}")
+
+
 def scc_condensation(
     edges: DataFrame, assign: DataFrame | None = None, **scc_kwargs
 ) -> DataFrame:

@@ -299,3 +299,48 @@ def test_densest_empty_and_guard(spark):
     assert densest_subgraph(e).count() == 0
     with _pt.raises(ValueError, match="eps_permille"):
         densest_subgraph(e, eps_permille=0)
+
+
+def test_topo_layers_hand_dag(spark):
+    import pytest
+
+    from metal_history_knowledge_graph_spark.operators.webgraph import (
+        topo_layers,
+    )
+
+    # diamond + a long tail: longest-path depths
+    dag = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (5, 2)]
+    e = spark.createDataFrame(dag, "src_scc long, dst_scc long")
+    got = {r["node_id"]: r["layer"] for r in topo_layers(e).collect()}
+    assert got == {0: 0, 5: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+    with pytest.raises(ValueError, match="cycle"):
+        topo_layers(
+            spark.createDataFrame(
+                [(0, 1), (1, 2), (2, 0)], "src_scc long, dst_scc long"
+            )
+        ).collect()
+
+    with pytest.raises(ValueError, match="max_rounds"):
+        topo_layers(
+            spark.createDataFrame(
+                [(i, i + 1) for i in range(6)], "src_scc long, dst_scc long"
+            ),
+            max_rounds=3,
+        ).collect()
+
+
+def test_topo_layers_on_condensation(spark):
+    from metal_history_knowledge_graph_spark.operators.webgraph import (
+        scc_condensation,
+        topo_layers,
+    )
+
+    # bow-tie: IN chain -> core SCC -> OUT chain; condensation is a path
+    dag = scc_condensation(_edges(spark, BOWTIE_PAIRS))
+    got = {r["node_id"]: r["layer"] for r in topo_layers(dag).collect()}
+    # condensation nodes: 10 -> 11 -> 0(core) -> 20 -> 21; 10 -> 30; 40/41 comp
+    assert got[10] == 0 and got[11] == 1 and got[0] == 2
+    assert got[20] == 3 and got[21] == 4
+    assert got[30] == 1
+    assert 40 not in got  # disconnected SCC {40,41} has no DAG edges

@@ -1246,6 +1246,37 @@ edges AS (
     )
 
 
+def q_blocklist(spark, sf_dir):
+    """C4-style blocklist gate (operators/scrub.blocklist_gate):
+    token-exact blocklist hits per document (substrings inside other
+    words don't count) + the keep flag, over the shared whitespace
+    tokenization. One narrow codegen projection; the oracle replays
+    the token filter with the same list."""
+    from metal_history_knowledge_graph_spark.operators.scrub import (
+        blocklist_gate,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return blocklist_gate(docs, ["data", "merge"]).select(
+        "doc_id", "n_blocklist_hits", "blocklist_keep"
+    ).orderBy("doc_id")
+
+
+def _blocklist_oracle() -> str:
+    toks = (
+        "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        "x -> length(x) > 0)"
+    )
+    return f"""
+WITH bl AS (SELECT doc_id, {toks} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(toks, x -> x IN ('data', 'merge'))) AS BIGINT)
+           AS n_blocklist_hits,
+       len(list_filter(toks, x -> x IN ('data', 'merge'))) = 0
+           AS blocklist_keep
+FROM bl ORDER BY doc_id"""
+
+
 def q_ams_f2(spark, sf_dir):
     """AMS tug-of-war F2 (self-join size) estimation (operators/ams):
     median-of-9 Z² over the orders.o_custkey%100 frequency vector,
@@ -9637,6 +9668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ams_f2": q_ams_f2,
         "q_ams_join": q_ams_join,
         "q_topo_layers": q_topo_layers,
+        "q_blocklist": q_blocklist,
     }
 
 
@@ -12018,6 +12050,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ams_f2": _ams_f2_oracle(),
         "q_ams_join": _ams_join_oracle(),
         "q_topo_layers": _topo_layers_oracle(),
+        "q_blocklist": _blocklist_oracle(),
         "q_scc_dag": _scc_dag_oracle(),
         "q_bowtie": _bowtie_oracle(),
         "q_trap_hosts": _trap_hosts_oracle(),

@@ -77,3 +77,27 @@ def pii_density(df: DataFrame, by: str = "source") -> DataFrame:
             F.expr("(10000 * n_docs_with_pii) div n_docs").cast("long"),
         )
     )
+
+
+def blocklist_gate(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style blocklist gate: per-doc count of blocklisted TOKENS
+    (the shared whitespace tokenization — substring hits inside other
+    words don't count, the C4 "bad words" rule) and the keep flag.
+
+    ``terms`` is vocabulary-sized and lowercased here; the membership
+    probe is a native ``array_intersect``-free token filter inside
+    whole-stage codegen (one literal-set ``isin`` per token — no join,
+    no UDF, no second scan). Callers chain ``.filter("blocklist_keep")``
+    into export plans next to the PII gate."""
+    from .textstats import _tokens
+
+    lowered = sorted({t.lower() for t in terms})
+    toks = _tokens(F.col(text_col))
+    n_hits = F.size(F.filter(toks, lambda t: t.isin(lowered)))
+    return df.withColumn(
+        "n_blocklist_hits", n_hits.cast("long")
+    ).withColumn("blocklist_keep", n_hits == 0)

@@ -150,7 +150,9 @@ def run_analytics(spark) -> dict[str, float]:
                  "q_ktruss", "q_lpa_communities", "q_random_walks",
                  "q_burst_terms", "q_trap_hosts", "q_priority_sample",
                  "q_funnel", "q_cocitation", "q_hyperball",
-                 "q_pagerank_inc", "q_kmv_jaccard"):
+                 "q_pagerank_inc", "q_kmv_jaccard",
+                 "q_redirects", "q_textrank", "q_jsonld", "q_salsa",
+                 "q_webarchive_rank", "q_ams_join"):
         fn = qmap[name]
         walls = []
         for _ in range(repeats):

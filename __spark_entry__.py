@@ -1246,6 +1246,64 @@ edges AS (
     )
 
 
+def q_cusum(spark, sf_dir):
+    """CUSUM change-point scores (operators/changepoint.cusum_scores)
+    over per-host tick series with a planted +15 level shift on h2
+    from tick 40: the sequential max(0, S+d) recurrence computed as
+    TWO window functions via the prefix-sum/min-drawdown closed form
+    (recurrence equality pinned in test_changepoint), all BIGINT, so
+    the DuckDB window replay is bit-exact. drift 12 absorbs the
+    normal ±2 noise; threshold 60 ≈ five post-shift ticks."""
+    from metal_history_knowledge_graph_spark.operators.changepoint import (
+        cusum_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    series = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 6).cast("string")).alias(
+            "host"
+        ),
+        (F.col("doc_id") / 6).cast("long").alias("t"),
+        (
+            10
+            + F.col("doc_id") % 3
+            + F.when(
+                (F.col("doc_id") % 6 == 2) & (F.col("doc_id") / 6 >= 40),
+                F.lit(15),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("v"),
+    )
+    return cusum_scores(
+        series, "host", "t", "v", drift=12, threshold=60
+    ).orderBy("host", "t")
+
+
+def _cusum_oracle(drift: int = 12, threshold: int = 60) -> str:
+    return f"""
+WITH cp AS (
+    SELECT 'h' || CAST(doc_id % 6 AS VARCHAR) AS host,
+           CAST(doc_id // 6 AS BIGINT) AS t,
+           CAST(10 + doc_id % 3
+                + CASE WHEN doc_id % 6 = 2 AND doc_id // 6 >= 40
+                       THEN 15 ELSE 0 END AS BIGINT) AS v
+    FROM documents
+), cp1 AS (
+    SELECT host, t, v,
+        sum(v - {drift}) OVER (PARTITION BY host ORDER BY t, v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+    FROM cp
+), cp2 AS (
+    SELECT host, t, v,
+        p - least(CAST(0 AS BIGINT), min(p) OVER (PARTITION BY host
+            ORDER BY t, v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+    FROM cp1
+)
+SELECT host, t, v, CAST(cusum AS BIGINT) AS cusum,
+       cusum > {threshold} AS alarm
+FROM cp2 ORDER BY host, t"""
+
+
 def q_blocklist(spark, sf_dir):
     """C4-style blocklist gate (operators/scrub.blocklist_gate):
     token-exact blocklist hits per document (substrings inside other
@@ -9669,6 +9727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ams_join": q_ams_join,
         "q_topo_layers": q_topo_layers,
         "q_blocklist": q_blocklist,
+        "q_cusum": q_cusum,
     }
 
 
@@ -12051,6 +12110,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ams_join": _ams_join_oracle(),
         "q_topo_layers": _topo_layers_oracle(),
         "q_blocklist": _blocklist_oracle(),
+        "q_cusum": _cusum_oracle(),
         "q_scc_dag": _scc_dag_oracle(),
         "q_bowtie": _bowtie_oracle(),
         "q_trap_hosts": _trap_hosts_oracle(),

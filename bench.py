@@ -256,6 +256,7 @@ def default_bench() -> dict:
         ("neardup_stream", "NEARDUP_STREAM_RECORDED.json"),
         ("fuzzy_scaling", "FUZZY_SCALING.json"),
         ("suffix_scaling", "SUFFIX_SCALING.json"),
+        ("redirects_scaling", "REDIRECTS_SCALING.json"),
     ):
         p = os.path.join(REPO, fname)
         if os.path.isfile(p):

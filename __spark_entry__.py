@@ -2546,6 +2546,120 @@ def _textrank_oracle(
     )
 
 
+def q_negative_edges(spark, sf_dir):
+    """Deterministic negative-edge sampling (operators/linkeval.
+    negative_edges) over the derived functional graph: per-node
+    md5-indexed proposals into the dense node index, self/real pairs
+    anti-joined away — the reproducible non-edge sample every
+    link-prediction benchmark needs (df.sample over an N² pair space
+    is neither materializable nor partitioning-stable). Full md5
+    arithmetic replay in DuckDB."""
+    from metal_history_knowledge_graph_spark.operators.linkeval import (
+        negative_edges,
+    )
+
+    e = _derived_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    )
+    return negative_edges(e, per_node=4).orderBy("src", "dst")
+
+
+def q_link_auc(spark, sf_dir):
+    """Exact Mann-Whitney AUC (operators/linkeval.auc_ppm) of the
+    common-neighbor score separating real edges from the sampled
+    negatives — the graded benchmark over the q_link_pred signal,
+    integer ppm, rank ties broken by the pair key so both engines
+    rank identically. One window over the eval set (positives +
+    negatives), never a corpus object."""
+    from metal_history_knowledge_graph_spark.operators.linkeval import (
+        auc_ppm,
+        negative_edges,
+        score_common_neighbors,
+    )
+
+    e = _derived_edges(spark, sf_dir).select(
+        F.col("src").alias("subj_id"), F.col("dst").alias("obj_id")
+    )
+    pos = e.select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    ).withColumn("label", F.lit(1))
+    neg = negative_edges(e, per_node=4).withColumn("label", F.lit(0))
+    scored = score_common_neighbors(pos.unionByName(neg), e)
+    return auc_ppm(scored)
+
+
+#: negatives CTE chain shared by the two link-eval oracles (expects
+#: the _DERIVED_EDGES_SQL prefix to have defined ``edges``).
+_NEGEDGE_SQL_CTES = """
+ne_nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+ne_idx AS (SELECT node, dense_rank() OVER (ORDER BY node) - 1 AS i FROM ne_nodes),
+ne_n AS (SELECT count(*) AS n FROM ne_idx),
+ne_prop AS (
+    SELECT a.node AS src,
+           CAST(('0x' || substr(md5(CAST(a.node AS VARCHAR) || '|'
+                 || CAST(t.j AS VARCHAR)), 1, 15))::UBIGINT
+                % (SELECT n FROM ne_n) AS BIGINT) AS dst_i
+    FROM ne_idx a CROSS JOIN (SELECT unnest(range(4)) AS j) t
+),
+ne_cand AS (
+    SELECT DISTINCT p.src, d.node AS dst
+    FROM ne_prop p JOIN ne_idx d ON p.dst_i = d.i
+    WHERE p.src <> d.node
+      AND NOT EXISTS (SELECT 1 FROM edges e2
+                      WHERE e2.src = p.src AND e2.dst = d.node)
+)"""
+
+
+def _negative_edges_oracle() -> str:
+    return (
+        f"WITH {_DERIVED_EDGES_SQL},{_NEGEDGE_SQL_CTES}\n"
+        "SELECT src, dst FROM ne_cand ORDER BY src, dst"
+    )
+
+
+def _link_auc_oracle() -> str:
+    return (
+        f"WITH {_DERIVED_EDGES_SQL},{_NEGEDGE_SQL_CTES},\n"
+        r"""lv_pairs AS (
+    SELECT src, dst, 1 AS label FROM edges
+    UNION ALL
+    SELECT src, dst, 0 AS label FROM ne_cand
+),
+lv_und AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+lv_sym AS (SELECT a, b FROM lv_und UNION ALL SELECT b, a FROM lv_und),
+lv_cn AS (
+    SELECT p.src, p.dst, CAST(count(*) AS BIGINT) AS cn
+    FROM lv_pairs p
+    JOIN lv_sym s1 ON p.src = s1.a
+    JOIN lv_sym s2 ON p.dst = s2.a AND s1.b = s2.b
+    GROUP BY p.src, p.dst
+),
+lv_scored AS (
+    SELECT p.src, p.dst, p.label, coalesce(c.cn, 0) AS score
+    FROM lv_pairs p LEFT JOIN lv_cn c
+      ON p.src = c.src AND p.dst = c.dst
+),
+lv_ranked AS (
+    SELECT label,
+           row_number() OVER (ORDER BY score, src, dst) AS rk
+    FROM lv_scored
+),
+lv_agg AS (
+    SELECT CAST(sum(label) AS BIGINT) AS n_pos,
+           CAST(sum(1 - label) AS BIGINT) AS n_neg,
+           CAST(sum(CASE WHEN label = 1 THEN rk ELSE 0 END) AS BIGINT) AS rs
+    FROM lv_ranked
+)
+SELECT n_pos, n_neg,
+       CAST(((rs - (n_pos * (n_pos + 1)) // 2) * 1000000)
+            // (n_pos * n_neg) AS BIGINT) AS auc_ppm
+FROM lv_agg"""
+    )
+
+
 def q_salsa(spark, sf_dir):
     """SALSA hubs/authorities (operators/graph_algos.salsa) over the
     derived functional graph — the degree-stochastic, link-farm-
@@ -9498,12 +9612,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS_r02 too); every displaced pair stays pinned each run
     by tests/test_oracle_parity.py, which checks ALL oracle pairs
     regardless of position. Immediately after the window sit the
-    EIGHTY-PLUS oracles new this round (kg_entity_counts …
-    q_markov_mass, positions 51-134 — parity-green at sf0.001 and
-    sf0.01; see CLAUDE.md for the full r5 rotation-window listing),
-    then the remaining oracle-backed catalog. As of r4 EVERY entry,
-    including all kg_* pipeline queries, carries an exact DuckDB
-    oracle — no rows-only tail."""
+    oracles new this round: the kg_* decision-oracle upgrades and
+    round-4 families at positions 51-134, then the second-session
+    families (redirects/textrank/surt+cdx/jsonld/pagemeta/salsa/katz/
+    cdx-merge/MAD/NEAR/webarchive/AMS/topo-layers/blocklist/cusum/
+    link-eval) from position 195 — all parity-green at sf0.001 and
+    sf0.01; see CLAUDE.md for the r5 rotation-window listing. As of
+    r4 EVERY entry, including all kg_* pipeline queries, carries an
+    exact DuckDB oracle — no rows-only tail."""
     return {
         # ---- driver window: the 50 never-driver-hashed oracles ----
         "q_webtext_prep": q_webtext_prep,
@@ -9728,6 +9844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topo_layers": q_topo_layers,
         "q_blocklist": q_blocklist,
         "q_cusum": q_cusum,
+        "q_negative_edges": q_negative_edges,
+        "q_link_auc": q_link_auc,
     }
 
 
@@ -12111,6 +12229,8 @@ def oracle_sql() -> dict[str, str]:
         "q_topo_layers": _topo_layers_oracle(),
         "q_blocklist": _blocklist_oracle(),
         "q_cusum": _cusum_oracle(),
+        "q_negative_edges": _negative_edges_oracle(),
+        "q_link_auc": _link_auc_oracle(),
         "q_scc_dag": _scc_dag_oracle(),
         "q_bowtie": _bowtie_oracle(),
         "q_trap_hosts": _trap_hosts_oracle(),

@@ -1304,6 +1304,49 @@ SELECT host, t, v, CAST(cusum AS BIGINT) AS cusum,
 FROM cp2 ORDER BY host, t"""
 
 
+def q_cusum_onsets(spark, sf_dir):
+    """First-alarm report (operators/changepoint.cusum_onsets) over
+    the q_cusum fixture: exactly the planted host h2, at the tick
+    where five post-shift surpluses cross the threshold — the number
+    an incident report or recrawl planner consumes. min-struct
+    partial agg over the scored rows; oracle replays via arg_min."""
+    from metal_history_knowledge_graph_spark.operators.changepoint import (
+        cusum_onsets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    series = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 6).cast("string")).alias(
+            "host"
+        ),
+        (F.col("doc_id") / 6).cast("long").alias("t"),
+        (
+            10
+            + F.col("doc_id") % 3
+            + F.when(
+                (F.col("doc_id") % 6 == 2) & (F.col("doc_id") / 6 >= 40),
+                F.lit(15),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("v"),
+    )
+    return cusum_onsets(
+        series, "host", "t", "v", drift=12, threshold=60
+    ).orderBy("host")
+
+
+def _cusum_onsets_oracle(drift: int = 12, threshold: int = 60) -> str:
+    base = _cusum_oracle(drift, threshold)
+    prefix = base[: base.rindex("\nSELECT host, t, v")]
+    return (
+        prefix
+        + f"""
+SELECT host, CAST(min(t) AS BIGINT) AS onset_ts,
+       CAST(arg_min(cusum, t) AS BIGINT) AS onset_cusum
+FROM cp2 WHERE cusum > {threshold}
+GROUP BY host ORDER BY host"""
+    )
+
+
 def q_blocklist(spark, sf_dir):
     """C4-style blocklist gate (operators/scrub.blocklist_gate):
     token-exact blocklist hits per document (substrings inside other
@@ -9846,6 +9889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cusum": q_cusum,
         "q_negative_edges": q_negative_edges,
         "q_link_auc": q_link_auc,
+        "q_cusum_onsets": q_cusum_onsets,
     }
 
 
@@ -12231,6 +12275,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cusum": _cusum_oracle(),
         "q_negative_edges": _negative_edges_oracle(),
         "q_link_auc": _link_auc_oracle(),
+        "q_cusum_onsets": _cusum_onsets_oracle(),
         "q_scc_dag": _scc_dag_oracle(),
         "q_bowtie": _bowtie_oracle(),
         "q_trap_hosts": _trap_hosts_oracle(),

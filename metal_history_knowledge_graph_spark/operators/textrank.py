@@ -67,6 +67,24 @@ def cooccurrence_edges(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def merge_cooccurrence(
+    stored: DataFrame, new_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Growing-corpus maintenance: fold a NEW document batch's
+    adjacent-pair counts into a stored (a, b, weight) table WITHOUT
+    rescanning the old corpus — co-occurrence weights are mergeable
+    counts (the bloom/cms/hll/idf merge rule). Merge-then-rank is
+    BIT-IDENTICAL to rebuilding from the union (pinned in
+    test_textrank): the graph is a pure sum of per-document pair
+    multisets, and pagerank_weighted reads only the summed weights."""
+    batch = cooccurrence_edges(new_docs, text_col)
+    return (
+        stored.unionByName(batch)
+        .groupBy("a", "b")
+        .agg(F.sum("weight").cast("long").alias("weight"))
+    )
+
+
 def textrank_keywords(
     df: DataFrame,
     text_col: str = "text",

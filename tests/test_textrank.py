@@ -80,3 +80,21 @@ def test_topk_tiebreak_and_plan(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_merge_equals_rebuild(spark):
+    from metal_history_knowledge_graph_spark.operators.textrank import (
+        merge_cooccurrence,
+    )
+
+    old = _df(spark).filter("doc_id < 2")
+    new = _df(spark).filter("doc_id >= 2")
+    merged = {
+        (r["a"], r["b"]): r["weight"]
+        for r in merge_cooccurrence(cooccurrence_edges(old), new).collect()
+    }
+    full = {
+        (r["a"], r["b"]): r["weight"]
+        for r in cooccurrence_edges(_df(spark)).collect()
+    }
+    assert merged == full

@@ -2649,7 +2649,8 @@ ne_cand AS (
     FROM ne_prop p JOIN ne_idx d ON p.dst_i = d.i
     WHERE p.src <> d.node
       AND NOT EXISTS (SELECT 1 FROM edges e2
-                      WHERE e2.src = p.src AND e2.dst = d.node)
+                      WHERE (e2.src = p.src AND e2.dst = d.node)
+                         OR (e2.src = d.node AND e2.dst = p.src))
 )"""
 
 

@@ -66,13 +66,6 @@ def mad_outliers(
         .select(F.col("value").cast("long").alias("_mad"))
     )
     adev = F.abs(x - F.col("_med"))
-    z = F.when(
-        F.col("_mad") > 0,
-        F.expr(
-            f"(abs({value_col} - _med) * {MAD_CONSISTENCY_MICRO}L)"
-            " div (_mad * 1000L)"
-        ),
-    )
     flag = F.when(x.isNull(), F.lit(False)).otherwise(
         F.when(
             F.col("_mad") > 0,
@@ -80,11 +73,19 @@ def mad_outliers(
             > F.lit(threshold_milli) * F.col("_mad") * 1000,
         ).otherwise(adev > 0)
     )
+    # the integer div runs over STAGED long columns (never the raw
+    # value column inlined into SQL text: a DOUBLE column or a
+    # non-identifier column name would break the expression)
+    z = F.when(
+        F.col("_mad") > 0,
+        F.expr(f"(_adev * {MAD_CONSISTENCY_MICRO}L) div (_mad * 1000L)"),
+    )
     return (
         with_med.crossJoin(F.broadcast(mad_df))
+        .withColumn("_adev", adev.cast("long"))
         .withColumn("med", F.col("_med"))
         .withColumn("mad", F.col("_mad"))
         .withColumn("robust_z_milli", z.cast("long"))
         .withColumn("is_outlier", flag)
-        .drop("_med", "_mad")
+        .drop("_med", "_mad", "_adev")
     )

@@ -81,11 +81,7 @@ def cdx_index(
     footer min/max statistics make every prefix lookup a file-pruned
     scan. Captures with un-keyable URLs (NULL surt) are dropped: they
     cannot land in any range."""
-    rows = df.select(
-        surt_key(F.col(url_col)).alias("surt"),
-        F.col(ts_col).alias("ts"),
-        F.col(url_col).alias("url"),
-    ).filter(F.col("surt").isNotNull())
+    rows = cdx_rows(df, url_col, ts_col).drop("bucket")
     parts = (
         rows.repartitionByRange(n_partitions, "surt")
         if n_partitions

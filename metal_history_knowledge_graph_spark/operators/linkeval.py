@@ -44,13 +44,17 @@ def negative_edges(
     src_col: str = "subj_id",
     dst_col: str = "obj_id",
 ) -> DataFrame:
-    """(src, dst): deterministic NON-edges of the directed graph —
-    ``per_node`` md5-indexed proposals per source node, self-pairs and
-    real edges anti-joined away, then (when ``sample`` is given) the
-    md5-smallest ``sample`` pairs kept. Proposal i of node v targets
-    the node at dense index ``md5(v|i) mod n`` — collisions with real
-    edges simply thin the sample (documented; raise ``per_node`` for
-    dense graphs)."""
+    """(src, dst): deterministic NON-edges of the graph —
+    ``per_node`` md5-indexed proposals per source node; self-pairs and
+    real edges IN EITHER DIRECTION are anti-joined away (the scorers
+    this feeds — common neighbors, Jaccard — are undirected, so the
+    reverse of a real edge must not enter the negative sample: it
+    would carry a positive's score with a negative's label and
+    depress every AUC). When ``sample`` is given, the md5-smallest
+    ``sample`` pairs are kept. Proposal i of node v targets the node
+    at dense index ``md5(v|i) mod n`` — collisions with real edges
+    simply thin the sample (documented; raise ``per_node`` for dense
+    graphs)."""
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -88,6 +92,9 @@ def negative_edges(
             ).alias("dst_i"),
         )
     )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
     cand = (
         props.join(
             F.broadcast(
@@ -98,7 +105,7 @@ def negative_edges(
         .select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .join(e, ["src", "dst"], "left_anti")
+        .join(sym, ["src", "dst"], "left_anti")
     )
     if sample is not None:
         cand = (

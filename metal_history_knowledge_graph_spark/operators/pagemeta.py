@@ -96,7 +96,6 @@ def anchors_with_rel(
     so authority flows only over endorsed edges."""
     a = df.select(
         F.col(url_col).alias("url"),
-        F.col(html_col).alias("html"),
         F.explode(_tags(F.col(html_col), A_TAG_RE)).alias("tag"),
     )
     rel = F.lower(F.regexp_extract("tag", _REL_ATTR_RE, 1))
@@ -106,7 +105,6 @@ def anchors_with_rel(
     )
     anchors = a.select(
         "url",
-        "html",
         F.regexp_extract("tag", _HREF_ATTR_RE, 1).alias("href"),
         (
             F.arrays_overlap(
@@ -120,8 +118,7 @@ def anchors_with_rel(
         "url", F.col("nofollow").alias("page_nofollow")
     )
     return (
-        anchors.drop("html")
-        .join(page_nofollow, "url", "left")
+        anchors.join(page_nofollow, "url", "left")
         .select(
             "url",
             "href",

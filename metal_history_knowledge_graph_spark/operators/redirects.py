@@ -76,10 +76,14 @@ def resolve_redirects(
         final_url/hops are NULL so the output is a pure function of
         the graph, not of the resolution schedule.
 
-    Pointer doubling: ceil(log2(max_hops + 1)) + 1 rounds guarantee
-    any chain of length ≤ max_hops + 1 is fully advanced, so "still
-    pointing at a redirect source OR hops > max_hops" is exactly the
-    unresolved predicate.
+    Pointer doubling: after k rounds every pointer has advanced
+    min(chain length, 2^k) hops, so ceil(log2(max_hops + 1)) rounds
+    (2^k ≥ max_hops + 1) guarantee every chain of length ≤ max_hops
+    has fully exited and every longer chain is either past max_hops
+    hops or still on a source — "still pointing at a redirect source
+    OR hops > max_hops" is exactly the unresolved predicate, with no
+    extra round (each round is a corpus-wide self-join; one too many
+    is one shuffle too many).
     """
     if max_hops < 1:
         raise ValueError(f"max_hops must be >= 1, got {max_hops}")
@@ -89,7 +93,7 @@ def resolve_redirects(
         F.col("nxt").alias("cur"),
         F.lit(1).cast("long").alias("hops"),
     ).localCheckpoint(eager=False)
-    rounds = int(math.ceil(math.log2(max_hops + 1))) + 1
+    rounds = int(math.ceil(math.log2(max_hops + 1)))
     for _ in range(rounds):
         jump = ptr.select(
             F.col("url").alias("j_url"),

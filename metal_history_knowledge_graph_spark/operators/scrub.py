@@ -97,7 +97,11 @@ def blocklist_gate(
 
     lowered = sorted({t.lower() for t in terms})
     toks = _tokens(F.col(text_col))
-    n_hits = F.size(F.filter(toks, lambda t: t.isin(lowered)))
+    # size(NULL) is -1: a NULL-text doc has zero hits (missing is not
+    # anomalous — the mad_outliers NULL rule), not a blocklist hit
+    n_hits = F.greatest(
+        F.size(F.filter(toks, lambda t: t.isin(lowered))), F.lit(0)
+    )
     return df.withColumn(
         "n_blocklist_hits", n_hits.cast("long")
     ).withColumn("blocklist_keep", n_hits == 0)

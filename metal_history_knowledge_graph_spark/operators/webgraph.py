@@ -213,7 +213,15 @@ def topo_layers(
             remaining.withColumnRenamed("node", "src"), "src", "left_semi"
         )
         blocked = live_edges.select(F.col("dst").alias("node")).distinct()
-        sources = remaining.join(blocked, "node", "left_anti")
+        # eager checkpoint: sources feeds THREE consumers (the cycle
+        # probe, the output batch, the remaining anti-join) — without
+        # it every consumer re-runs the round's semi+anti joins
+        # (CLAUDE.md two-consumer rule)
+        sources = remaining.join(blocked, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if sources.limit(1).count() == 0:
+            raise ValueError("topo_layers: cycle detected — input is not a DAG")
         batch = sources.select(
             F.col("node").alias("node_id"), F.lit(layer).cast("long").alias("layer")
         )
@@ -222,9 +230,7 @@ def topo_layers(
             eager=True
         )
         if remaining.limit(1).count() == 0:
-            return out.localCheckpoint(eager=True)
-        if sources.limit(1).count() == 0:
-            raise ValueError("topo_layers: cycle detected — input is not a DAG")
+            return out
     raise ValueError(f"topo_layers: depth exceeds max_rounds={max_rounds}")
 
 

@@ -77,3 +77,14 @@ def test_null_values_unflagged(spark):
 def test_bad_threshold_raises(spark):
     with pytest.raises(ValueError):
         mad_outliers(_df(spark, [1, 2]), "v", threshold_milli=0)
+
+
+def test_double_valued_column_no_crash(spark):
+    # ratio-valued stats: cast-to-long semantics, no AnalysisException
+    df = spark.createDataFrame(
+        [(i, float(10 + i % 3)) for i in range(20)] + [(99, 900.5)],
+        "k long, v double",
+    )
+    rows = mad_outliers(df, "v", sample_rate=1.0).collect()
+    flagged = {r["k"] for r in rows if r["is_outlier"]}
+    assert flagged == {99}

@@ -26,6 +26,8 @@ def test_negative_edges_are_nonedges_and_deterministic(spark):
     got2 = {(r["src"], r["dst"]) for r in negative_edges(e, per_node=6).collect()}
     assert got1 == got2 and got1
     assert got1.isdisjoint(set(PAIRS))
+    # reverse of a real edge is NOT a negative (undirected scorers)
+    assert got1.isdisjoint({(b, a) for a, b in PAIRS})
     assert all(a != b for a, b in got1)
     nodes = {x for p in PAIRS for x in p}
     assert all(a in nodes and b in nodes for a, b in got1)
@@ -35,12 +37,13 @@ def test_negative_edges_python_replay(spark):
     e = _edges(spark, PAIRS)
     nodes = sorted({x for p in PAIRS for x in p})
     n = len(nodes)
+    undirected = set(PAIRS) | {(b, a) for a, b in PAIRS}
     want = set()
     for v in nodes:
         for t in range(6):
             h = int(hashlib.md5(f"{v}|{t}".encode()).hexdigest()[:15], 16)
             d = nodes[h % n]
-            if d != v and (v, d) not in set(PAIRS):
+            if d != v and (v, d) not in undirected:
                 want.add((v, d))
     got = {(r["src"], r["dst"]) for r in negative_edges(e, per_node=6).collect()}
     assert got == want

@@ -36,3 +36,18 @@ def test_blocklist_plan_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_blocklist_null_text_keeps(spark):
+    from metal_history_knowledge_graph_spark.operators.scrub import (
+        blocklist_gate,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, "badword")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_blocklist_hits"], r["blocklist_keep"])
+        for r in blocklist_gate(docs, ["badword"]).collect()
+    }
+    assert got == {0: (0, True), 1: (1, False)}

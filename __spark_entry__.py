@@ -1347,6 +1347,51 @@ GROUP BY host ORDER BY host"""
     )
 
 
+def q_langid_eval(spark, sf_dir):
+    """Lang-ID confusion matrix (operators/textstats.langid_confusion)
+    of the marker-word identifier against the documents table's
+    labeled lang column — the measured-accuracy harness next to
+    q_lang_id's raw predictions (the q_search_quality role for
+    language routing). The oracle replays prediction + the labeled
+    rollup in one statement."""
+    from metal_history_knowledge_graph_spark.operators.textstats import (
+        langid_confusion,
+    )
+
+    return langid_confusion(_t(spark, sf_dir, "documents")).orderBy(
+        "label", "predicted"
+    )
+
+
+def _langid_eval_oracle() -> str:
+    toks = (
+        "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        "x -> length(x) > 0)"
+    )
+    return f"""
+WITH le_t AS (
+    SELECT doc_id, lang, list_distinct({toks}) AS dt FROM documents
+), le_hits AS (
+    SELECT doc_id, lang,
+        length(list_intersect(dt, ['the','and','of','to','in','is','was','that','with','for'])) AS h_en,
+        length(list_intersect(dt, ['der','die','und','das','ist','ein','nicht','mit','von','auf'])) AS h_de,
+        length(list_intersect(dt, ['le','la','et','les','des','est','une','dans','que','pour'])) AS h_fr,
+        length(list_intersect(dt, ['el','la','de','que','los','una','por','con','para','del'])) AS h_es
+    FROM le_t
+), le_pred AS (
+    SELECT lang AS label,
+        CASE WHEN greatest(h_en, h_de, h_fr, h_es) <= 0 THEN 'und'
+             WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+             WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+             WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+             ELSE 'es' END AS predicted
+    FROM le_hits
+)
+SELECT label, predicted, CAST(count(*) AS BIGINT) AS n
+FROM le_pred GROUP BY label, predicted
+ORDER BY label, predicted"""
+
+
 def q_blocklist(spark, sf_dir):
     """C4-style blocklist gate (operators/scrub.blocklist_gate):
     token-exact blocklist hits per document (substrings inside other
@@ -9891,6 +9936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_negative_edges": q_negative_edges,
         "q_link_auc": q_link_auc,
         "q_cusum_onsets": q_cusum_onsets,
+        "q_langid_eval": q_langid_eval,
     }
 
 
@@ -12277,6 +12323,7 @@ def oracle_sql() -> dict[str, str]:
         "q_negative_edges": _negative_edges_oracle(),
         "q_link_auc": _link_auc_oracle(),
         "q_cusum_onsets": _cusum_onsets_oracle(),
+        "q_langid_eval": _langid_eval_oracle(),
         "q_scc_dag": _scc_dag_oracle(),
         "q_bowtie": _bowtie_oracle(),
         "q_trap_hosts": _trap_hosts_oracle(),

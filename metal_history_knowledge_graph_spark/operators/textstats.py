@@ -399,3 +399,21 @@ def rolling_fingerprints(
                      .otherwise(F.array(F.xxhash64(F.col("_norm")))))
         .drop("_norm")
     )
+
+
+def langid_confusion(
+    df: DataFrame, text_col: str = "text", label_col: str = "lang"
+) -> DataFrame:
+    """(label, predicted, n): the confusion matrix of the marker-word
+    language identifier against a labeled column — the eval harness
+    that turns :func:`with_lang_id` from a heuristic into a measured
+    one (the q_search_quality / q_link_auc role for lang-ID: run it on
+    any labeled slice before trusting routing decisions downstream).
+    One narrow prediction projection + one vocabulary²-bounded
+    partial-agg groupBy."""
+    return (
+        with_lang_id(df, text_col)
+        .groupBy(F.col(label_col).alias("label"),
+                 F.col("lang_id").alias("predicted"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

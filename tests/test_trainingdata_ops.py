@@ -608,3 +608,25 @@ def test_script_stats(spark):
     # latin wins exact ties (fixed priority)
     tie = spark.createDataFrame([(9, "ab пр")], "doc_id long, text string")
     assert with_script_stats(tie).head()["dominant_script"] == "latin"
+
+
+def test_langid_confusion(spark):
+    from metal_history_knowledge_graph_spark.operators.textstats import (
+        langid_confusion,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "the band was formed in the city"),
+            (1, "en", "der Export und die Geschichte von Metal"),  # mislabeled row
+            (2, "de", "der die und das ist ein Bericht"),
+            (3, "fr", "xyzzy qwerty"),  # no markers -> und
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        (r["label"], r["predicted"]): r["n"]
+        for r in langid_confusion(docs).collect()
+    }
+    assert got == {("en", "en"): 1, ("en", "de"): 1, ("de", "de"): 1,
+                   ("fr", "und"): 1}

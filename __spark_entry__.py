@@ -5766,6 +5766,34 @@ rres AS (
 )"""
 
 
+def q_redirect_hops(spark, sf_dir):
+    """Chain-length histogram of the resolved redirect space
+    (resolution output → hops rollup, NULL bucket = loops/over-cap) —
+    the fetch-log health metric an ops dashboard tracks (a growing
+    long-chain or unresolved bucket means alias sprawl or trap
+    growth). One partial-agg groupBy over the resolver output."""
+    from metal_history_knowledge_graph_spark.operators.redirects import (
+        resolve_redirects,
+    )
+
+    res = resolve_redirects(
+        _redirect_edges(spark, sf_dir), max_hops=_REDIR_HOPS
+    )
+    return (
+        res.groupBy("hops")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_chains"))
+        .orderBy(F.col("hops").asc_nulls_first())
+    )
+
+
+def _redirect_hops_oracle() -> str:
+    return (
+        f"WITH RECURSIVE {_REDIR_SQL_CTES}\n"
+        "SELECT hops, CAST(count(*) AS BIGINT) AS n_chains\n"
+        "FROM rres GROUP BY hops ORDER BY hops NULLS FIRST"
+    )
+
+
 def _redirects_oracle() -> str:
     return (
         f"WITH RECURSIVE {_REDIR_SQL_CTES}\n"
@@ -9937,6 +9965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_link_auc": q_link_auc,
         "q_cusum_onsets": q_cusum_onsets,
         "q_langid_eval": q_langid_eval,
+        "q_redirect_hops": q_redirect_hops,
     }
 
 
@@ -12324,6 +12353,7 @@ def oracle_sql() -> dict[str, str]:
         "q_link_auc": _link_auc_oracle(),
         "q_cusum_onsets": _cusum_onsets_oracle(),
         "q_langid_eval": _langid_eval_oracle(),
+        "q_redirect_hops": _redirect_hops_oracle(),
         "q_scc_dag": _scc_dag_oracle(),
         "q_bowtie": _bowtie_oracle(),
         "q_trap_hosts": _trap_hosts_oracle(),

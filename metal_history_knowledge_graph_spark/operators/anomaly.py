@@ -52,6 +52,16 @@ def mad_outliers(
     unflagged (is_outlier false, z NULL) — missing is not anomalous."""
     if threshold_milli <= 0:
         raise ValueError(f"threshold_milli must be > 0, got {threshold_milli}")
+    dt = df.schema[value_col].dataType.typeName()
+    if dt not in ("byte", "short", "integer", "long"):
+        # the fixed-point flag rule is exact only over integers; a
+        # DOUBLE column would be silently truncated by the long cast
+        # and the flags would drift from the documented |x−med| rule
+        # (ADVICE r4 #2) — scale to fixed-point upstream instead
+        raise TypeError(
+            f"mad_outliers needs an integral column; {value_col!r} is "
+            f"{dt} — multiply to fixed-point (e.g. micro-units) first"
+        )
     x = F.col(value_col).cast("long")
     med_df = (
         exact_quantiles(df, value_col, [500], sample_rate=sample_rate)

@@ -875,6 +875,12 @@ def hits(
             [], f"node_id {dict(edges.select(F.col(src_col).alias('x')).dtypes)['x']}, "
                 "hub_fixed long, auth_fixed long"
         )
+    if scale // n == 0:
+        # same all-zero-silence guard as salsa (ADVICE r4 #4)
+        raise ValueError(
+            f"hits: scale={scale} < n_nodes={n}; raise `scale` so "
+            "scale // n >= 1 (each node needs >= 1 fixed-point unit)"
+        )
     hubs = nodes.withColumn("h", F.lit(scale // n).cast("long"))
     auths = None
     # L1 normalizers stay IN-PLAN: the half-step total is a 1-row
@@ -1252,6 +1258,13 @@ def salsa(
     if n == 0:
         return spark.createDataFrame(
             [], "node_id long, hub_fixed long, auth_fixed long"
+        )
+    if scale // n == 0:
+        # more nodes than fixed-point units: every score would start
+        # (and stay) 0 with no error signal (ADVICE r4 #4)
+        raise ValueError(
+            f"salsa: scale={scale} < n_nodes={n}; raise `scale` so "
+            "scale // n >= 1 (each node needs >= 1 fixed-point unit)"
         )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))

@@ -69,6 +69,11 @@ def negative_edges(
         "i", F.dense_rank().over(Window.orderBy("node")).cast("long") - 1
     )
     n = idx.count()
+    if n == 0:
+        # empty edge table → no nodes: return an empty (src, dst)
+        # frame with the contract schema instead of letting the
+        # `% n` below divide by zero at plan time (ADVICE r4 #1)
+        return e.select("src", "dst").limit(0)
     props = (
         idx.select(F.col("node").alias("src"))
         .crossJoin(

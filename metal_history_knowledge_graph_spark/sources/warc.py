@@ -203,3 +203,58 @@ def parse_warc(
     return blobs.select(
         F.col(blob_id_col).alias("blob_id"), F.col(warc_col).alias("warc")
     ).mapInPandas(run, schema=RECORD_SCHEMA)
+
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def pages_from_warc(records: DataFrame, lang: str = "en") -> DataFrame:
+    """Parsed WARC ``response`` records → the crawl pages table
+    ``(url, warc_ts, html, text, lang)`` the pipeline ingests — the
+    Common-Crawl ingestion boundary (reference analogue: the manual
+    markdown corpus drop, ``history/`` per SURVEY §2.1, re-expressed
+    as the container crawls actually ship).
+
+    Narrow Arrow-batched 1→1 stage: keeps only well-formed response
+    records (``parse_error`` NULL, a target URI present), re-derives
+    ``text`` from the payload bytes with the SAME deterministic
+    :func:`..functions.html_text.html_to_text` the chunk stage uses —
+    so the byte-identity invariant (north rule: identical extracted
+    text per url) holds by construction and the chunk stage's
+    ``text_matches_crawl`` audit column stays all-true. Composes with
+    :func:`parse_warc` without a shuffle; at 100 TB each task turns
+    its own WARC blobs into pages exactly where the scan read them.
+    Lossless-boundary pin: pipeline(pages) ==
+    pipeline(pages_from_warc(parse_warc(build_warc(pages)))) —
+    tests/test_warc_pipeline.py."""
+    import pandas as pd
+
+    from ..functions.html_text import html_to_text
+
+    resp = records.filter(
+        (F.col("warc_type") == "response")
+        & F.col("parse_error").isNull()
+        & F.col("target_uri").isNotNull()
+    )
+
+    def rebuild(batches):
+        for pdf in batches:
+            payloads = [
+                b"" if p is None else (p if isinstance(p, bytes) else bytes(p))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "url": pdf["target_uri"],
+                    "warc_ts": pd.to_datetime(pdf["warc_date"]),
+                    "html": payloads,
+                    "text": [html_to_text(p) for p in payloads],
+                    "lang": lang,
+                }
+            )
+
+    return resp.select("target_uri", "warc_date", "payload").mapInPandas(
+        rebuild, schema=PAGES_SCHEMA
+    )

@@ -79,12 +79,22 @@ def test_bad_threshold_raises(spark):
         mad_outliers(_df(spark, [1, 2]), "v", threshold_milli=0)
 
 
-def test_double_valued_column_no_crash(spark):
-    # ratio-valued stats: cast-to-long semantics, no AnalysisException
+def test_double_valued_column_rejected(spark):
+    # ratio-valued stats: the long cast would silently truncate
+    # fractional parts and drift the flags from the documented
+    # |x−med| rule (ADVICE r4 #2) — a DOUBLE column must raise,
+    # and the fixed-point rescale is the supported route
+    import pytest
+
     df = spark.createDataFrame(
         [(i, float(10 + i % 3)) for i in range(20)] + [(99, 900.5)],
         "k long, v double",
     )
-    rows = mad_outliers(df, "v", sample_rate=1.0).collect()
+    with pytest.raises(TypeError, match="integral"):
+        mad_outliers(df, "v", sample_rate=1.0)
+    micro = df.withColumn(
+        "v_micro", F.round(F.col("v") * 1_000_000).cast("long")
+    )
+    rows = mad_outliers(micro, "v_micro", sample_rate=1.0).collect()
     flagged = {r["k"] for r in rows if r["is_outlier"]}
     assert flagged == {99}

@@ -35,6 +35,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+#: Per-process tag for trusted-export parquet paths. The driver's
+#: protocol is query-writes-then-oracle-reads PER QUERY, so within one
+#: process any number of sf tiers can run back-to-back safely; the PID
+#: tag removes the remaining hazard — two CONCURRENT drivers pointed at
+#: different sf_dirs sharing one fixed /tmp file (VERDICT r4 wrong-#1,
+#: the collision class ADVICE r3 #4 fixed for crawl rules). oracle_sql()
+#: is evaluated in the same process as queries(), so the SQL strings
+#: embed the same per-process paths the query functions write.
+_EXPORT_TAG = str(os.getpid())
+
+
+def _export(name: str) -> str:
+    return f"/tmp/kg_x{_EXPORT_TAG}_{name}.parquet"
+
+
 _KG_CACHE: dict[str, object] = {}
 
 
@@ -49,7 +64,10 @@ def _kg_store(spark: SparkSession, sf_dir: str):
     from metal_history_knowledge_graph_spark.sources.corpus import generate_pages
 
     n_pages = 300 if "0.01" in os.path.basename(key.rstrip("/")) else 120
-    root = f"/tmp/kg_entry_store_{os.path.basename(key.rstrip('/'))}"
+    import hashlib
+
+    _tag = hashlib.md5(key.rstrip("/").encode()).hexdigest()[:12]
+    root = f"/tmp/kg_entry_store_{os.path.basename(key.rstrip('/'))}_{_tag}"
     store = TableStore(spark, root)
     run(spark, generate_pages(spark, n_pages, seed=42), store,
         run_id=f"entry-{n_pages}", resume=True, pair_strategy="lsh")
@@ -607,14 +625,17 @@ def q_cdx_merge(spark, sf_dir):
     every 10th even RE-observed; the merged table must equal a
     from-scratch build on the full fixture, which is exactly what the
     oracle computes (surt chain + bucket substring + DISTINCT). Store
-    path derives from sf_dir so concurrent scales never collide."""
-    import os
+    path derives from a hash of the FULL sf_dir path (not just the
+    basename — two drivers pointed at different dirs both named
+    'sf0.01' must not race each other's merge; ADVICE r4 #3)."""
+    import hashlib
     import shutil
 
     from metal_history_knowledge_graph_spark.io import TableStore
     from metal_history_knowledge_graph_spark.operators.cdx import cdx_merge
 
-    root = f"/tmp/kg_cdx_store_{os.path.basename(str(sf_dir).rstrip('/'))}"
+    _tag = hashlib.md5(str(sf_dir).rstrip("/").encode()).hexdigest()[:12]
+    root = f"/tmp/kg_cdx_store_{_tag}"
     shutil.rmtree(root, ignore_errors=True)
     store = TableStore(spark, root)
     caps = _surt_fixture(spark, sf_dir).select(
@@ -1532,15 +1553,15 @@ def q_profile(spark, sf_dir):
     return profile_table(_t(spark, sf_dir, "documents"), exact=True)
 
 
-_LSH_PLANES_PATH = "/tmp/kg_lsh_planes.parquet"
-_LSH_TOPK_PLANES_PATH = "/tmp/kg_lsh_topk_planes.parquet"
-_NEARDUP_PLANES_PATH = "/tmp/kg_neardup_planes.parquet"
-_IVF_CENTROIDS_PATH = "/tmp/kg_ivf_centroids.parquet"
-_IVF_ASSIGN_PATH = "/tmp/kg_ivf_assign.parquet"
-_PQ_CODEBOOK_PATH = "/tmp/kg_pq_codebook.parquet"
-_IVFPQ_CENT_PATH = "/tmp/kg_ivfpq_centroids.parquet"
-_IVFPQ_CB_PATH = "/tmp/kg_ivfpq_codebook.parquet"
-_ROBOTS_RULES_PATH = "/tmp/kg_robots_rules.parquet"
+_LSH_PLANES_PATH = _export("lsh_planes")
+_LSH_TOPK_PLANES_PATH = _export("lsh_topk_planes")
+_NEARDUP_PLANES_PATH = _export("neardup_planes")
+_IVF_CENTROIDS_PATH = _export("ivf_centroids")
+_IVF_ASSIGN_PATH = _export("ivf_assign")
+_PQ_CODEBOOK_PATH = _export("pq_codebook")
+_IVFPQ_CENT_PATH = _export("ivfpq_centroids")
+_IVFPQ_CB_PATH = _export("ivfpq_codebook")
+_ROBOTS_RULES_PATH = _export("robots_rules")
 
 
 def q_lsh_buckets(spark, sf_dir):
@@ -3331,8 +3352,8 @@ def q_nfc_normalize(spark, sf_dir):
     )
 
 
-_LM_LOGTAB_PATH = "/tmp/kg_lm_logtab.parquet"
-_LM_PARAMS_PATH = "/tmp/kg_lm_params.parquet"
+_LM_LOGTAB_PATH = _export("lm_logtab")
+_LM_PARAMS_PATH = _export("lm_params")
 
 
 def q_lm_score(spark, sf_dir):
@@ -3369,8 +3390,8 @@ def q_lm_score(spark, sf_dir):
     )
 
 
-_CCNET_LOGTAB_PATH = "/tmp/kg_ccnet_logtab.parquet"
-_CCNET_PARAMS_PATH = "/tmp/kg_ccnet_params.parquet"
+_CCNET_LOGTAB_PATH = _export("ccnet_logtab")
+_CCNET_PARAMS_PATH = _export("ccnet_params")
 
 
 def q_ccnet_buckets(spark, sf_dir):
@@ -3409,8 +3430,8 @@ def q_ccnet_buckets(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-_QCLF_WEIGHTS_PATH = "/tmp/kg_qclf_weights.parquet"
-_QCLF_PARAMS_PATH = "/tmp/kg_qclf_params.parquet"
+_QCLF_WEIGHTS_PATH = _export("qclf_weights")
+_QCLF_PARAMS_PATH = _export("qclf_params")
 
 
 def q_quality_clf(spark, sf_dir):
@@ -3453,7 +3474,7 @@ def q_quality_clf(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-_TFIDF_IDF_PATH = "/tmp/kg_tfidf_idf.parquet"
+_TFIDF_IDF_PATH = _export("tfidf_idf")
 
 
 def q_tfidf_keywords(spark, sf_dir):
@@ -3787,7 +3808,7 @@ def q_heavy_hitters(spark, sf_dir):
     return heavy_hitters(toks, "term", threshold_ppm=33000)
 
 
-_IDF_MERGED_PATH = "/tmp/kg_idf_merged.parquet"
+_IDF_MERGED_PATH = _export("idf_merged")
 
 
 def q_idf_merge(spark, sf_dir):
@@ -3920,7 +3941,7 @@ def q_pmi_collocations(spark, sf_dir):
     ).limit(100)
 
 
-_DSIR_LR_PATH = "/tmp/kg_dsir_lr.parquet"
+_DSIR_LR_PATH = _export("dsir_lr")
 _DSIR_N_BUCKETS = 4096
 _DSIR_K = 100
 
@@ -3964,7 +3985,7 @@ def q_dsir_select(spark, sf_dir):
     )
 
 
-_SEMDEDUP_CENTROIDS_PATH = "/tmp/kg_semdedup_centroids.parquet"
+_SEMDEDUP_CENTROIDS_PATH = _export("semdedup_centroids")
 _SEMDEDUP_TAU = 0.35
 
 
@@ -6166,6 +6187,70 @@ def q_warc_roundtrip(spark, sf_dir):
     ).orderBy("blob_id", "record_index")
 
 
+
+_WP_RELS_PATH = _export("wp_rels")
+_WP_ENTS_PATH = _export("wp_ents")
+_WP_RES_PATH = _export("wp_res")
+_WP_PROV_PATH = _export("wp_prov")
+
+
+def q_warc_pipeline(spark, sf_dir):
+    """Composed WARC-slice ingest, end-to-end (VERDICT r4 next-step
+    #8): synthetic crawl pages are packed into spec-shaped WARC/1.0
+    blobs (sources/warc.build_warc), parsed back through the
+    Arrow-batched reader (parse_warc), rebuilt into the pages table
+    with text re-derived from the payload bytes (pages_from_warc —
+    the Common-Crawl ingestion boundary), and fed through the FULL
+    pipeline: chunk → extract → canonicalize → triples
+    (plans/pipeline.run). Returns the committed edge list with exact
+    n_sources; the oracle replays the whole of operators/triples.py
+    from this query's own trusted exports (_full_edges_oracle — the
+    kg_triples decision oracle), so the WHOLE composed path has to
+    land on the independently re-derived edge set. The WARC boundary
+    itself is additionally pinned lossless by
+    tests/test_warc_pipeline.py (pipeline(pages) ≡
+    pipeline(pages_from_warc(parse_warc(build_warc(pages))))) and by
+    q_warc_roundtrip's field-level oracle."""
+    import shutil
+
+    from metal_history_knowledge_graph_spark.io import TableStore
+    from metal_history_knowledge_graph_spark.plans.pipeline import run
+    from metal_history_knowledge_graph_spark.sources.corpus import (
+        generate_pages,
+    )
+    from metal_history_knowledge_graph_spark.sources.warc import (
+        build_warc,
+        pages_from_warc,
+        parse_warc,
+    )
+
+    n_pages = 90 if "0.01" in os.path.basename(str(sf_dir).rstrip("/")) else 40
+    pages = generate_pages(spark, n_pages, seed=77)
+    ided = pages.select(
+        F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("page_id"),
+        "url",
+        F.col("warc_ts").cast("string").alias("warc_date"),
+        F.decode("html", "utf-8").alias("html_str"),
+    )
+    blobs = build_warc(ided, id_col="page_id", url_col="url",
+                       date_col="warc_date", payload_col="html_str",
+                       records_per_blob=16)
+    pages2 = pages_from_warc(parse_warc(blobs))
+    root = f"/tmp/kg_warcpipe_store_{_EXPORT_TAG}"
+    shutil.rmtree(root, ignore_errors=True)
+    store = TableStore(spark, root)
+    run(spark, pages2, store, run_id=f"warcpipe-{n_pages}", resume=False,
+        pair_strategy="lsh")
+    _export_triples_inputs(store, _WP_RELS_PATH, _WP_ENTS_PATH, _WP_RES_PATH)
+    store.read("edge_provenance").select("edge_key", "url").write.mode(
+        "overwrite"
+    ).parquet(_WP_PROV_PATH)
+    return store.read("edges").select(
+        "pred", "subj_type", "subj_name", "obj_type", "obj_name", "n_sources"
+    ).orderBy("pred", "subj_name", "obj_name", "subj_type", "obj_type",
+              "n_sources")
+
+
 def q_bpe_pairs(spark, sf_dir):
     """BPE tokenizer training, statistics stage (operators/bpe.py):
     adjacent-symbol pair counts over the character-segmented word
@@ -6419,11 +6504,11 @@ def q_dup_groups(spark, sf_dir):
 # predicate normalization/whitelisting, id resolution, edge-level dedup —
 # and must land on the same canonical tables the pipeline committed.
 
-_KG_CANON_FORMS_PATH = "/tmp/kg_canon_forms.parquet"
-_KG_CANON_PAIRS_PATH = "/tmp/kg_canon_pairs.parquet"
-_KG_REPLAY_RELS_PATH = "/tmp/kg_replay_rels.parquet"
-_KG_REPLAY_ENTS_PATH = "/tmp/kg_replay_ents.parquet"
-_KG_REPLAY_RES_PATH = "/tmp/kg_replay_res.parquet"
+_KG_CANON_FORMS_PATH = _export("canon_forms")
+_KG_CANON_PAIRS_PATH = _export("canon_pairs")
+_KG_REPLAY_RELS_PATH = _export("replay_rels")
+_KG_REPLAY_ENTS_PATH = _export("replay_ents")
+_KG_REPLAY_RES_PATH = _export("replay_res")
 
 
 def kg_canon_counts(spark, sf_dir):
@@ -6496,8 +6581,8 @@ def kg_edge_replay(spark, sf_dir):
     )
 
 
-_KG_ORPHAN_ENTS_PATH = "/tmp/kg_orphan_ents.parquet"
-_KG_ORPHAN_EDGES_PATH = "/tmp/kg_orphan_edges.parquet"
+_KG_ORPHAN_ENTS_PATH = _export("orphan_ents")
+_KG_ORPHAN_EDGES_PATH = _export("orphan_edges")
 
 
 def kg_orphans(spark, sf_dir):
@@ -6527,8 +6612,8 @@ def kg_orphans(spark, sf_dir):
     )
 
 
-_KG_EC_FORMS_PATH = "/tmp/kg_ec_forms.parquet"
-_KG_EC_PAIRS_PATH = "/tmp/kg_ec_pairs.parquet"
+_KG_EC_FORMS_PATH = _export("ec_forms")
+_KG_EC_PAIRS_PATH = _export("ec_pairs")
 
 
 def kg_entity_counts(spark, sf_dir):
@@ -6566,10 +6651,10 @@ def kg_entity_counts(spark, sf_dir):
     )
 
 
-_KG_TRIPLES_RELS_PATH = "/tmp/kg_triples_rels.parquet"
-_KG_TRIPLES_ENTS_PATH = "/tmp/kg_triples_ents.parquet"
-_KG_TRIPLES_RES_PATH = "/tmp/kg_triples_res.parquet"
-_KG_TRIPLES_PROV_PATH = "/tmp/kg_triples_prov.parquet"
+_KG_TRIPLES_RELS_PATH = _export("triples_rels")
+_KG_TRIPLES_ENTS_PATH = _export("triples_ents")
+_KG_TRIPLES_RES_PATH = _export("triples_res")
+_KG_TRIPLES_PROV_PATH = _export("triples_prov")
 
 
 def kg_triples(spark, sf_dir):
@@ -6608,8 +6693,8 @@ def kg_triples(spark, sf_dir):
               "n_sources")
 
 
-_KG_BHAM_EDGES_PATH = "/tmp/kg_bham_edges.parquet"
-_KG_BHAM_LOCS_PATH = "/tmp/kg_bham_locs.parquet"
+_KG_BHAM_EDGES_PATH = _export("bham_edges")
+_KG_BHAM_LOCS_PATH = _export("bham_locs")
 
 
 def kg_birmingham(spark, sf_dir):
@@ -6638,12 +6723,12 @@ def kg_birmingham(spark, sf_dir):
     )
 
 
-_KG_AT_RELS_PATH = "/tmp/kg_at_rels.parquet"
-_KG_AT_ENTS_PATH = "/tmp/kg_at_ents.parquet"
-_KG_AT_RES_PATH = "/tmp/kg_at_res.parquet"
-_KG_CO_RELS_PATH = "/tmp/kg_co_rels.parquet"
-_KG_CO_ENTS_PATH = "/tmp/kg_co_ents.parquet"
-_KG_CO_RES_PATH = "/tmp/kg_co_res.parquet"
+_KG_AT_RELS_PATH = _export("at_rels")
+_KG_AT_ENTS_PATH = _export("at_ents")
+_KG_AT_RES_PATH = _export("at_res")
+_KG_CO_RELS_PATH = _export("co_rels")
+_KG_CO_ENTS_PATH = _export("co_ents")
+_KG_CO_RES_PATH = _export("co_res")
 
 
 def _export_triples_inputs(store, rels_path, ents_path, res_path):
@@ -6699,9 +6784,9 @@ def kg_cooccurrence(spark, sf_dir):
     )
 
 
-_KG_DV_FORMS_PATH = "/tmp/kg_dv_forms.parquet"
-_KG_DV_VARS_PATH = "/tmp/kg_dv_vars.parquet"
-_KG_DV_PAIRS_PATH = "/tmp/kg_dv_pairs.parquet"
+_KG_DV_FORMS_PATH = _export("dv_forms")
+_KG_DV_VARS_PATH = _export("dv_vars")
+_KG_DV_PAIRS_PATH = _export("dv_pairs")
 
 
 def kg_dedup_variants(spark, sf_dir):
@@ -6745,7 +6830,7 @@ def kg_dedup_variants(spark, sf_dir):
     )
 
 
-_KG_CS_CHUNKS_PATH = "/tmp/kg_cs_chunks.parquet"
+_KG_CS_CHUNKS_PATH = _export("cs_chunks")
 
 
 def kg_chunk_stats(spark, sf_dir):
@@ -6820,7 +6905,7 @@ def td_minhash_probe(spark, sf_dir):
 
 #: signature export consumed by the td_simhash_pairs DuckDB oracle —
 #: written fresh by the Spark side on every call, read by the oracle SQL.
-_SIMHASH_SIG_PATH = "/tmp/kg_simhash_sig.parquet"
+_SIMHASH_SIG_PATH = _export("simhash_sig")
 
 
 def td_simhash_pairs(spark, sf_dir):
@@ -6918,7 +7003,7 @@ def td_lsh_topk(spark, sf_dir):
     )
 
 
-_KG_COMP_EDGES_PATH = "/tmp/kg_comp_edges.parquet"
+_KG_COMP_EDGES_PATH = _export("comp_edges")
 
 
 def kg_components(spark, sf_dir):
@@ -6938,7 +7023,7 @@ def kg_components(spark, sf_dir):
     return component_sizes(edges)
 
 
-_KG_BT_EDGES_PATH = "/tmp/kg_bt_edges.parquet"
+_KG_BT_EDGES_PATH = _export("bt_edges")
 
 
 def kg_betweenness(spark, sf_dir):
@@ -6958,8 +7043,8 @@ def kg_betweenness(spark, sf_dir):
     return betweenness_sampled(edges).limit(20)
 
 
-_KG_PR_EDGES_PATH = "/tmp/kg_pr_edges.parquet"
-_KG_PR_NAMES_PATH = "/tmp/kg_pr_names.parquet"
+_KG_PR_EDGES_PATH = _export("pr_edges")
+_KG_PR_NAMES_PATH = _export("pr_names")
 
 
 def kg_pagerank(spark, sf_dir):
@@ -6990,7 +7075,7 @@ def kg_pagerank(spark, sf_dir):
     )
 
 
-_KG_PA_EDGES_PATH = "/tmp/kg_pa_edges.parquet"
+_KG_PA_EDGES_PATH = _export("pa_edges")
 
 
 def kg_path_analysis(spark, sf_dir):
@@ -7020,7 +7105,7 @@ def kg_path_analysis(spark, sf_dir):
     return out
 
 
-_KG_VAL_ENTS_PATH = "/tmp/kg_val_ents.parquet"
+_KG_VAL_ENTS_PATH = _export("val_ents")
 
 
 def kg_validation(spark, sf_dir):
@@ -7047,8 +7132,8 @@ def kg_validation(spark, sf_dir):
     )
 
 
-_KG_HS_SCORES_PATH = "/tmp/kg_hs_scores.parquet"
-_KG_HS_ENTS_PATH = "/tmp/kg_hs_ents.parquet"
+_KG_HS_SCORES_PATH = _export("hs_scores")
+_KG_HS_ENTS_PATH = _export("hs_ents")
 
 
 def kg_hybrid_search(spark, sf_dir):
@@ -7079,8 +7164,8 @@ def kg_hybrid_search(spark, sf_dir):
         .select("entity_type", "canonical_name", "final_score")
 
 
-_KG_IS_HITS_PATH = "/tmp/kg_is_hits.parquet"
-_KG_IS_CTX_PATH = "/tmp/kg_is_ctx.parquet"
+_KG_IS_HITS_PATH = _export("is_hits")
+_KG_IS_CTX_PATH = _export("is_ctx")
 
 
 def kg_intent_search(spark, sf_dir):
@@ -7120,11 +7205,11 @@ def kg_intent_search(spark, sf_dir):
     ).withColumn("genres", F.array_join(F.coalesce("genres", F.array()), ","))
 
 
-_KG_MON_EDGES_PATH = "/tmp/kg_mon_edges.parquet"
-_KG_MON_VARS_PATH = "/tmp/kg_mon_vars.parquet"
-_KG_MON_TRUTH_PATH = "/tmp/kg_mon_truth.parquet"
-_KG_MON_RANKING_PATH = "/tmp/kg_mon_ranking.parquet"
-_KG_MON_LABELS_PATH = "/tmp/kg_mon_labels.parquet"
+_KG_MON_EDGES_PATH = _export("mon_edges")
+_KG_MON_VARS_PATH = _export("mon_vars")
+_KG_MON_TRUTH_PATH = _export("mon_truth")
+_KG_MON_RANKING_PATH = _export("mon_ranking")
+_KG_MON_LABELS_PATH = _export("mon_labels")
 
 
 def kg_monitor(spark, sf_dir):
@@ -7214,9 +7299,9 @@ def _export_prf_inputs(store, truth, edges_path, vars_path, truth_path):
         "overwrite").parquet(truth_path)
 
 
-_KG_QL_EDGES_PATH = "/tmp/kg_ql_edges.parquet"
-_KG_QL_VARS_PATH = "/tmp/kg_ql_vars.parquet"
-_KG_QL_TRUTH_PATH = "/tmp/kg_ql_truth.parquet"
+_KG_QL_EDGES_PATH = _export("ql_edges")
+_KG_QL_VARS_PATH = _export("ql_vars")
+_KG_QL_TRUTH_PATH = _export("ql_truth")
 
 
 def kg_quality(spark, sf_dir):
@@ -9187,7 +9272,7 @@ def _concentration_oracle() -> str:
     """
 
 
-_KN_LOGTAB_PATH = "/tmp/kg_kn_logtab.parquet"
+_KN_LOGTAB_PATH = _export("kn_logtab")
 
 
 def q_kn_score(spark, sf_dir):
@@ -9720,78 +9805,22 @@ def _winnow_pairs_oracle() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's CORRECTNESS gate
     verifies the first 50 entries, so every one of those carries an
-    exact DuckDB oracle. Round-4 rotation (VERDICT r3 next-step #1):
+    exact DuckDB oracle. Round-5 rotation (VERDICT r4 next-step #1):
     the window now holds exactly the 50 oracle-backed queries the
-    driver has never hashed — the round-3 operator families (spans,
-    bm25/rrf, sketches, bpe, warc, robots, zorder, pq/ivfpq, links,
-    frontier, crawl plan, …). The 50 displaced entries hold green
-    driver rows in CORRECTNESS_r03 (and the 14 relational ones in
-    CORRECTNESS_r02 too); every displaced pair stays pinned each run
-    by tests/test_oracle_parity.py, which checks ALL oracle pairs
-    regardless of position. Immediately after the window sit the
-    oracles new this round: the kg_* decision-oracle upgrades and
-    round-4 families at positions 51-134, then the second-session
-    families (redirects/textrank/surt+cdx/jsonld/pagemeta/salsa/katz/
-    cdx-merge/MAD/NEAR/webarchive/AMS/topo-layers/blocklist/cusum/
-    link-eval) from position 195 — all parity-green at sf0.001 and
-    sf0.01; see CLAUDE.md for the r5 rotation-window listing. As of
-    r4 EVERY entry, including all kg_* pipeline queries, carries an
-    exact DuckDB oracle — no rows-only tail."""
+    driver has never HARD-hashed — the ten kg_* decision-oracle
+    upgrades (their r1 rows were rows-only `no_oracle` checks; the
+    oracles are new in r4), kg_pagerank/kg_path_analysis/
+    kg_intent_search/kg_monitor, and the round-4 text/crawl/sketch/
+    graph families through q_hyperball. Positions 51-111 hold the
+    final never-hashed remainder (q_pagerank_inc … q_redirect_hops)
+    staged as the r6 window — the exact list is in CLAUDE.md. Every
+    displaced entry keeps a green hard row in CORRECTNESS_r02/r03/r04
+    and stays pinned each run by tests/test_oracle_parity.py, which
+    checks ALL oracle pairs regardless of position. EVERY entry,
+    including all kg_* pipeline queries, carries an exact DuckDB
+    oracle — no rows-only tail."""
     return {
-        # ---- driver window: the 50 never-driver-hashed oracles ----
-        "q_webtext_prep": q_webtext_prep,
-        "q_prefix_join": q_prefix_join,
-        "q_containment": q_containment,
-        "q_kcore": q_kcore,
-        "td_pq_topk": td_pq_topk,
-        "td_ivfpq_topk": td_ivfpq_topk,
-        "q_hll_cardinality": q_hll_cardinality,
-        "q_warc_roundtrip": q_warc_roundtrip,
-        "q_bpe_pairs": q_bpe_pairs,
-        "q_robots_filter": q_robots_filter,
-        "q_crawl_delay": q_crawl_delay,
-        "q_zorder": q_zorder,
-        "q_components_inc": q_components_inc,
-        "q_host_graph": q_host_graph,
-        "q_hits": q_hits,
-        "q_anchor_text": q_anchor_text,
-        "q_frontier": q_frontier,
-        "q_pps_sample": q_pps_sample,
-        "q_phrase_match": q_phrase_match,
-        "q_harmonic": q_harmonic,
-        "q_crawl_plan": q_crawl_plan,
-        "q_markup_stats": q_markup_stats,
-        "q_link_features": q_link_features,
-        "q_link_pred": q_link_pred,
-        "q_recrawl": q_recrawl,
-        "q_ppr": q_ppr,
-        "q_token_budget": q_token_budget,
-        "q_pagerank_weighted": q_pagerank_weighted,
-        "q_dedup_keep_best": q_dedup_keep_best,
-        "q_dup_spans": q_dup_spans,
-        "q_boilerplate": q_boilerplate,
-        "q_span_scrub": q_span_scrub,
-        "q_bm25_topk": q_bm25_topk,
-        "q_rrf_fusion": q_rrf_fusion,
-        "q_bloom_probe": q_bloom_probe,
-        "q_cms_estimate": q_cms_estimate,
-        "q_vocab_coverage": q_vocab_coverage,
-        "td_minhash_probe": td_minhash_probe,
-        "q_snapshot_diff": q_snapshot_diff,
-        "q_cap_per_group": q_cap_per_group,
-        "q_within_doc_dedup": q_within_doc_dedup,
-        "q_nfc_normalize": q_nfc_normalize,
-        "q_lm_score": q_lm_score,
-        "q_neardup_bands": q_neardup_bands,
-        "td_lsh_topk": td_lsh_topk,
-        "q_click_attribution": q_click_attribution,
-        "q_latest_event": q_latest_event,
-        "q_word_freq": q_word_freq,
-        "q_ivf_fullprobe": q_ivf_fullprobe,
-        "q_triangles": q_triangles,
-        # ---- end of the driver's 50-row window (50 entries above) ----
-        # oracles NEW this round — parity-green both scales, never yet
-        # in a driver window: first in line for the round-5 rotation
+        # ---- driver window (r5): the 50 never-hard-hashed oracles ----
         "kg_entity_counts": kg_entity_counts,
         "kg_triples": kg_triples,
         "kg_components": kg_components,
@@ -9842,6 +9871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel": q_funnel,
         "q_cocitation": q_cocitation,
         "q_hyperball": q_hyperball,
+        # ---- end of the driver's 50-row window (50 entries above) ----
+        # never-hard-hashed remainder, staged as the r6 window (62):
+        "q_warc_pipeline": q_warc_pipeline,
         "q_pagerank_inc": q_pagerank_inc,
         "q_kmv_distinct": q_kmv_distinct,
         "q_kmv_jaccard": q_kmv_jaccard,
@@ -9876,7 +9908,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rbo": q_rbo,
         "q_markov_trans": q_markov_trans,
         "q_markov_mass": q_markov_mass,
-        # oracle-backed, green driver rows in CORRECTNESS_r02
+        "q_redirects": q_redirects,
+        "q_redirect_repoint": q_redirect_repoint,
+        "q_textrank": q_textrank,
+        "q_surt": q_surt,
+        "q_cdx_lookup": q_cdx_lookup,
+        "q_jsonld": q_jsonld,
+        "q_jsonld_rollup": q_jsonld_rollup,
+        "q_robots_meta": q_robots_meta,
+        "q_nofollow_links": q_nofollow_links,
+        "q_hreflang": q_hreflang,
+        "q_jsonld_mentions": q_jsonld_mentions,
+        "q_salsa": q_salsa,
+        "q_katz": q_katz,
+        "q_cdx_merge": q_cdx_merge,
+        "q_mad_outliers": q_mad_outliers,
+        "q_near_match": q_near_match,
+        "q_webarchive_rank": q_webarchive_rank,
+        "q_ams_f2": q_ams_f2,
+        "q_ams_join": q_ams_join,
+        "q_topo_layers": q_topo_layers,
+        "q_blocklist": q_blocklist,
+        "q_cusum": q_cusum,
+        "q_negative_edges": q_negative_edges,
+        "q_link_auc": q_link_auc,
+        "q_cusum_onsets": q_cusum_onsets,
+        "q_langid_eval": q_langid_eval,
+        "q_redirect_hops": q_redirect_hops,
+        # oracle-backed, green HARD driver rows in CORRECTNESS_r01-r04:
+        "q_webtext_prep": q_webtext_prep,
+        "q_prefix_join": q_prefix_join,
+        "q_containment": q_containment,
+        "q_kcore": q_kcore,
+        "td_pq_topk": td_pq_topk,
+        "td_ivfpq_topk": td_ivfpq_topk,
+        "q_hll_cardinality": q_hll_cardinality,
+        "q_warc_roundtrip": q_warc_roundtrip,
+        "q_bpe_pairs": q_bpe_pairs,
+        "q_robots_filter": q_robots_filter,
+        "q_crawl_delay": q_crawl_delay,
+        "q_zorder": q_zorder,
+        "q_components_inc": q_components_inc,
+        "q_host_graph": q_host_graph,
+        "q_hits": q_hits,
+        "q_anchor_text": q_anchor_text,
+        "q_frontier": q_frontier,
+        "q_pps_sample": q_pps_sample,
+        "q_phrase_match": q_phrase_match,
+        "q_harmonic": q_harmonic,
+        "q_crawl_plan": q_crawl_plan,
+        "q_markup_stats": q_markup_stats,
+        "q_link_features": q_link_features,
+        "q_link_pred": q_link_pred,
+        "q_recrawl": q_recrawl,
+        "q_ppr": q_ppr,
+        "q_token_budget": q_token_budget,
+        "q_pagerank_weighted": q_pagerank_weighted,
+        "q_dedup_keep_best": q_dedup_keep_best,
+        "q_dup_spans": q_dup_spans,
+        "q_boilerplate": q_boilerplate,
+        "q_span_scrub": q_span_scrub,
+        "q_bm25_topk": q_bm25_topk,
+        "q_rrf_fusion": q_rrf_fusion,
+        "q_bloom_probe": q_bloom_probe,
+        "q_cms_estimate": q_cms_estimate,
+        "q_vocab_coverage": q_vocab_coverage,
+        "td_minhash_probe": td_minhash_probe,
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_cap_per_group": q_cap_per_group,
+        "q_within_doc_dedup": q_within_doc_dedup,
+        "q_nfc_normalize": q_nfc_normalize,
+        "q_lm_score": q_lm_score,
+        "q_neardup_bands": q_neardup_bands,
+        "td_lsh_topk": td_lsh_topk,
+        "q_click_attribution": q_click_attribution,
+        "q_latest_event": q_latest_event,
+        "q_word_freq": q_word_freq,
+        "q_ivf_fullprobe": q_ivf_fullprobe,
+        "q_triangles": q_triangles,
         "q_point_lookup": q_point_lookup,
         "q_anti_join": q_anti_join,
         "q_window_rank": q_window_rank,
@@ -9887,7 +9996,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_path_enum": q_path_enum,
         "q_path_stats": q_path_stats,
         "q_collect_list": q_collect_list,
-        # oracle-backed, green driver rows in CORRECTNESS_r03
         "kg_canon_counts": kg_canon_counts,
         "kg_edge_replay": kg_edge_replay,
         "kg_orphans": kg_orphans,
@@ -9938,34 +10046,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_asof_join": q_asof_join,
         "q_search_quality": q_search_quality,
-        # ---- round-4 continuation (second session) ----
-        "q_redirects": q_redirects,
-        "q_redirect_repoint": q_redirect_repoint,
-        "q_textrank": q_textrank,
-        "q_surt": q_surt,
-        "q_cdx_lookup": q_cdx_lookup,
-        "q_jsonld": q_jsonld,
-        "q_jsonld_rollup": q_jsonld_rollup,
-        "q_robots_meta": q_robots_meta,
-        "q_nofollow_links": q_nofollow_links,
-        "q_hreflang": q_hreflang,
-        "q_jsonld_mentions": q_jsonld_mentions,
-        "q_salsa": q_salsa,
-        "q_katz": q_katz,
-        "q_cdx_merge": q_cdx_merge,
-        "q_mad_outliers": q_mad_outliers,
-        "q_near_match": q_near_match,
-        "q_webarchive_rank": q_webarchive_rank,
-        "q_ams_f2": q_ams_f2,
-        "q_ams_join": q_ams_join,
-        "q_topo_layers": q_topo_layers,
-        "q_blocklist": q_blocklist,
-        "q_cusum": q_cusum,
-        "q_negative_edges": q_negative_edges,
-        "q_link_auc": q_link_auc,
-        "q_cusum_onsets": q_cusum_onsets,
-        "q_langid_eval": q_langid_eval,
-        "q_redirect_hops": q_redirect_hops,
     }
 
 
@@ -10053,6 +10133,30 @@ def oracle_sql() -> dict[str, str]:
                 JOIN res ro ON ro.entity_type = n.obj_etype
                            AND ro.form_norm = n.obj_norm
             )"""
+
+    def _full_edges_oracle(rels_path, ents_path, res_path, prov_path):
+        """The kg_triples decision oracle, parameterized on export
+        paths (shared with q_warc_pipeline): the complete triples.py
+        replay via ``_edge_replay_cte``, then exact n_sources
+        re-derived from the (edge_key, url) provenance pairs by
+        recomputing edge_key = md5(pred|subj_id|obj_id)."""
+        return f"""
+            WITH {_edge_replay_cte(rels_path, ents_path, res_path)},
+            prov AS (
+                SELECT edge_key, count(DISTINCT url) AS n_sources
+                FROM '{prov_path}/*.parquet'
+                GROUP BY edge_key
+            )
+            SELECT r.pred, r.subj_type, r.subj_name, r.obj_type, r.obj_name,
+                   CAST(coalesce(p.n_sources, 0) AS INTEGER) AS n_sources
+            FROM resolved r
+            LEFT JOIN prov p
+              ON p.edge_key = md5(r.pred || '|'
+                                  || CAST(r.subj_id AS VARCHAR) || '|'
+                                  || CAST(r.obj_id AS VARCHAR))
+            ORDER BY pred, subj_name, obj_name, subj_type, obj_type,
+                     n_sources
+        """
 
     # shared by td_minhash_pairs and q_dup_groups: injected-dup corpus →
     # word-3-gram shingle sets → exact all-pairs Jaccard (the decision
@@ -10757,76 +10861,14 @@ def oracle_sql() -> dict[str, str]:
         # canonical names, and n_sources re-derives the engine's
         # edge_key = md5(pred|subj_id|obj_id) over the exported
         # committed provenance pairs.
-        "kg_triples": f"""
-            WITH rels AS (
-                SELECT * FROM '{_KG_TRIPLES_RELS_PATH}/*.parquet'
-            ), ents AS (
-                SELECT * FROM '{_KG_TRIPLES_ENTS_PATH}/*.parquet'
-            ), res AS (
-                SELECT * FROM '{_KG_TRIPLES_RES_PATH}/*.parquet'
-            ), member_of AS (
-                SELECT 'MEMBER_OF' AS rel_type,
-                       'person' AS from_entity_type,
-                       canonical_name AS from_entity_name,
-                       'band' AS to_entity_type,
-                       unnest(CAST(attrs_json->'$.associated_bands'
-                                   AS VARCHAR[])) AS to_entity_name
-                FROM ents WHERE entity_type = 'people'
-            ), released AS (
-                SELECT 'RELEASED', 'band',
-                       json_extract_string(attrs_json, '$.artist'),
-                       'album', canonical_name
-                FROM ents WHERE entity_type = 'albums'
-                  AND json_extract_string(attrs_json, '$.artist') IS NOT NULL
-            ), contains_track AS (
-                SELECT 'CONTAINS_TRACK', 'album',
-                       json_extract_string(attrs_json, '$.album'),
-                       'song', canonical_name
-                FROM ents WHERE entity_type = 'songs'
-                  AND json_extract_string(attrs_json, '$.album') IS NOT NULL
-            ), cand AS (
-                SELECT rel_type, from_entity_type, from_entity_name,
-                       to_entity_type, to_entity_name FROM rels
-                UNION ALL SELECT * FROM member_of
-                UNION ALL SELECT * FROM released
-                UNION ALL SELECT * FROM contains_track
-            ), norm AS (
-                SELECT * FROM (
-                    SELECT {_alias_case} AS pred,
-                           {_plural_case('from_entity_type')} AS subj_etype,
-                           lower(trim(from_entity_name)) AS subj_norm,
-                           {_plural_case('to_entity_type')} AS obj_etype,
-                           lower(trim(to_entity_name)) AS obj_norm
-                    FROM cand
-                ) WHERE pred IN ({_whitelist})
-            ), resolved AS (
-                SELECT DISTINCT n.pred,
-                       rs.canonical_id AS subj_id,
-                       n.subj_etype AS subj_type,
-                       rs.canonical_name AS subj_name,
-                       ro.canonical_id AS obj_id,
-                       n.obj_etype AS obj_type,
-                       ro.canonical_name AS obj_name
-                FROM norm n
-                JOIN res rs ON rs.entity_type = n.subj_etype
-                           AND rs.form_norm = n.subj_norm
-                JOIN res ro ON ro.entity_type = n.obj_etype
-                           AND ro.form_norm = n.obj_norm
-            ), prov AS (
-                SELECT edge_key, count(DISTINCT url) AS n_sources
-                FROM '{_KG_TRIPLES_PROV_PATH}/*.parquet'
-                GROUP BY edge_key
-            )
-            SELECT r.pred, r.subj_type, r.subj_name, r.obj_type, r.obj_name,
-                   CAST(coalesce(p.n_sources, 0) AS INTEGER) AS n_sources
-            FROM resolved r
-            LEFT JOIN prov p
-              ON p.edge_key = md5(r.pred || '|'
-                                  || CAST(r.subj_id AS VARCHAR) || '|'
-                                  || CAST(r.obj_id AS VARCHAR))
-            ORDER BY pred, subj_name, obj_name, subj_type, obj_type,
-                     n_sources
-        """,
+        "kg_triples": _full_edges_oracle(
+            _KG_TRIPLES_RELS_PATH, _KG_TRIPLES_ENTS_PATH,
+            _KG_TRIPLES_RES_PATH, _KG_TRIPLES_PROV_PATH),
+        # the composed WARC-ingest demo lands on the SAME independently
+        # re-derived edge set, from its own fresh exports
+        "q_warc_pipeline": _full_edges_oracle(
+            _WP_RELS_PATH, _WP_ENTS_PATH,
+            _WP_RES_PATH, _WP_PROV_PATH),
         # Read-side slice over an INDEPENDENTLY re-derived edge list
         # (the full triples.py replay over this query's own exports).
         "kg_album_tracks": f"""

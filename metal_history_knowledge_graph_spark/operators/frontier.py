@@ -13,13 +13,16 @@ Scale design: the scoring join is host-keyed against a
 vocabulary-sized dim (broadcastable); the politeness cut is the skew
 case — a hot host can hold 10^8 candidates and a single per-host
 window would funnel them through one reducer — so ``schedule_batch``
-runs TWO phases: a (host, input-partition) local top-``budget`` that
-spreads the hot host over every reducer, then the exact per-host
-window over the reduced set (≤ budget·n_partitions rows per host).
-The prefilter is lossless: each of the true per-host top-``budget``
-rows lives in some input partition and is within that partition's
-top-``budget``, so phase 2 sees it. Output is deterministic — final
-ranking orders by (priority desc, url) and urls are unique.
+runs a TREE of lossless top-k levels: a (host, input-partition) local
+top-``budget`` that spreads the hot host over every reducer, an
+intermediate (host, url-hash-salt) cut over the ≤ budget·n_partitions
+phase-1 survivors (so the final reducer's residual funnel is
+≤ budget·fanout, independent of the input partition count), then the
+exact per-host window. Every level is lossless: each of the true
+per-host top-``budget`` rows lives in some partition/salt group and
+is within that group's top-``budget``, so the final window sees it.
+Output is deterministic — final ranking orders by (priority desc,
+url) and urls are unique.
 
 Reference analogue: the reference crawls a fixed two-file corpus
 (SURVEY §2.1 scopes enrichment fetching out); frontier scheduling is
@@ -89,6 +92,7 @@ def schedule_batch(
     priorities: DataFrame,
     per_host_budget: int = 10,
     host_budgets: DataFrame | None = None,
+    tree_fanout: int | None = 16,
 ) -> DataFrame:
     """The politeness cut: at most ``per_host_budget`` URLs per host,
     best-priority first — (url, host, depth, priority_fixed,
@@ -97,13 +101,22 @@ def schedule_batch(
     Crawl-delay directives) overrides the default per host; a budget
     of 0 skips the host for this window entirely.
 
-    Two-phase exact top-k per host (see module docstring): phase 1
-    ranks within (host, input partition) so a hot host's candidates
-    spread over all reducers; phase 2 ranks the ≤ budget·n_partitions
-    survivors per host exactly. Ordering key is (priority desc, url)
-    — total, so the schedule is deterministic under any partitioning.
-    The budget table is vocabulary-sized and broadcast; both phases
-    cut at the per-host effective budget.
+    Tree top-k per host (see module docstring): phase 1 ranks within
+    (host, input partition) so a hot host's candidates spread over all
+    reducers; phase 1.5 (``tree_fanout`` > 1, VERDICT r4 next-step #7)
+    re-cuts the ≤ budget·n_partitions phase-1 survivors per
+    (host, url-hash salt) so the FINAL per-host reducer sees only
+    ≤ budget·fanout rows — at 10⁴ input partitions the hot host's
+    residual funnel shrinks from budget·10⁴ to budget·16; phase 2
+    ranks those survivors per host exactly. Every level is a lossless
+    prefilter (a true per-host top-``budget`` row is within the
+    top-``budget`` of ANY subgroup containing it), so the output is
+    identical for every ``tree_fanout`` — pinned vs brute force in
+    test_frontier. Ordering key is (priority desc, url) — total, so
+    the schedule is deterministic under any partitioning. The budget
+    table is vocabulary-sized and broadcast; every phase cuts at the
+    per-host effective budget. ``tree_fanout=None`` (or ≤ 1) restores
+    the plain two-phase cut.
     """
     pre = priorities.withColumn("_pid", F.spark_partition_id())
     if host_budgets is not None:
@@ -126,6 +139,18 @@ def schedule_batch(
         .filter(F.col("_r") <= F.col("_budget"))
         .drop("_pid", "_r", "_hb")
     )
+    if tree_fanout is not None and tree_fanout > 1:
+        w15 = Window.partitionBy("host", "_salt").orderBy(
+            F.desc("priority_fixed"), "url"
+        )
+        survivors = (
+            survivors.withColumn(
+                "_salt", F.pmod(F.xxhash64("url"), F.lit(tree_fanout))
+            )
+            .withColumn("_r2", F.row_number().over(w15))
+            .filter(F.col("_r2") <= F.col("_budget"))
+            .drop("_salt", "_r2")
+        )
     w2 = Window.partitionBy("host").orderBy(F.desc("priority_fixed"), "url")
     return (
         survivors.withColumn("fetch_slot", F.row_number().over(w2).cast("long"))

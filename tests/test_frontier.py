@@ -70,12 +70,20 @@ def test_schedule_budget_exact_vs_bruteforce_and_partitioning(spark):
     cut = {
         h: [u for _, u in sorted(v)[:7]] for h, v in expected.items()
     }
+    # every tree depth (None = plain two-phase, 2/16 = salted middle
+    # level) and partitioning must land on the identical brute-force
+    # cut — the lossless-prefilter contract
     for parts in (1, 13):
+        for fanout in (None, 2, 16):
+            out = schedule_batch(
+                prio.repartition(parts), per_host_budget=7,
+                tree_fanout=fanout,
+            )
+            got = {}
+            for r in out.orderBy("host", "fetch_slot").collect():
+                got.setdefault(r.host, []).append(r.url)
+            assert got == cut, (parts, fanout)
         out = schedule_batch(prio.repartition(parts), per_host_budget=7)
-        got = {}
-        for r in out.orderBy("host", "fetch_slot").collect():
-            got.setdefault(r.host, []).append(r.url)
-        assert got == cut, parts
         # fetch_slot is 1..budget within each host
         slots = {}
         for r in out.collect():
@@ -113,10 +121,14 @@ def test_schedule_two_phase_plan_order(spark):
     # bottom-up tree print: the LAST host exchange is the deepest one
     ex = [i for i, ln in enumerate(lines)
           if "Exchange hashpartitioning" in ln and "host" in ln]
-    assert len(ex) >= 2, plan
+    assert len(ex) >= 3, plan
     phase2_i, phase1_i = ex[0], ex[-1]
     assert "_pid" in lines[phase1_i], lines[phase1_i]   # spread by input pid
     assert "_pid" not in lines[phase2_i], lines[phase2_i]  # host-only, phase 2
+    # the tree's middle level (VERDICT r4 #7): a (host, _salt)
+    # exchange strictly between the pid spread and the host-only cut
+    salt_i = [i for i in ex if "_salt" in lines[i]]
+    assert salt_i and phase2_i < salt_i[0] < phase1_i, plan
     # phase 2's host-only exchange consumes the phase-1-filtered
     # survivors: the budget filter/rank-limit sits between the two
     between = "\n".join(lines[phase2_i:phase1_i])

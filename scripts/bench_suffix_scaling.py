@@ -103,37 +103,71 @@ def run_level(cores, docs, chars, repeats):
     return walls
 
 
+def measure(docs, chars, low, high, repeats):
+    lo = run_level(low, docs, chars, repeats)
+    hi = run_level(high, docs, chars, repeats)
+    wl = min(r["wall"] for r in lo)
+    wh = min(r["wall"] for r in hi)
+    speedup = wl / wh
+    eff = speedup / (high / low)
+    return {
+        "docs": docs,
+        "chars": chars,
+        "positions": docs * chars,
+        "value": round(eff, 4),
+        "queries": {
+            f"wall_local{low}": round(wl, 3),
+            f"wall_local{high}": round(wh, 3),
+            "speedup": round(speedup, 3),
+        },
+        "runs": {str(low): lo, str(high): hi},
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     # default sized so per-round compute dominates the ~9 synchronous
     # round barriers' fixed job latency (at 1.2M positions the walls
     # are latency-bound and 3-core == 12-core; see BENCH.md)
     ap.add_argument("--docs", type=int, default=135_000)
+    ap.add_argument(
+        "--docs-list", type=str, default=None,
+        help="comma-separated docs sizes — records one efficiency row "
+             "per size (the VERDICT r4 #3 size-scaling evidence: does "
+             "the barrier tax amortize as per-round work grows?); the "
+             "headline value is the LARGEST size's efficiency",
+    )
     ap.add_argument("--chars", type=int, default=300)
     ap.add_argument("--low", type=int, default=3)
     ap.add_argument("--high", type=int, default=12)
     ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
-    lo = run_level(args.low, args.docs, args.chars, args.repeats)
-    hi = run_level(args.high, args.docs, args.chars, args.repeats)
-    wl = min(r["wall"] for r in lo)
-    wh = min(r["wall"] for r in hi)
-    speedup = wl / wh
-    eff = speedup / (args.high / args.low)
+    sizes = (
+        [int(x) for x in args.docs_list.split(",")]
+        if args.docs_list
+        else [args.docs]
+    )
+    rows = [
+        measure(d, args.chars, args.low, args.high, args.repeats)
+        for d in sorted(sizes)
+    ]
+    head = rows[-1]
     res = {
         "metric": "suffix_array_scaling_efficiency",
-        "value": round(eff, 4),
+        "value": head["value"],
         "unit": "ratio",
-        "queries": {
-            f"wall_local{args.low}": round(wl, 3),
-            f"wall_local{args.high}": round(wh, 3),
-            "speedup": round(speedup, 3),
-        },
-        "docs": args.docs,
-        "chars": args.chars,
-        "positions": args.docs * args.chars,
-        "runs": {str(args.low): lo, str(args.high): hi},
+        "queries": head["queries"],
+        "docs": head["docs"],
+        "chars": head["chars"],
+        "positions": head["positions"],
+        "runs": head["runs"],
     }
+    if len(rows) > 1:
+        res["size_rows"] = [
+            {k: r[k] for k in ("docs", "chars", "positions", "value",
+                               "queries")}
+            for r in rows
+        ]
     with open(os.path.join(REPO, "SUFFIX_SCALING.json"), "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps(res))

@@ -152,7 +152,7 @@ def run_analytics(spark) -> dict[str, float]:
                  "q_funnel", "q_cocitation", "q_hyperball",
                  "q_pagerank_inc", "q_kmv_jaccard",
                  "q_redirects", "q_textrank", "q_jsonld", "q_salsa",
-                 "q_webarchive_rank", "q_ams_join"):
+                 "q_webarchive_rank", "q_ams_join", "q_warc_pipeline"):
         fn = qmap[name]
         walls = []
         for _ in range(repeats):

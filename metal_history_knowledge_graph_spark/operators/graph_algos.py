@@ -158,6 +158,12 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return edges.sparkSession.createDataFrame([], "node_id long, rank_fixed long")
+    if scale // n == 0:
+        # more nodes than fixed-point units → silent all-zero ranks
+        # (the salsa/hits guard, ADVICE r4 #4)
+        raise ValueError(
+            f"pagerank: scale={scale} < n_nodes={n}; raise `scale`"
+        )
     ranks = nodes.withColumn("rank_fixed", F.lit(scale // n).cast("long"))
     ranks = _pr_iterate(e, nodes, ranks, n, n_iters, damping_pct, scale)
     return ranks.select(F.col("node").alias("node_id"), "rank_fixed")
@@ -1089,6 +1095,11 @@ def pagerank_personalized(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     is_seed = F.broadcast(seed_nodes.withColumn("_s", F.lit(1)))
     base = nodes.join(is_seed, "node", "left")
+    if scale // n_seeds == 0:
+        raise ValueError(
+            f"pagerank_personalized: scale={scale} < n_seeds={n_seeds}; "
+            "raise `scale`"
+        )
     teleport = ((100 - damping_pct) * scale) // (100 * n_seeds)
     ranks = base.select(
         "node",
@@ -1179,6 +1190,10 @@ def pagerank_weighted(
     n = nodes.count()
     if n == 0:
         return edges.sparkSession.createDataFrame([], "node_id long, rank_fixed long")
+    if scale // n == 0:
+        raise ValueError(
+            f"pagerank_weighted: scale={scale} < n_nodes={n}; raise `scale`"
+        )
     wtot = e.groupBy("src").agg(F.sum("w").alias("wtot"))
     teleport = ((100 - damping_pct) * scale) // (100 * n)
     ranks = nodes.withColumn("rank_fixed", F.lit(scale // n).cast("long"))

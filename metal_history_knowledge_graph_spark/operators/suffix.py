@@ -126,7 +126,16 @@ def _rank_levels(
         .localCheckpoint(eager=True)  # feeds the distinct AND the join-back
     )
     keys0, total = _global_dense_rank(base.select("_k").distinct(), ["_k"])
-    r = base.join(keys0, "_k").select(
+    # SHUFFLE join, forced: keys0 is the distinct init_h-gram table —
+    # data-sized in the worst case (up to one row per position), so it
+    # must NEVER be broadcast-planned. Without the hint Catalyst's
+    # size estimate (which localCheckpoint carries over from the
+    # ORIGINAL posexplode plan, badly underestimated) picks a
+    # broadcast join and collects the DATA-sized side through the
+    # driver — measured: a 96M-position build blew the 1 GiB
+    # maxResultSize exactly there. merge = sort-merge both sides,
+    # bounded memory at any scale.
+    r = base.join(keys0.hint("merge"), "_k").select(
         "_id", "_pos", F.col("_grank").alias("_rank")
     ).localCheckpoint(eager=True)
     stats = r.agg(
@@ -343,12 +352,23 @@ def lcp_adjacent(
         F.col(id_col).alias("_bid"),
         F.col("pos").alias("_bpos"),
     )
+    # every join side below is data-sized (the shifted SA, the
+    # doc-length dim at one row per document, and each rank level), so
+    # each carries an explicit merge hint: the checkpointed frames
+    # inherit the ORIGINAL plans' (underestimated) size stats and an
+    # unhinted planner broadcast-collects a data-sized side through
+    # the driver — the failure the suffix build itself hit at 96M
+    # positions. The docstring's "broadcast-free" is now a plan
+    # property, not an estimate-dependent accident.
     pairs = (
-        sa.join(prev, "sa_rank", "left")
-        .join(lens.withColumnRenamed("_lid", id_col), id_col, "left")
+        sa.join(prev.hint("merge"), "sa_rank", "left")
+        .join(lens.withColumnRenamed("_lid", id_col).hint("merge"),
+              id_col, "left")
         .withColumnRenamed("_len", "_alen")
         .join(
-            lens.withColumnRenamed("_lid", "_bid").withColumnRenamed("_len", "_blen"),
+            lens.withColumnRenamed("_lid", "_bid")
+            .withColumnRenamed("_len", "_blen")
+            .hint("merge"),
             "_bid",
             "left",
         )
@@ -368,8 +388,8 @@ def lcp_adjacent(
         pairs = (
             pairs.withColumn("_apos_h", (F.col("pos") + F.col("_lcp")).cast("int"))
             .withColumn("_bpos_h", (F.col("_bpos") + F.col("_lcp")).cast("int"))
-            .join(ra, [id_col, "_apos_h"], "left")
-            .join(rb, ["_bid", "_bpos_h"], "left")
+            .join(ra.hint("merge"), [id_col, "_apos_h"], "left")
+            .join(rb.hint("merge"), ["_bid", "_bpos_h"], "left")
             # NULL rank (offset past text end, or sa_rank 0's missing
             # predecessor) never equals anything → no add
             .withColumn(

@@ -88,7 +88,14 @@ def run_level(cores, docs, chars, repeats):
         after, _ = steal_pct()
         line = [l for l in out.stdout.splitlines() if l.startswith("RESULT")]
         if not line:
-            sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+            # surface the ROOT error, not just the shutdown cascade:
+            # the first ERROR lines usually name the real cause
+            # (e.g. "Total size of serialized results ... bigger than
+            # spark.driver.maxResultSize")
+            errs = [l for l in (out.stdout + out.stderr).splitlines()
+                    if "ERROR" in l][:10]
+            sys.stderr.write("\n".join(errs) + "\n")
+            sys.stderr.write(out.stdout[-4000:] + out.stderr[-8000:])
             raise SystemExit(f"worker failed at local[{cores}]")
         _, n, wall = line[0].split()
         d_tot = sum(a - b for a, b in zip(after, before))

@@ -99,7 +99,7 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("lang"),
     )
     pages = generate_pages(spark, 60, seed=42).unionByName(doc_pages)
-    root = "/tmp/kg_entry_flagship"
+    root = f"/tmp/kg_entry_flagship_{_EXPORT_TAG}"
     shutil.rmtree(root, ignore_errors=True)
     store = TableStore(spark, root)
     run(spark, pages, store, run_id="flagship", resume=False, pair_strategy="lsh")

@@ -245,10 +245,16 @@ def pages_from_warc(records: DataFrame, lang: str = "en") -> DataFrame:
                 b"" if p is None else (p if isinstance(p, bytes) else bytes(p))
                 for p in pdf["payload"]
             ]
+            # WARC-Date is ISO-8601 and usually Z-suffixed; parse as
+            # UTC then drop the zone so the Arrow column matches the
+            # naive TimestampType the pages schema declares
+            ts = pd.to_datetime(
+                pdf["warc_date"], utc=True, format="mixed"
+            ).dt.tz_localize(None)
             yield pd.DataFrame(
                 {
                     "url": pdf["target_uri"],
-                    "warc_ts": pd.to_datetime(pdf["warc_date"]),
+                    "warc_ts": ts,
                     "html": payloads,
                     "text": [html_to_text(p) for p in payloads],
                     "lang": lang,

@@ -90,3 +90,18 @@ def test_pipeline_identical_through_warc_boundary(spark, tmp_path):
     assert _rows(s_warc.read("entities"), ent_cols) == _rows(
         s_direct.read("entities"), ent_cols
     )
+
+
+def test_default_z_suffixed_warc_date_parses(spark):
+    """build_warc's default WARC-Date literal is Z-suffixed ISO-8601;
+    pages_from_warc must parse it into the naive timestamp the pages
+    schema declares (UTC, zone dropped)."""
+    import datetime
+
+    docs = spark.createDataFrame(
+        [(1, "http://a.example/x", "<p>hi</p>")],
+        "doc_id long, url string, text string",
+    )
+    recs = parse_warc(build_warc(docs))  # no date_col → Z literal
+    row = pages_from_warc(recs).collect()[0]
+    assert row["warc_ts"] == datetime.datetime(2024, 1, 1, 0, 0, 0)

@@ -9811,9 +9811,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     upgrades (their r1 rows were rows-only `no_oracle` checks; the
     oracles are new in r4), kg_pagerank/kg_path_analysis/
     kg_intent_search/kg_monitor, and the round-4 text/crawl/sketch/
-    graph families through q_hyperball. Positions 51-111 hold the
-    final never-hashed remainder (q_pagerank_inc … q_redirect_hops)
-    staged as the r6 window — the exact list is in CLAUDE.md. Every
+    graph families through q_hyperball. Positions 51-112 hold the
+    final never-hashed remainder (q_warc_pipeline — new this round —
+    then q_pagerank_inc … q_redirect_hops) staged as the r6 window —
+    the exact list is in CLAUDE.md. Every
     displaced entry keeps a green hard row in CORRECTNESS_r02/r03/r04
     and stays pinned each run by tests/test_oracle_parity.py, which
     checks ALL oracle pairs regardless of position. EVERY entry,
